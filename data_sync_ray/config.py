@@ -1,0 +1,77 @@
+"""Job configuration — the analog of the reference's per-task TOML config
+(`/root/reference/conf/iot.sync.toml:36-47` `[mysql_task.regular]` and
+`src/infrastructure/config/config.go:12-99`), as a plain dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass
+class SyncConfig:
+    """Everything a replay/repair/inspect job needs.
+
+    Filter semantics mirror the reference's include/exclude precedence
+    (`src/infrastructure/repo/condition/regular_base.go:15-35`):
+    include wins over exclude; only-exclude ⇒ pass others; only-include ⇒
+    drop others; neither configured ⇒ deny all.
+    """
+
+    lake_root: str = "/tmp/lake"
+    key_column: str = "doc_id"
+    order_column: str = "log_pos"
+    include_tables: tuple[str, ...] = ("docs",)
+    exclude_tables: tuple[str, ...] = ()
+    # per-table columns to drop from event payloads; the key column is
+    # protected from dropping (ref: regular_runtime.go:23-33)
+    filter_cols: dict[str, tuple[str, ...]] = dataclasses.field(
+        default_factory=dict
+    )
+    num_partitions: int = 32  # P; pick 4-8× the apply actor pool size
+    apply_concurrency: int | tuple[int, int] = 4  # actor pool size
+    batch_size: int = 32_768  # events per transform batch
+    # hot-key detection: keys whose per-batch share exceeds this fraction are
+    # reported in the skew histogram metric (pre-reduce makes them harmless)
+    hot_key_threshold: float = 0.05
+    # schema policy: 'unify' (additive evolution, default) or 'conform'
+    # (reference behavior: drop unknown columns, mysql_filter_service.go:37-41)
+    schema_policy: str = "unify"
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["include_tables"] = list(self.include_tables)
+        d["exclude_tables"] = list(self.exclude_tables)
+        d["filter_cols"] = {k: list(v) for k, v in self.filter_cols.items()}
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "SyncConfig":
+        d = json.loads(s)
+        d["include_tables"] = tuple(d.get("include_tables", ()))
+        d["exclude_tables"] = tuple(d.get("exclude_tables", ()))
+        d["filter_cols"] = {
+            k: tuple(v) for k, v in d.get("filter_cols", {}).items()
+        }
+        if isinstance(d.get("apply_concurrency"), list):
+            d["apply_concurrency"] = tuple(d["apply_concurrency"])
+        return SyncConfig(**d)
+
+
+def table_passes(
+    table: str,
+    include_tables: tuple[str, ...],
+    exclude_tables: tuple[str, ...],
+) -> bool:
+    """Scalar include/exclude predicate with the reference's exact precedence
+    (`regular_base.go:15-35`): include match ⇒ pass; exclude match ⇒ drop;
+    only-exclude configured ⇒ pass others; only-include ⇒ drop others;
+    neither ⇒ drop (default deny)."""
+    if table in include_tables:
+        return True
+    if table in exclude_tables:
+        return False
+    if exclude_tables and not include_tables:
+        return True
+    return False

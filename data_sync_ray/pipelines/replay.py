@@ -1,0 +1,263 @@
+"""Pipelines: replay (MQ path analog), bootstrap/repair (direct-sync analog),
+inspect (consistency checker), distributed lake read, compaction.
+
+Replay maps the reference's core path (/root/reference entry point 3.1:
+Kafka -> parse -> filter -> per-event SQL apply) onto Ray Data:
+
+    read_parquet(epoch dir)                       # Kafka-topic replay analog
+      -> map_batches(transform, pyarrow)          # parse/filter/pre-combine
+      -> groupby("partition")                     # the hash exchange
+      -> map_groups(PartitionApplier actor pool)  # exactly-once LWW commit
+      -> metrics Dataset (tiny)                   # per-partition lineage
+
+One Dataset execution per epoch (micro-batch = epoch, the reference's
+"tailing" analog); the streaming executor pipelines read/transform/apply
+within an epoch with backpressure. Resume: epoch marker + per-partition
+commit logs => crash anywhere, rerun, identical final state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import SyncConfig
+from ..datamodel import BOOTSTRAP_SRC_LOG_POS, list_epoch_dirs
+from ..stages.apply import PartitionApplier
+from ..stages.merge import unify_concat
+from ..stages.transform import make_transform
+from ..state.lake import BOOTSTRAP_EPOCH, Lake
+
+#: epoch-id space reserved for repair runs so they never collide with
+#: stream epochs in the commit logs
+REPAIR_EPOCH_BASE = 1_000_000_000
+
+
+def as_insert_events(t: pa.Table, table_name: str = "docs") -> pa.Table:
+    """Snapshot rows -> insert events (the BuildDirectInsert analog,
+    /root/reference/src/service/mysql_format_service.go:91-111)."""
+    n = t.num_rows
+    if "log_pos" not in t.column_names:
+        t = t.append_column(
+            "log_pos", pa.array([BOOTSTRAP_SRC_LOG_POS] * n, pa.int64())
+        )
+    if "op" not in t.column_names:
+        t = t.append_column("op", pa.array(["insert"] * n, pa.string()))
+    if "table" not in t.column_names:
+        t = t.append_column("table", pa.array([table_name] * n, pa.string()))
+    return t
+
+
+class ReplayJob:
+    """The engine facade: one instance per configured pipeline (the
+    TaskHandler analog, /root/reference/src/application/app.go:23-53)."""
+
+    def __init__(self, cfg: SyncConfig, create: bool = True):
+        self.cfg = cfg
+        self.lake = Lake.create(cfg) if create else Lake(cfg.lake_root)
+        self._cfg_json = cfg.to_json()
+
+    # --- one epoch ----------------------------------------------------------
+
+    def apply_epoch(self, epoch: int, ds: rd.Dataset) -> list[dict]:
+        """Run one epoch's events through transform -> exchange -> apply.
+        Idempotent: committed partitions no-op, completed epochs skip."""
+        if epoch in self.lake.epochs_done():
+            return []
+        cfg = self.cfg
+        ds = ds.map_batches(
+            make_transform(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+        committed = self.lake.committed_partitions(epoch)
+        if committed:
+            done = pa.array(sorted(committed), pa.int32())
+
+            def drop_committed(t: pa.Table) -> pa.Table:
+                mask = pc.is_in(t.column("partition"), value_set=done)
+                return t.filter(pc.invert(mask))
+
+            ds = ds.map_batches(drop_committed, batch_format="pyarrow")
+        metrics = ds.groupby("partition").map_groups(
+            PartitionApplier,
+            batch_format="pyarrow",
+            fn_constructor_args=(cfg.lake_root, epoch, self._cfg_json),
+            concurrency=cfg.apply_concurrency,
+            num_cpus=1,
+        )
+        rows = metrics.take_all()  # tiny: one row per partition
+        self.lake.mark_epoch_done(epoch)
+        return rows
+
+    # --- full replay loop ---------------------------------------------------
+
+    def replay(self, events_root: str, publish: bool = True) -> dict:
+        """Replay every epoch dir under events_root not yet marked done —
+        OffsetOldest-from-watermark analog (mq_consumer.go:103)."""
+        t0 = time.perf_counter()
+        done = self.lake.epochs_done()
+        total_events = 0
+        epochs_run = 0
+        all_metrics: list[dict] = []
+        for epoch, path in list_epoch_dirs(events_root):
+            if epoch in done:
+                continue
+            ds = rd.read_parquet(path)
+            rows = self.apply_epoch(epoch, ds)
+            all_metrics.extend(rows)
+            total_events += sum(r["events_in"] for r in rows)
+            epochs_run += 1
+        if publish:
+            self.lake.publish_manifest(note=f"replay {events_root}")
+        dt = time.perf_counter() - t0
+        return {
+            "epochs_run": epochs_run,
+            "events_applied": total_events,
+            "sec": dt,
+            "events_per_sec": total_events / dt if dt > 0 else 0.0,
+            "metrics": all_metrics,
+        }
+
+    # --- bootstrap / repair (direct-sync analog, ref §3.2) ------------------
+
+    def bootstrap(self, base: rd.Dataset | pa.Table, table: str = "docs") -> list[dict]:
+        """Load the base snapshot as epoch -1 (insert events at log_pos 0)."""
+        if isinstance(base, pa.Table):
+            base = rd.from_arrow(as_insert_events(base, table))
+        else:
+            base = base.map_batches(
+                lambda t: as_insert_events(t, table), batch_format="pyarrow"
+            )
+        return self.apply_epoch(BOOTSTRAP_EPOCH, base)
+
+    def repair(
+        self, snapshot: rd.Dataset, repair_id: int = 0, table: str = "docs"
+    ) -> list[dict]:
+        """Re-upsert a source snapshot (rows carry their own log_pos); LWW
+        makes stale rows no-ops — the reference's 60s range-scan repair loop
+        (mysql_handler.go:483-604) as a one-shot idempotent job."""
+        snapshot = snapshot.map_batches(
+            lambda t: as_insert_events(t, table), batch_format="pyarrow"
+        )
+        return self.apply_epoch(REPAIR_EPOCH_BASE + repair_id, snapshot)
+
+    # --- inspector (ref §3.3) -----------------------------------------------
+
+    def inspect(self, events_root: str) -> dict:
+        """Compare source max log_pos vs lake watermarks; stalled = lag > 0
+        and no watermark progressed since the previous inspect round
+        (state machine of mysql_handler.go:341-366, persisted like T3)."""
+        src_max = -1
+        for _, path in list_epoch_dirs(events_root):
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(
+                        os.path.join(path, f), columns=["log_pos"]
+                    )
+                    if t.num_rows:
+                        src_max = max(src_max, pc.max(t.column("log_pos")).as_py())
+        wms = self.lake.watermarks()
+        target_max = max(wms.values(), default=-1)
+        state_path = os.path.join(self.lake.ckpt_dir, "_inspect.json")
+        prev = -2
+        if os.path.exists(state_path):
+            import json
+
+            with open(state_path) as f:
+                prev = json.load(f)["target_max"]
+        from ..state.lake import atomic_write_json
+
+        atomic_write_json(state_path, {"target_max": target_max})
+        if src_max <= target_max:
+            status = "ok"
+        elif target_max > prev:
+            status = "progressing"
+        else:
+            status = "stalled"
+        return {
+            "status": status,
+            "source_max_log_pos": src_max,
+            "target_max_log_pos": target_max,
+            "lag": max(0, src_max - target_max),
+            "partition_watermarks": wms,
+        }
+
+    # --- compaction ---------------------------------------------------------
+
+    def compact(self) -> list[dict]:
+        """Compact every partition in parallel (one task per partition)."""
+        root = self.cfg.lake_root
+        parts = self.lake.partitions()
+        if not parts:
+            return []
+        ds = rd.from_items([{"partition": p} for p in parts])
+
+        def do(batch: pa.Table) -> pa.Table:
+            lake = Lake(root)
+            out = [lake.compact_partition(p) for p in batch.column("partition").to_pylist()]
+            return pa.Table.from_pylist(
+                [
+                    {"partition": r["partition"], "compacted": r["compacted"]}
+                    for r in out
+                ]
+            )
+
+        rows = ds.map_batches(do, batch_format="pyarrow", batch_size=1).take_all()
+        self.lake.publish_manifest(note="compaction")
+        return rows
+
+
+class _FoldPartition:
+    """Actor for the distributed merge-on-read: fold one partition per batch
+    and pad to the unified (evolved) lake schema."""
+
+    def __init__(self, lake_root: str, schema: pa.Schema | None):
+        self.lake = Lake(lake_root)
+        self.schema = schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("partition").to_pylist():
+            t = self.lake.read_partition(p)
+            if t is not None and t.num_rows:
+                tables.append(t)
+        if not tables:
+            return (self.schema or pa.schema([])).empty_table()
+        t = unify_concat(tables)
+        if self.schema is not None:
+            arrays = []
+            for f in self.schema:
+                if f.name in t.column_names:
+                    arrays.append(t.column(f.name).cast(f.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, f.type))
+            t = pa.Table.from_arrays(arrays, schema=self.schema)
+        return t
+
+
+def read_lake(lake_root: str, concurrency: int | None = None) -> rd.Dataset:
+    """Current lake state as a streaming Dataset: one fold task per hash
+    partition, no global shuffle (fragments are already co-partitioned)."""
+    lake = Lake(lake_root)
+    parts = lake.partitions()
+    schema = lake.union_schema()
+    if not parts or schema is None:
+        from ..datamodel import LAKE_SCHEMA
+
+        return rd.from_arrow((schema or LAKE_SCHEMA).empty_table())
+    ds = rd.from_items([{"partition": p} for p in parts])
+    return ds.map_batches(
+        _FoldPartition,
+        fn_constructor_args=(lake_root, schema),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or min(8, len(parts)),
+    )

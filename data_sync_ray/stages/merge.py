@@ -1,0 +1,111 @@
+"""Pure Arrow merge kernels: last-writer-wins (LWW) upsert semantics.
+
+This replaces the reference's four SQL behaviours (INSERT / UPDATE / DELETE /
+INSERT..ON DUPLICATE KEY UPDATE, /root/reference/src/infrastructure/repo/
+serializer/serializer.go:47-162) with three columnar ops: upsert-insert,
+upsert-overwrite, tombstone — all expressed as one kernel: *winner per key by
+max log_pos, tombstones dropped on fold*.
+
+LWW on a total order (log_pos) is commutative and associative, so merges
+converge under out-of-order delivery, duplicated batches (at-least-once
+delivery — the reference's 3x-retry analog, mysql_handler.go:109-118), and
+crash-replay. That property is what lets the engine run N-way parallel where
+the reference was a single serial goroutine (sync_mq.go:74-94).
+
+All functions are pure pa.Table -> pa.Table, unit-testable without Ray, and
+vectorized (pyarrow.compute / numpy) — no Python row loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: marker column for delete tombstones inside delta files
+DELETED_COL = "_deleted"
+
+
+def lww_winners(t: pa.Table, key: str = "doc_id", order: str = "log_pos") -> pa.Table:
+    """Keep only the winning (max-`order`) row per `key`. Vectorized:
+    sort by (key, order) then boundary-mask the last row of each key run.
+
+    This is the in-batch combiner (pre-aggregation before the hash exchange)
+    AND the final per-partition reduce — the same kernel at both levels,
+    exactly the two-phase-aggregation pattern for skew: a hot key collapses
+    to <=1 row per upstream batch before it ever crosses the shuffle.
+    """
+    if t.num_rows <= 1:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[(key, "ascending"), (order, "ascending")]
+    )
+    t = t.take(idx)
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    # last row of each equal-key run wins
+    is_last = np.empty(len(keys), dtype=bool)
+    is_last[-1] = True
+    np.not_equal(keys[:-1], keys[1:], out=is_last[:-1])
+    if is_last.all():
+        return t
+    return t.filter(pa.array(is_last))
+
+
+def unify_concat(tables: list[pa.Table]) -> pa.Table:
+    """Concat with Arrow schema unification — additive evolution (column add
+    => null-fill, integer widen) replacing the reference's drop-unknown-column
+    rule (mysql_filter_service.go:37-41) per the north-star spec."""
+    tables = [t for t in tables if t is not None and t.num_rows >= 0]
+    if len(tables) == 1:
+        return tables[0]
+    try:
+        return pa.concat_tables(tables, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return pa.concat_tables(tables, promote_options="default")
+
+
+def fold_state(
+    tables: list[pa.Table],
+    key: str = "doc_id",
+    order: str = "log_pos",
+    sort_output: bool = True,
+) -> pa.Table:
+    """Merge-on-read fold: base + delta fragments -> current table state.
+
+    Concat (schema-unified), LWW winner per key, drop tombstone winners,
+    drop the tombstone marker column. Fold order is irrelevant (LWW is
+    order-insensitive), so fragments can be read in any order in parallel.
+    """
+    t = unify_concat(tables)
+    if t.num_rows == 0:
+        return _strip_deleted(t)
+    t = lww_winners(t, key=key, order=order)
+    if DELETED_COL in t.column_names:
+        col = t.column(DELETED_COL)
+        mask = pc.fill_null(col, False)
+        t = t.filter(pc.invert(mask))
+    t = _strip_deleted(t)
+    if sort_output and t.num_rows > 1:
+        t = t.sort_by(key)
+    return t
+
+
+def _strip_deleted(t: pa.Table) -> pa.Table:
+    if DELETED_COL in t.column_names:
+        t = t.drop_columns([DELETED_COL])
+    return t
+
+
+def events_to_delta(t: pa.Table, op_col: str = "op") -> pa.Table:
+    """Normalize change events (post-LWW) into the delta-file layout:
+    lake payload columns + log_pos + _deleted tombstone marker. Drops the
+    event-envelope columns (op/table/ts/schema_ver)."""
+    deleted = pc.equal(t.column(op_col), pa.scalar("delete"))
+    t = t.append_column(DELETED_COL, pc.fill_null(deleted, False))
+    # `epoch` appears when reading hive-partitioned event logs (epoch=K dirs)
+    drop = [
+        c
+        for c in (op_col, "table", "ts", "schema_ver", "epoch")
+        if c in t.column_names
+    ]
+    return t.drop_columns(drop)

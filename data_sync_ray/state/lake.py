@@ -1,0 +1,352 @@
+"""Copy-on-write Parquet lake: versioned manifest, per-partition checkpoints
+with idempotent commit logs, merge-on-read fold, and compaction.
+
+Replaces target MySQL + the reference's plain-text watermark files
+(/root/reference/src/application/mysql_handler.go:421-453) with a
+principled exactly-once protocol the reference lacks (its delivery is
+at-most-once — offsets marked before apply, mq_consumer.go:202-216; apply
+errors swallowed after 3 retries, sync_mq.go:96-113).
+
+Layout (resumable: one directory per hash partition, never one giant file):
+
+    lake/
+      CONFIG.json                      # SyncConfig used to create the lake
+      data/part=00007/
+        delta-e0000003.parquet         # LWW winners of epoch 3 for part 7
+        base-c0000002.parquet          # compaction output (generation 2)
+      checkpoints/part-00007.json      # watermark, commit log, file list,
+                                       # metrics, lineage
+      manifest/v0000012.json           # driver-published union snapshot
+      manifest/CURRENT                 # text: latest version number
+
+Commit protocol per (partition, epoch):
+  1. write delta parquet under a DETERMINISTIC name (epoch id in the name);
+  2. atomically replace the partition checkpoint recording the epoch in
+     `applied_epochs` (the commit log) + new watermark + file list.
+A Ray task retry that re-runs step 1 rewrites the same bytes to the same
+name (sorted deterministic content); a replay of an already-committed epoch
+is detected from the commit log and becomes a no-op => exactly-once effect.
+The checkpoint replace (os.replace) is the single atomic commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import SyncConfig
+from ..stages.merge import fold_state
+
+BOOTSTRAP_EPOCH = -1
+
+
+def atomic_write_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+class Lake:
+    """Driver-side and task-side handle to the lake directory tree.
+
+    Instances are cheap (paths only); partition state lives in the
+    checkpoint JSONs so any task/actor can operate on its own partition
+    without coordination (single-owner-per-partition discipline).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.ckpt_dir = os.path.join(root, "checkpoints")
+        self.manifest_dir = os.path.join(root, "manifest")
+
+    # --- creation / discovery ---------------------------------------------
+
+    @staticmethod
+    def create(cfg: SyncConfig) -> "Lake":
+        lake = Lake(cfg.lake_root)
+        for d in (lake.data_dir, lake.ckpt_dir, lake.manifest_dir):
+            os.makedirs(d, exist_ok=True)
+        with open(os.path.join(lake.root, "CONFIG.json"), "w") as f:
+            f.write(cfg.to_json())
+        return lake
+
+    def config(self) -> SyncConfig:
+        with open(os.path.join(self.root, "CONFIG.json")) as f:
+            return SyncConfig.from_json(f.read())
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.ckpt_dir)
+
+    # --- partition checkpoints (commit log + watermark + lineage) ----------
+
+    def _ckpt_path(self, partition: int) -> str:
+        return os.path.join(self.ckpt_dir, f"part-{partition:05d}.json")
+
+    def part_dir(self, partition: int) -> str:
+        return os.path.join(self.data_dir, f"part={partition:05d}")
+
+    def read_checkpoint(self, partition: int) -> dict:
+        p = self._ckpt_path(partition)
+        if not os.path.exists(p):
+            return {
+                "partition": partition,
+                "watermark_log_pos": -1,
+                "applied_epochs": [],
+                "files": [],
+                "events_applied": 0,
+                "batches": 0,
+                "failures": 0,
+                "lineage": [],
+            }
+        return _read_json(p)
+
+    def write_checkpoint(self, ckpt: dict) -> None:
+        atomic_write_json(self._ckpt_path(ckpt["partition"]), ckpt)
+
+    def committed_partitions(self, epoch: int) -> set[int]:
+        """Partitions whose commit log already contains `epoch`."""
+        out = set()
+        if not os.path.isdir(self.ckpt_dir):
+            return out
+        for name in os.listdir(self.ckpt_dir):
+            if not name.startswith("part-"):
+                continue
+            ck = _read_json(os.path.join(self.ckpt_dir, name))
+            if epoch in ck.get("applied_epochs", []):
+                out.add(ck["partition"])
+        return out
+
+    def watermarks(self) -> dict[int, int]:
+        out = {}
+        if not os.path.isdir(self.ckpt_dir):
+            return out
+        for name in os.listdir(self.ckpt_dir):
+            if name.startswith("part-"):
+                ck = _read_json(os.path.join(self.ckpt_dir, name))
+                out[ck["partition"]] = ck.get("watermark_log_pos", -1)
+        return out
+
+    # --- epoch-level commit markers (driver-level resume) -------------------
+
+    def _epoch_log_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "_epochs.json")
+
+    def epochs_done(self) -> set[int]:
+        p = self._epoch_log_path()
+        if not os.path.exists(p):
+            return set()
+        return set(_read_json(p)["done"])
+
+    def mark_epoch_done(self, epoch: int) -> None:
+        """Written by the driver only AFTER every partition group of the
+        epoch has committed. Crash before this marker => the epoch re-runs;
+        committed partitions no-op via their commit logs (exactly-once)."""
+        done = self.epochs_done() | {epoch}
+        atomic_write_json(self._epoch_log_path(), {"done": sorted(done)})
+
+    # --- the per-(partition, epoch) commit ---------------------------------
+
+    def commit_delta(
+        self, partition: int, epoch: int, delta: pa.Table, n_events_in: int
+    ) -> dict:
+        """Exactly-once append of one epoch's LWW winners for one partition.
+
+        Returns the metrics record. No-op (replayed=True) when the commit
+        log already holds this epoch — Ray task retries and duplicated
+        delivery land here.
+        """
+        t0 = time.perf_counter()
+        ckpt = self.read_checkpoint(partition)
+        if epoch in ckpt["applied_epochs"]:
+            return {
+                "partition": partition,
+                "epoch": epoch,
+                "events_in": n_events_in,
+                "rows_written": 0,
+                "replayed": True,
+                "watermark_log_pos": ckpt["watermark_log_pos"],
+                "apply_sec": time.perf_counter() - t0,
+            }
+        pdir = self.part_dir(partition)
+        os.makedirs(pdir, exist_ok=True)
+        tag = f"e{epoch:07d}" if epoch >= 0 else "bootstrap"
+        fname = f"delta-{tag}.parquet"
+        rel = os.path.join(f"part={partition:05d}", fname)
+        if delta.num_rows:
+            # deterministic content: sorted by key upstream; same retry =>
+            # same bytes => idempotent under partial-crash rewrite
+            pq.write_table(delta, os.path.join(pdir, fname))
+        wm = ckpt["watermark_log_pos"]
+        if delta.num_rows and "log_pos" in delta.column_names:
+            mx = pa.compute.max(delta.column("log_pos")).as_py()
+            if mx is not None:
+                wm = max(wm, mx)
+        ckpt["applied_epochs"] = sorted(set(ckpt["applied_epochs"]) | {epoch})
+        ckpt["watermark_log_pos"] = wm
+        if delta.num_rows:
+            ckpt["files"] = sorted(set(ckpt["files"]) | {rel})
+        ckpt["events_applied"] += n_events_in
+        ckpt["batches"] += 1
+        dt = time.perf_counter() - t0
+        ckpt.setdefault("lineage", []).append(
+            {
+                "epoch": epoch,
+                "events_in": n_events_in,
+                "rows_written": delta.num_rows,
+                "watermark_log_pos": wm,
+                "apply_sec": round(dt, 6),
+            }
+        )
+        self.write_checkpoint(ckpt)  # atomic commit point
+        return {
+            "partition": partition,
+            "epoch": epoch,
+            "events_in": n_events_in,
+            "rows_written": delta.num_rows,
+            "replayed": False,
+            "watermark_log_pos": wm,
+            "apply_sec": dt,
+        }
+
+    # --- merge-on-read ------------------------------------------------------
+
+    def partitions(self) -> list[int]:
+        if not os.path.isdir(self.ckpt_dir):
+            return []
+        return sorted(
+            int(n.split("-")[1].split(".")[0])
+            for n in os.listdir(self.ckpt_dir)
+            if n.startswith("part-")
+        )
+
+    def read_partition(self, partition: int) -> pa.Table:
+        """Fold one partition's fragments into its current state (LWW,
+        tombstones dropped). Fragment read order is irrelevant."""
+        ckpt = self.read_checkpoint(partition)
+        frags = []
+        for rel in ckpt["files"]:
+            p = os.path.join(self.data_dir, rel)
+            if os.path.exists(p):
+                frags.append(pq.read_table(p))
+        if not frags:
+            return None
+        t = fold_state(frags)
+        if "partition" in t.column_names:
+            t = t.drop_columns(["partition"])
+        return t
+
+    def read_all(self) -> pa.Table:
+        """Driver-side full fold — tests/small lakes only. Use
+        pipelines.replay.read_lake() for the distributed path."""
+        parts = [self.read_partition(p) for p in self.partitions()]
+        parts = [p for p in parts if p is not None and p.num_rows]
+        if not parts:
+            from ..datamodel import LAKE_SCHEMA
+
+            return LAKE_SCHEMA.empty_table()
+        from ..stages.merge import unify_concat
+
+        return unify_concat(parts).sort_by("doc_id")
+
+    def union_schema(self) -> pa.Schema | None:
+        """Unified schema across all live fragments (metadata-only reads) —
+        the evolved lake schema (pa.unify_schemas: column add / widen)."""
+        schemas = []
+        for p in self.partitions():
+            for rel in self.read_checkpoint(p)["files"]:
+                fp = os.path.join(self.data_dir, rel)
+                if os.path.exists(fp):
+                    schemas.append(pq.read_schema(fp))
+        if not schemas:
+            return None
+        s = pa.unify_schemas(schemas, promote_options="permissive")
+        drop = [n for n in ("_deleted", "partition") if n in s.names]
+        for n in drop:
+            s = s.remove(s.get_field_index(n))
+        return s
+
+    # --- compaction ---------------------------------------------------------
+
+    def compact_partition(self, partition: int) -> dict:
+        """Rewrite a partition's fragments into one base file and truncate
+        the fragment list (copy-on-write: new file written+committed before
+        old files are deleted; crash in between leaves harmless orphans
+        that a later compaction removes)."""
+        ckpt = self.read_checkpoint(partition)
+        if len(ckpt["files"]) <= 1:
+            return {"partition": partition, "compacted": False}
+        state = self.read_partition(partition)
+        gen = ckpt.get("compaction_gen", 0) + 1
+        pdir = self.part_dir(partition)
+        fname = f"base-c{gen:07d}.parquet"
+        rel = os.path.join(f"part={partition:05d}", fname)
+        old = list(ckpt["files"])
+        if state is not None and state.num_rows:
+            pq.write_table(state, os.path.join(pdir, fname))
+            ckpt["files"] = [rel]
+        else:
+            ckpt["files"] = []
+        ckpt["compaction_gen"] = gen
+        self.write_checkpoint(ckpt)  # commit point
+        for r in old:
+            try:
+                os.remove(os.path.join(self.data_dir, r))
+            except FileNotFoundError:
+                pass
+        return {
+            "partition": partition,
+            "compacted": True,
+            "rows": 0 if state is None else state.num_rows,
+            "files_removed": len(old),
+        }
+
+    # --- manifest (driver-published union snapshot) -------------------------
+
+    def publish_manifest(self, note: str = "") -> int:
+        cur_path = os.path.join(self.manifest_dir, "CURRENT")
+        version = 0
+        if os.path.exists(cur_path):
+            with open(cur_path) as f:
+                version = int(f.read().strip())
+        version += 1
+        parts = {}
+        schema_names: set[str] = set()
+        for p in self.partitions():
+            ck = self.read_checkpoint(p)
+            parts[str(p)] = {
+                "watermark_log_pos": ck["watermark_log_pos"],
+                "applied_epochs": ck["applied_epochs"],
+                "files": ck["files"],
+                "events_applied": ck["events_applied"],
+            }
+            for rel in ck["files"]:
+                fp = os.path.join(self.data_dir, rel)
+                if os.path.exists(fp):
+                    schema_names.update(pq.read_schema(fp).names)
+        atomic_write_json(
+            os.path.join(self.manifest_dir, f"v{version:07d}.json"),
+            {
+                "version": version,
+                "note": note,
+                "columns": sorted(schema_names),
+                "partitions": parts,
+            },
+        )
+        tmp = cur_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, cur_path)
+        return version

@@ -1,0 +1,208 @@
+"""End-to-end: full replay vs the sequential dict-replay oracle.
+
+The judged invariant (BASELINE.json): exact token-array equality per doc_id
+after replaying the synthetic CDC stream, under out-of-order delivery,
+duplicated batches, schema evolution, and crash-and-resume.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_sync_ray import (
+    ReplayJob,
+    StreamSpec,
+    SyncConfig,
+    gen_base_table,
+    gen_change_stream,
+    read_lake,
+    replay_oracle,
+    write_event_log,
+)
+
+
+def assert_tables_equal(got: pa.Table, want: pa.Table):
+    """Exact equality incl. token arrays, order-normalized by doc_id."""
+    got = got.sort_by("doc_id")
+    want = want.sort_by("doc_id")
+    assert got.num_rows == want.num_rows, (got.num_rows, want.num_rows)
+    assert set(got.column_names) == set(want.column_names)
+    got = got.select(want.column_names)
+    for name in want.column_names:
+        g, w = got.column(name), want.column(name)
+        if g.type != w.type:
+            g = g.cast(w.type)
+        g = pa.chunked_array([g.combine_chunks()])
+        w = pa.chunked_array([w.combine_chunks()])
+        assert g.equals(w), f"column {name} differs"
+
+
+def build_fixture(tmpdir, spec, n_base=200, seed=42):
+    base = gen_base_table(n_base, seed=seed)
+    epochs = gen_change_stream(spec)
+    ev_root = os.path.join(tmpdir, "events")
+    write_event_log(ev_root, epochs)
+    return base, epochs, ev_root
+
+
+def make_job(tmpdir, **kw):
+    cfg = SyncConfig(
+        lake_root=os.path.join(tmpdir, "lake"),
+        num_partitions=kw.pop("num_partitions", 8),
+        apply_concurrency=2,
+        **kw,
+    )
+    return ReplayJob(cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_matches_oracle(tmp_path):
+    spec = StreamSpec(n_events=3000, n_docs=200, n_epochs=4, seed=42)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    summary = job.replay(ev_root)
+    assert summary["epochs_run"] == 4
+    got = job.lake.read_all()
+    want = replay_oracle(base, epochs)
+    assert_tables_equal(got, want)
+    # distributed read path agrees with the driver-side fold
+    ds = read_lake(job.cfg.lake_root)
+    got2 = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")],
+        promote_options="permissive",
+    )
+    assert_tables_equal(got2, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_delivery_is_noop(tmp_path):
+    """Feed the same event epochs twice (at-least-once delivery, the
+    reference's retry analog mysql_handler.go:109-118): state unchanged."""
+    spec = StreamSpec(n_events=1000, n_docs=100, n_epochs=2, seed=7)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=100, seed=7)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    job.replay(ev_root)
+    first = job.lake.read_all()
+    # replay again: epoch markers make it a no-op
+    s2 = job.replay(ev_root)
+    assert s2["epochs_run"] == 0
+    # force re-apply past the epoch markers: commit log still no-ops
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(ev_root, "epoch=00000"))
+    job.lake.epochs_done()  # marker exists
+    # simulate a torn driver: remove epoch marker, re-run epoch 0 —
+    # committed partitions are pruned before the exchange (cheapest no-op)
+    os.remove(os.path.join(job.lake.ckpt_dir, "_epochs.json"))
+    rows = job.apply_epoch(0, ds)
+    assert rows == []
+    assert_tables_equal(job.lake.read_all(), first)
+    # and a Ray-task-retry analog hitting the commit log directly:
+    p0 = job.lake.partitions()[0]
+    ck_before = job.lake.read_checkpoint(p0)
+    m = job.lake.commit_delta(p0, 0, pa.table({"doc_id": ["zz"],
+                                               "log_pos": [999]}), 1)
+    assert m["replayed"] is True
+    assert job.lake.read_checkpoint(p0) == ck_before
+    assert_tables_equal(job.lake.read_all(), first)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_and_resume_mid_replay(tmp_path):
+    """Stop after K epochs (driver crash analog), restart with a fresh job
+    object, resume: final state equals the uninterrupted oracle."""
+    spec = StreamSpec(n_events=2000, n_docs=150, n_epochs=4, seed=13)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=150, seed=13)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    # run only the first two epochs, then "crash"
+    import ray.data as rd
+
+    for e in (0, 1):
+        job.apply_epoch(e, rd.read_parquet(os.path.join(ev_root, f"epoch={e:05d}")))
+    # partial-commit crash: epoch 2 applied for some partitions but NOT
+    # marked done (driver died between partition commits and the marker)
+    ds2 = rd.read_parquet(os.path.join(ev_root, "epoch=00002"))
+    job.apply_epoch(2, ds2)
+    os.remove(os.path.join(job.lake.ckpt_dir, "_epochs.json"))
+    # restart: a brand-new job over the same lake replays everything
+    cfg2 = SyncConfig(
+        lake_root=job.cfg.lake_root, num_partitions=8, apply_concurrency=2
+    )
+    job2 = ReplayJob(cfg2, create=False)
+    job2.replay(ev_root)
+    want = replay_oracle(base, epochs)
+    assert_tables_equal(job2.lake.read_all(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_evolution_column_add(tmp_path):
+    """Later epochs add a `quality` column + new source enum values; the
+    lake unifies (column add => null-fill for old rows)."""
+    spec = StreamSpec(
+        n_events=1500, n_docs=120, n_epochs=3, seed=21, evolve_from_epoch=2
+    )
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=120, seed=21)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    job.replay(ev_root)
+    got = job.lake.read_all()
+    want = replay_oracle(base, epochs)
+    assert "quality" in got.column_names
+    assert_tables_equal(got, want)
+    srcs = set(got.column("source").to_pylist())
+    assert srcs & {"wiki", "forum"}  # enum growth arrived
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skewed_stream_converges(tmp_path):
+    """1% of keys take ~70% of traffic; pre-combine collapses them before
+    the exchange; result still exact."""
+    spec = StreamSpec(
+        n_events=4000, n_docs=300, n_epochs=2, seed=3,
+        hot_frac=0.01, hot_weight=0.7,
+    )
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=300, seed=3)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    job.replay(ev_root)
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_preserves_state(tmp_path):
+    spec = StreamSpec(n_events=1200, n_docs=100, n_epochs=3, seed=31)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=100, seed=31)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    job.replay(ev_root)
+    before = job.lake.read_all()
+    out = job.compact()
+    assert any(r["compacted"] for r in out)
+    after = job.lake.read_all()
+    assert_tables_equal(after, before)
+    # every partition now holds at most one file
+    for p in job.lake.partitions():
+        assert len(job.lake.read_checkpoint(p)["files"]) <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repair_and_inspect(tmp_path):
+    spec = StreamSpec(n_events=800, n_docs=80, n_epochs=2, seed=17)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=80, seed=17)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    job.replay(ev_root)
+    want = job.lake.read_all()
+    # repair with a stale snapshot (the base): LWW makes it a no-op
+    import ray.data as rd
+
+    job.repair(rd.from_arrow(base), repair_id=0)
+    assert_tables_equal(job.lake.read_all(), want)
+    rep = job.inspect(ev_root)
+    assert rep["status"] == "ok"
+    assert rep["lag"] == 0
