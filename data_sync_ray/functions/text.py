@@ -1,0 +1,162 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+Each operator is a callable CLASS (actor-pool stage: compiled regexes /
+profiles built once per actor in __init__, work per batch in __call__) plus
+a driver helper that wires it into a Dataset. Hot paths are pandas/numpy
+vectorized — no Python loop over rows except where a per-doc set is
+intrinsic (and then over a batch-local comprehension, never the driver).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+WORD_RE = r"\s+"
+# BPE-ish pre-tokenizer: words, numbers, punctuation runs (GPT-2 style,
+# simplified to stdlib `re`)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been on at by for with as "
+    "it this that from".split()
+)
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": frozenset("the and of to in is you that it for was with as his on".split()),
+    "fr": frozenset("le la les de des un une et est dans que pour sur avec ne".split()),
+    "de": frozenset("der die das und ist ein eine nicht mit von zu auf für den".split()),
+    "es": frozenset("el la los las de un una y es en que por con para no se".split()),
+}
+
+
+class TokenCounter:
+    """n_words (whitespace tokens) + n_bpe (BPE-ish regex pre-tokens)."""
+
+    def __init__(self):
+        self.ws = re.compile(WORD_RE)
+        self.bpe = re.compile(BPE_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        batch["n_words"] = (
+            texts.str.split(self.ws).map(lambda ws: sum(1 for w in ws if w))
+            .astype("int64")
+        )
+        batch["n_bpe"] = texts.str.count(self.bpe).astype("int64")
+        return batch
+
+
+class QualityScorer:
+    """Heuristic doc-quality signals: length, punctuation ratio, stopword
+    ratio, mean word length — the usual pre-training corpus filters."""
+
+    def __init__(self):
+        self.word = re.compile(r"[A-Za-z]+")
+        self.punct = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_chars = texts.str.len().astype("int64")
+        words = texts.str.findall(self.word)
+        n_words = words.map(len).astype("int64")
+        total_wlen = words.map(lambda ws: sum(len(w) for w in ws))
+        n_stop = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+        )
+        batch["n_chars_m"] = n_chars
+        batch["n_words"] = n_words
+        batch["punct_ratio"] = (
+            texts.str.count(self.punct) / n_chars.clip(lower=1)
+        ).round(6)
+        batch["stopword_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
+        batch["mean_word_len"] = (total_wlen / n_words.clip(lower=1)).round(6)
+        return batch
+
+
+class LangId:
+    """Stopword/char-class language heuristic (en/fr/de/es + CJK => zh).
+
+    Deterministic, dependency-free; intended as the stand-in for a real
+    fastText-style model loaded once per actor."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-ZÀ-ÿäöüßñ]+")
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def _predict(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text)]
+        if not words:
+            return "unknown"
+        best, best_hits = "unknown", 0
+        for lang, prof in LANG_PROFILES.items():
+            hits = sum(1 for w in words if w in prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["pred_lang"] = batch["text"].map(self._predict)
+        return batch
+
+
+class Fingerprinter:
+    """Deterministic document fingerprints: md5 of the text (exact-dup key,
+    the Md5 util analog — /root/reference/src/lib/util/util.go:62-67) and a
+    64-bit rolling (Rabin-Karp-style polynomial) hash over words."""
+
+    B = np.uint64(1_000_003)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fp_md5"] = batch["text"].map(
+            lambda t: hashlib.md5(t.encode()).hexdigest()
+        )
+        def roll(t: str) -> np.uint64:
+            h = np.uint64(0)
+            for w in t.split():
+                wh = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                )
+                h = (h * Fingerprinter.B + wh) & Fingerprinter.MASK
+            return h
+        batch["fp_rolling"] = batch["text"].map(roll).astype("uint64")
+        return batch
+
+
+def with_token_counts(ds, concurrency: int = 4, batch_size: int = 2048):
+    return ds.map_batches(
+        TokenCounter, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def with_quality(ds, concurrency: int = 4, batch_size: int = 2048):
+    return ds.map_batches(
+        QualityScorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def with_lang_id(ds, concurrency: int = 4, batch_size: int = 2048):
+    return ds.map_batches(
+        LangId, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def with_fingerprints(ds, concurrency: int = 4, batch_size: int = 2048):
+    return ds.map_batches(
+        Fingerprinter, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,688 @@
+"""Operator conformance queries over the driver's testdata tables.
+
+Each entry pairs a Ray-Data pipeline (callable taking sf_dir) with an
+equivalent ANSI-SQL oracle run by DuckDB on the same parquet files.
+Column names (incl. aggregates) match EXACTLY between both sides; float
+aggregates are rounded identically on both sides so order-of-addition
+noise cannot flip the value hash.
+
+Queries marked oracle=None are non-SQL-expressible (approximate /
+stateful / full-engine pipelines) — the driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from ..config import SyncConfig
+from ..stages.merge import lww_winners
+from ..stages.transform import drop_filtered_columns, filter_tables
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, n in cols.items():
+        df[c] = df[c].astype("float64").round(n)
+    return df
+
+
+# --- TPC-H-flavored relational operators -----------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate with a computed column; combiner
+    (per-block partial aggregation) is built into Ray's hash aggregate."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def disc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price",
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        )
+
+    out = (
+        ds.map_batches(disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       count(*)                                           AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top10_orders(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort("o_totalprice", descending=True)
+        .limit(10)
+        .to_pandas()
+    )
+    return _round(out, {"o_totalprice": 2})
+
+
+TOP10_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY orders.o_totalprice DESC LIMIT 10
+"""
+
+
+def distinct_sources(sf_dir: str) -> pd.DataFrame:
+    vals = _t(sf_dir, "documents", ["source"]).unique("source")
+    return pd.DataFrame({"source": sorted(vals)})
+
+
+DISTINCT_SQL = "SELECT DISTINCT source FROM documents"
+
+
+def nation_region_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: tiny dimension side shipped once via ray.put,
+    looked up per batch — no shuffle (ref J1's broadcast-small-side)."""
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    lut_ref = ray.put(
+        dict(zip(region.column("r_regionkey").to_pylist(),
+                 region.column("r_name").to_pylist()))
+    )
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        batch["r_name"] = batch["n_regionkey"].map(lut)
+        return batch[["n_nationkey", "n_name", "r_name"]]
+
+    return _t(sf_dir, "nation").map_batches(
+        join, batch_format="pandas"
+    ).to_pandas()
+
+
+NATION_REGION_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def mktsegment_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Fact-dim join as broadcast lookup + grouped aggregate."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    lut_ref = ray.put(
+        dict(zip(cust.column("c_custkey").to_pylist(),
+                 cust.column("c_mktsegment").to_pylist()))
+    )
+
+    def seg(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        batch["c_mktsegment"] = batch["o_custkey"].map(lut)
+        return batch[["c_mktsegment", "o_totalprice"]]
+
+    out = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(seg, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_totalprice"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"sum_totalprice": 2})
+
+
+MKTSEG_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def revenue_by_month(sf_dir: str) -> pd.DataFrame:
+    def month(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["month"] = batch["o_orderdate"].dt.strftime("%Y-%m")
+        return batch[["month", "o_totalprice"]]
+
+    out = (
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(month, batch_format="pandas")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"revenue": 2})
+
+
+REVENUE_MONTH_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def orderkeys_union(sf_dir: str) -> pd.DataFrame:
+    """Set op: distinct union of keys from two tables."""
+    a = _t(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["orderkey"]), batch_format="pyarrow"
+    )
+    b = _t(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["orderkey"]), batch_format="pyarrow"
+    )
+    vals = a.union(b).unique("orderkey")
+    return pd.DataFrame({"orderkey": sorted(vals)})
+
+
+UNION_SQL = """
+SELECT o_orderkey AS orderkey FROM orders
+UNION
+SELECT l_orderkey AS orderkey FROM lineitem
+"""
+
+
+def systematic_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic systematic sample (key mod 97) — the reproducible
+    stand-in for random_sample so an SQL oracle exists."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column("l_orderkey").to_numpy()
+        return t.filter(pa.array(keys % 97 == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+SAMPLE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey % 97 = 0
+"""
+
+
+def events_sorted_head(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _t(sf_dir, "events", ["event_id", "value"])
+        .sort("value", descending=True)
+        .limit(20)
+        .to_pandas()
+    )
+    return _round(out, {"value": 4})
+
+
+SORT_HEAD_SQL = """
+SELECT event_id, round(value, 4) AS value
+FROM events ORDER BY events.value DESC LIMIT 20
+"""
+
+
+# --- CDC semantics on the driver's events table -----------------------------
+
+
+def _lww_events(sf_dir: str) -> rd.Dataset:
+    """Two-phase LWW: per-batch combiner, then per-key final reduce —
+    the engine's merge kernel applied to the driver's events table
+    (key=user_id, order=event_id)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+    pre = ds.map_batches(
+        lambda t: lww_winners(t, key="user_id", order="event_id"),
+        batch_format="pyarrow",
+    )
+    return pre.groupby("user_id").map_groups(
+        lambda t: lww_winners(t, key="user_id", order="event_id"),
+        batch_format="pyarrow",
+    )
+
+
+def cdc_lww_latest(sf_dir: str) -> pd.DataFrame:
+    out = _lww_events(sf_dir).to_pandas()
+    return _round(out, {"value": 4})
+
+
+LWW_SQL = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def cdc_apply_final(sf_dir: str) -> pd.DataFrame:
+    """Full upsert semantics: LWW winner per key; winner op 'purchase'
+    plays the delete tombstone -> key dropped from the final state."""
+    ds = _lww_events(sf_dir)
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.equal(t["event_type"], pa.scalar("purchase")))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return _round(out, {"value": 4})
+
+
+APPLY_SQL = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'purchase'
+"""
+
+
+def watermark_max(sf_dir: str) -> pd.DataFrame:
+    v = _t(sf_dir, "events", ["event_id"]).max("event_id")
+    return pd.DataFrame({"watermark": pd.array([v], dtype="int64")})
+
+
+WATERMARK_SQL = "SELECT max(event_id) AS watermark FROM events"
+
+
+def event_type_counts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"sum_value": 2, "max_value": 4})
+
+
+TYPE_COUNTS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def table_filter_include(sf_dir: str) -> pd.DataFrame:
+    """The reference's include/exclude predicate (include wins) applied to
+    the event_type column — include=('click','view')."""
+    cfg = SyncConfig(include_tables=("click", "view"))
+    ds = _t(sf_dir, "events", ["event_type", "event_id"])
+    out = (
+        ds.map_batches(
+            lambda t: filter_tables(t, cfg, table_col="event_type"),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out
+
+
+FILTER_INCLUDE_SQL = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type IN ('click', 'view') GROUP BY event_type
+"""
+
+
+def table_filter_exclude(sf_dir: str) -> pd.DataFrame:
+    """Only-exclude configured => pass everything else (precedence branch
+    regular_base.go:27-29)."""
+    cfg = SyncConfig(include_tables=(), exclude_tables=("error",))
+    ds = _t(sf_dir, "events", ["event_type", "event_id"])
+    return (
+        ds.map_batches(
+            lambda t: filter_tables(t, cfg, table_col="event_type"),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+
+
+FILTER_EXCLUDE_SQL = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type <> 'error' GROUP BY event_type
+"""
+
+
+def column_projection(sf_dir: str) -> pd.DataFrame:
+    """filter_cols projection with PK protection: configured to drop
+    (text, n_chars, doc_id); doc_id survives because it is the key."""
+    cfg = SyncConfig(
+        key_column="doc_id",
+        filter_cols={"documents": ("text", "n_chars", "doc_id")},
+        include_tables=("documents",),
+    )
+    ds = _t(sf_dir, "documents")
+    return ds.map_batches(
+        lambda t: drop_filtered_columns(t, cfg), batch_format="pyarrow"
+    ).to_pandas()
+
+
+PROJECTION_SQL = "SELECT doc_id, lang, source FROM documents"
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def token_counts_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import with_token_counts
+
+    ds = with_token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_words"]).to_pandas()
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+         AS n_words
+FROM documents
+"""
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import with_fingerprints
+
+    ds = with_fingerprints(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fp_md5"]).to_pandas()
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def text_quality_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import with_quality
+
+    ds = with_quality(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(
+        ["doc_id", "n_words", "mean_word_len", "stopword_ratio"]
+    ).to_pandas()
+
+
+QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws FROM documents
+)
+SELECT doc_id, len(ws) AS n_words,
+  round(list_sum(list_transform(ws, x -> len(x))) * 1.0
+        / greatest(len(ws), 1), 6) AS mean_word_len,
+  round(list_sum(list_transform(ws, x -> CASE WHEN lower(x) IN
+      ('the','a','an','and','or','of','to','in','is','are','was','were',
+       'be','been','on','at','by','for','with','as','it','this','that',
+       'from') THEN 1 ELSE 0 END)) * 1.0 / greatest(len(ws), 1), 6)
+    AS stopword_ratio
+FROM w
+"""
+
+
+def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import with_lang_id
+
+    ds = with_lang_id(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "pred_lang"]).to_pandas()
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import exact_dedup
+
+    ds = exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "content_hash"]).to_pandas()
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+FROM documents GROUP BY md5(text)
+"""
+
+
+def minhash_near_dup_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import minhash_dedup_pairs
+
+    ds = minhash_dedup_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, k=3
+    )
+    out = ds.select_columns(["doc_a", "doc_b", "jaccard"]).to_pandas()
+    return _round(out, {"jaccard": 6})
+
+
+# exact 3-gram-shingle Jaccard >= 0.5 over all pairs — the oracle proves the
+# LSH path loses nothing at this threshold (128 hashes, 32x4 bands)
+MINHASH_SQL = r"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM wl
+  WHERE len(ws) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+           AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+),
+ss AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN ss sa ON sa.doc_id = doc_a
+JOIN ss sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import SimHasher
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pandas", concurrency=2
+    )
+
+    def hexify(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash_hex"] = batch["simhash"].map(lambda v: f"{int(v):016x}")
+        return batch[["doc_id", "simhash_hex"]]
+
+    return ds.map_batches(hexify, batch_format="pandas").to_pandas()
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def ann_topk_cosine(sf_dir: str) -> pd.DataFrame:
+    from ..functions.ann import brute_force_topk
+
+    q = _query_vec(sf_dir)[None, :]
+    out = brute_force_topk(_t(sf_dir, "embeddings"), q, k=10)
+    out["query_id"] = out["query_id"].astype("int64")
+    return _round(out, {"score": 4})
+
+
+ANN_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4)
+         AS score
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC,
+         vec_id ASC
+LIMIT 10
+"""
+
+
+def embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    from ..functions.ann import cosine_near_dup_pairs
+
+    ds = cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.4)
+    out = ds.to_pandas()
+    out["vec_a"] = out["vec_a"].astype("int64")
+    out["vec_b"] = out["vec_b"].astype("int64")
+    return _round(out, {"cosine": 4})
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.4
+"""
+
+
+def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
+    from ..functions.ann import lsh_topk
+
+    q = _query_vec(sf_dir)[None, :]
+    out = lsh_topk(_t(sf_dir, "embeddings"), q, k=10)
+    return _round(out, {"score": 4})
+
+
+# --- windowed aggregate -----------------------------------------------------
+
+
+def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h window per user over the event stream: partial counts
+    per batch would also work; groupby handles the combine."""
+
+    def hour(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["hour"] = batch["ts"].dt.strftime("%Y-%m-%d %H")
+        return batch[["user_id", "hour", "value"]]
+
+    out = (
+        _t(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(hour, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _round(out, {"sum_value": 2})
+
+
+HOURLY_SQL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- the engine itself as a query (rows-only check) -------------------------
+
+
+def cdc_replay_lake(sf_dir: str) -> pa.Table:
+    """Full CDC engine end-to-end on a seeded fixture sized from sf_dir:
+    bootstrap + replay + merge-on-read fold. Deterministic; the pytest
+    suite pins it against the sequential oracle."""
+    from ..datamodel import StreamSpec, gen_base_table, gen_change_stream, write_event_log
+    from .replay import ReplayJob
+
+    n_docs = 500
+    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    base = gen_base_table(n_docs, seed=42)
+    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    ev_root = os.path.join(work, "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(
+        lake_root=os.path.join(work, "lake"), num_partitions=16,
+        apply_concurrency=4,
+    )
+    job = ReplayJob(cfg)
+    job.bootstrap(base)
+    job.replay(ev_root)
+    out = job.lake.read_all()
+    # token arrays don't hash portably through every converter; project the
+    # verifiable scalar shape (tokens equality is pinned by pytest)
+    return out.select(["doc_id", "n_tok", "source", "log_pos"])
+
+
+# --- registry ---------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # name: (callable, oracle_sql | None)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "top10_orders": (top10_orders, TOP10_SQL),
+    "distinct_sources": (distinct_sources, DISTINCT_SQL),
+    "nation_region_join": (nation_region_join, NATION_REGION_SQL),
+    "mktsegment_order_stats": (mktsegment_order_stats, MKTSEG_SQL),
+    "revenue_by_month": (revenue_by_month, REVENUE_MONTH_SQL),
+    "orderkeys_union": (orderkeys_union, UNION_SQL),
+    "systematic_sample": (systematic_sample, SAMPLE_SQL),
+    "events_sorted_head": (events_sorted_head, SORT_HEAD_SQL),
+    "cdc_lww_latest": (cdc_lww_latest, LWW_SQL),
+    "cdc_apply_final": (cdc_apply_final, APPLY_SQL),
+    "watermark_max": (watermark_max, WATERMARK_SQL),
+    "event_type_counts": (event_type_counts, TYPE_COUNTS_SQL),
+    "table_filter_include": (table_filter_include, FILTER_INCLUDE_SQL),
+    "table_filter_exclude": (table_filter_exclude, FILTER_EXCLUDE_SQL),
+    "column_projection": (column_projection, PROJECTION_SQL),
+    "token_counts_docs": (token_counts_docs, TOKEN_COUNT_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "text_quality_docs": (text_quality_docs, QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, None),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
+    "simhash_docs": (simhash_docs, None),
+    "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
+    "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),
+    "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
+    "cdc_replay_lake": (cdc_replay_lake, None),
+}
+
+
+def build_queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def build_oracle_sql():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql}

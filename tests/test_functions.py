@@ -1,0 +1,179 @@
+"""Tests for text analysis, dedup, ANN, and multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestText:
+    def test_token_counter(self):
+        from data_sync_ray.functions.text import TokenCounter
+
+        b = pd.DataFrame({"text": ["hello world", "  a  b c ", ""]})
+        out = TokenCounter()(b)
+        assert out["n_words"].tolist() == [2, 3, 0]
+
+    def test_quality_scorer(self):
+        from data_sync_ray.functions.text import QualityScorer
+
+        b = pd.DataFrame({"text": ["the cat sat, on the mat!"]})
+        out = QualityScorer()(b)
+        assert out["n_words"].iloc[0] == 6
+        assert 0 < out["stopword_ratio"].iloc[0] <= 1
+        assert out["punct_ratio"].iloc[0] > 0
+
+    def test_lang_id_heuristic(self):
+        from data_sync_ray.functions.text import LangId
+
+        b = pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog sat on it for a while that day",
+                    "le chat est dans la maison avec les enfants et le chien",
+                    "der Hund ist nicht mit der Katze und das ist ein Problem",
+                    "这是一段中文文本",
+                ]
+            }
+        )
+        out = LangId()(b)
+        assert out["pred_lang"].tolist() == ["en", "fr", "de", "zh"]
+
+    def test_fingerprint_deterministic(self):
+        from data_sync_ray.functions.text import Fingerprinter
+
+        b1 = Fingerprinter()(pd.DataFrame({"text": ["a b c", "a b d"]}))
+        b2 = Fingerprinter()(pd.DataFrame({"text": ["a b c", "a b d"]}))
+        assert b1["fp_md5"].tolist() == b2["fp_md5"].tolist()
+        assert b1["fp_rolling"].tolist() == b2["fp_rolling"].tolist()
+        assert b1["fp_rolling"][0] != b1["fp_rolling"][1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup(self):
+        from data_sync_ray.functions.dedup import exact_dedup
+
+        ds = _docs(
+            [
+                {"doc_id": 3, "text": "same text"},
+                {"doc_id": 1, "text": "same text"},
+                {"doc_id": 2, "text": "different"},
+            ]
+        )
+        out = exact_dedup(ds).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]  # min id kept per dup group
+
+    def test_minhash_finds_planted_near_dups(self):
+        from data_sync_ray.functions.dedup import minhash_dedup_pairs
+
+        words = [f"w{i}" for i in range(50)]
+        a = " ".join(words)
+        b = " ".join(words[:45] + ["x1", "x2", "x3", "x4", "x5"])
+        c = " ".join(f"z{i}" for i in range(50))
+        ds = _docs(
+            [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b},
+             {"doc_id": 3, "text": c}]
+        )
+        out = minhash_dedup_pairs(ds, threshold=0.5, k=3).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
+
+    def test_simhash_near_dup(self):
+        from data_sync_ray.functions.dedup import simhash_dup_pairs
+
+        words = [f"w{i}" for i in range(100)]
+        ds = _docs(
+            [
+                {"doc_id": 1, "text": " ".join(words)},
+                {"doc_id": 2, "text": " ".join(words[:99] + ["other"])},
+                {"doc_id": 3, "text": " ".join(f"q{i}" for i in range(100))},
+            ]
+        )
+        out = simhash_dup_pairs(ds, max_hamming=8).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (1, 2) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_brute_force_topk_exact(self):
+        from data_sync_ray.functions.ann import brute_force_topk
+
+        rng = np.random.default_rng(0)
+        M = rng.standard_normal((100, 16))
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": range(100), "embedding": [v.tolist() for v in M]}
+            )
+        )
+        q = M[7][None, :]
+        out = brute_force_topk(ds, q, k=5)
+        assert out.iloc[0]["vec_id"] == 7  # self is nearest
+        assert abs(out.iloc[0]["score"] - 1.0) < 1e-9
+        # verify against numpy ground truth
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ (q[0] / np.linalg.norm(q[0]))
+        want = set(np.argsort(-sims)[:5])
+        assert set(out["vec_id"]) == want
+
+    def test_lsh_topk_recall(self):
+        from data_sync_ray.functions.ann import brute_force_topk, lsh_topk
+
+        rng = np.random.default_rng(1)
+        M = rng.standard_normal((500, 32))
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": range(500), "embedding": [v.tolist() for v in M]}
+            )
+        )
+        q = M[3][None, :]
+        exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+        approx = set(lsh_topk(ds, q, k=10, n_planes=4)["vec_id"])
+        # single-probe LSH: self-bucket must contain the query itself and
+        # recall some true neighbors
+        assert 3 in approx
+        assert len(exact & approx) >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_decode_requires_fake_flag(self):
+        from data_sync_ray.functions.multimodal import DecodeImage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)
+
+    def test_decode_plumbing_deterministic(self):
+        from data_sync_ray.functions.multimodal import (
+            decode_features,
+            gen_fake_media,
+        )
+
+        media = gen_fake_media(50, seed=9)
+        ds = rd.from_arrow(media)
+        out = decode_features(ds, feature_dim=8).to_pandas()
+        assert len(out) == 50
+        assert all(len(f) == 8 for f in out["features"])
+        out2 = decode_features(rd.from_arrow(media), feature_dim=8).to_pandas()
+        a = np.vstack(out.sort_values("media_id")["features"].to_numpy())
+        b = np.vstack(out2.sort_values("media_id")["features"].to_numpy())
+        assert np.array_equal(a, b)
+
+    def test_frame_sampler(self):
+        from data_sync_ray.functions.multimodal import gen_fake_media, sample_frames
+
+        ds = rd.from_arrow(gen_fake_media(10, seed=3))
+        out = sample_frames(ds, stride=2).to_pandas()
+        assert (out["frame_index"] % 2 == 0).all()
+        assert out["media_id"].nunique() == 10
