@@ -1,0 +1,71 @@
+"""CLI entry points — the reference's strategy modes (sync_mq / sync_direct
+/ inspect, src/application/strategy/facade.go:13-17) as subcommands.
+
+    python -m data_sync_ray.cli replay  --config job.toml --events DIR
+    python -m data_sync_ray.cli repair  --config job.toml --snapshot PATH
+    python -m data_sync_ray.cli inspect --config job.toml --events DIR
+    python -m data_sync_ray.cli compact --config job.toml
+    python -m data_sync_ray.cli export  --config job.toml --out DIR
+
+Owns a Ray session (guarded init; the driver contract in __ray_entry__.py
+never goes through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data-sync-ray")
+    p.add_argument("command",
+                   choices=["replay", "bootstrap", "repair", "inspect",
+                            "compact", "export"])
+    p.add_argument("--config", required=True, help="TOML job config")
+    p.add_argument("--events", help="event-log root (epoch=K dirs)")
+    p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
+    p.add_argument("--out", help="output dir (export)")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--no-catch-up", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from .config import SyncConfig
+    from .pipelines.replay import ReplayJob, export_lake
+
+    cfg = SyncConfig.from_toml(args.config)
+    job = ReplayJob(cfg)
+    if args.command == "replay":
+        out = job.replay(args.events, catch_up=not args.no_catch_up)
+        out.pop("metrics", None)
+    elif args.command == "bootstrap":
+        out = {"partitions": len(job.bootstrap(rd.read_parquet(args.snapshot)))}
+    elif args.command == "repair":
+        out = {"partitions": len(job.repair(rd.read_parquet(args.snapshot)))}
+    elif args.command == "inspect":
+        out = job.inspect(args.events)
+    elif args.command == "compact":
+        out = {"compacted": sum(r["compacted"] for r in job.compact())}
+    else:  # export
+        export_lake(cfg.lake_root, args.out)
+        out = {"exported_to": args.out}
+    print(json.dumps(out, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

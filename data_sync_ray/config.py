@@ -30,6 +30,16 @@ class SyncConfig:
         default_factory=dict
     )
     num_partitions: int = 32  # P; pick 4-8× the apply actor pool size
+    # partition router: 'spill' (default) = streaming filesystem exchange
+    # (stages/exchange.py, no all-to-all barrier); 'sort' = Ray Data
+    # groupby (sort-based shuffle) — kept for cross-checking and for
+    # deployments without shared spill storage
+    exchange_mode: str = "spill"
+    spill_groups: int = 16  # phase-2 fan-out; size to the cluster
+    # 'tasks' (default): group-apply runs as Ray tasks — elastic, no pool
+    # startup per epoch. 'actors': PartitionApplier actor pool — use when
+    # per-actor state is expensive to build (remote manifests, big caches).
+    apply_mode: str = "tasks"
     apply_concurrency: int | tuple[int, int] = 4  # actor pool size
     batch_size: int = 32_768  # events per transform batch
     # hot-key detection: keys whose per-batch share exceeds this fraction are
@@ -45,6 +55,34 @@ class SyncConfig:
         d["exclude_tables"] = list(self.exclude_tables)
         d["filter_cols"] = {k: list(v) for k, v in self.filter_cols.items()}
         return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_toml(path: str) -> "SyncConfig":
+        """TOML job config — the reference's conf/*.toml analog
+        (conf/iot.sync.toml:36-47 [mysql_task.regular])."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+        sec = d.get("sync", d)
+        return SyncConfig(
+            lake_root=sec.get("lake_root", "/tmp/lake"),
+            key_column=sec.get("key_column", "doc_id"),
+            order_column=sec.get("order_column", "log_pos"),
+            include_tables=tuple(sec.get("include_tables", ["docs"])),
+            exclude_tables=tuple(sec.get("exclude_tables", [])),
+            filter_cols={
+                k: tuple(v) for k, v in sec.get("filter_cols", {}).items()
+            },
+            num_partitions=int(sec.get("num_partitions", 32)),
+            exchange_mode=sec.get("exchange_mode", "spill"),
+            spill_groups=int(sec.get("spill_groups", 16)),
+            apply_mode=sec.get("apply_mode", "tasks"),
+            apply_concurrency=int(sec.get("apply_concurrency", 4)),
+            batch_size=int(sec.get("batch_size", 32768)),
+            hot_key_threshold=float(sec.get("hot_key_threshold", 0.05)),
+            schema_policy=sec.get("schema_policy", "unify"),
+        )
 
     @staticmethod
     def from_json(s: str) -> "SyncConfig":

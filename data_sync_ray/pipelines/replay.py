@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -28,6 +29,12 @@ import ray.data as rd
 from ..config import SyncConfig
 from ..datamodel import BOOTSTRAP_SRC_LOG_POS, list_epoch_dirs
 from ..stages.apply import PartitionApplier
+from ..stages.exchange import (
+    cleanup_spill,
+    make_fold_commit_stage,
+    make_spill_stage,
+    prepare_spill_dirs,
+)
 from ..stages.merge import unify_concat
 from ..stages.transform import make_transform
 from ..state.lake import BOOTSTRAP_EPOCH, Lake
@@ -35,6 +42,18 @@ from ..state.lake import BOOTSTRAP_EPOCH, Lake
 #: epoch-id space reserved for repair runs so they never collide with
 #: stream epochs in the commit logs
 REPAIR_EPOCH_BASE = 1_000_000_000
+
+
+def _table_to_blocks(t: pa.Table, n_blocks: int = 32) -> rd.Dataset:
+    """Driver table -> multi-block Dataset via zero-copy slices (no
+    repartition barrier; a single-block Dataset would serialize the whole
+    downstream pipeline through one task)."""
+    if t.num_rows <= 50_000:
+        return rd.from_arrow(t)
+    step = (t.num_rows + n_blocks - 1) // n_blocks
+    return rd.from_arrow(
+        [t.slice(i * step, step) for i in range(n_blocks) if i * step < t.num_rows]
+    )
 
 
 def as_insert_events(t: pa.Table, table_name: str = "docs") -> pa.Table:
@@ -69,13 +88,21 @@ class ReplayJob:
         if epoch in self.lake.epochs_done():
             return []
         cfg = self.cfg
+        committed = self.lake.committed_partitions(epoch)
+        if cfg.exchange_mode == "spill":
+            rows = self._run_spill_exchange(
+                ds, epochs=[epoch], fixed_epoch=epoch,
+                committed={epoch: committed} if committed else None,
+            )
+            self.lake.mark_epoch_done(epoch)
+            cleanup_spill(cfg.lake_root, [epoch])
+            return rows
         ds = ds.map_batches(
             make_transform(cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             zero_copy_batch=True,
         )
-        committed = self.lake.committed_partitions(epoch)
         if committed:
             done = pa.array(sorted(committed), pa.int32())
 
@@ -84,56 +111,238 @@ class ReplayJob:
                 return t.filter(pc.invert(mask))
 
             ds = ds.map_batches(drop_committed, batch_format="pyarrow")
-        metrics = ds.groupby("partition").map_groups(
-            PartitionApplier,
-            batch_format="pyarrow",
-            fn_constructor_args=(cfg.lake_root, epoch, self._cfg_json),
-            concurrency=cfg.apply_concurrency,
-            num_cpus=1,
-        )
+        gb = ds.groupby("partition")
+        if cfg.apply_mode == "actors":
+            # actor-pool apply: worth it only when per-actor state is heavy
+            # (remote manifest caches). Pool startup costs ~seconds PER
+            # EPOCH (pools don't outlive a Dataset execution), so the
+            # default is task-based apply below.
+            metrics = gb.map_groups(
+                PartitionApplier,
+                batch_format="pyarrow",
+                fn_constructor_args=(cfg.lake_root, epoch, self._cfg_json),
+                concurrency=cfg.apply_concurrency,
+                num_cpus=1,
+            )
+        else:
+            lake_root, cfg_json = cfg.lake_root, self._cfg_json
+
+            def apply_group(group: pa.Table) -> pa.Table:
+                return PartitionApplier(lake_root, epoch, cfg_json)(group)
+
+            metrics = gb.map_groups(apply_group, batch_format="pyarrow")
         rows = metrics.take_all()  # tiny: one row per partition
         self.lake.mark_epoch_done(epoch)
         return rows
 
+    def _run_spill_exchange(
+        self,
+        ds: rd.Dataset,
+        epochs: list[int],
+        fixed_epoch: int | None,
+        committed: dict[int, set[int]] | None,
+        pending_filter: list[int] | None = None,
+    ) -> list[dict]:
+        """Two-phase filesystem exchange (stages/exchange.py): streaming
+        spill, then one fold+commit task per (epoch, group)."""
+        cfg = self.cfg
+        prepare_spill_dirs(cfg.lake_root, epochs, cfg.spill_groups)
+        # phase 1: transform + spill (streaming, no barrier); the take_all
+        # is the phase boundary — all fragments durable before phase 2
+        ds.map_batches(
+            make_spill_stage(cfg, fixed_epoch, committed, pending_filter),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        ).take_all()
+        items = [
+            {"epoch": e, "g": g}
+            for e in epochs
+            for g in range(cfg.spill_groups)
+        ]
+        return (
+            rd.from_items(items)
+            .map_batches(
+                make_fold_commit_stage(cfg),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .take_all()
+        )
+
     # --- full replay loop ---------------------------------------------------
 
-    def replay(self, events_root: str, publish: bool = True) -> dict:
+    def replay(
+        self,
+        events_root: str,
+        publish: bool = True,
+        catch_up: bool = True,
+        bootstrap: rd.Dataset | pa.Table | None = None,
+    ) -> dict:
         """Replay every epoch dir under events_root not yet marked done —
-        OffsetOldest-from-watermark analog (mq_consumer.go:103)."""
+        OffsetOldest-from-watermark analog (mq_consumer.go:103).
+
+        catch_up=True: a multi-epoch backlog runs as ONE Dataset execution
+        grouped by (partition, epoch) — one exchange barrier for the whole
+        backlog instead of one per epoch. Safe because LWW on the total
+        log_pos order makes commit order across epochs irrelevant; the
+        per-(partition, epoch) commit log still gives exactly-once, and
+        epoch-done markers are only written after the execution finishes.
+        Tailing (one new epoch at a time) naturally uses the per-epoch path.
+        """
         t0 = time.perf_counter()
         done = self.lake.epochs_done()
+        if done:
+            # orphaned spill from a crash after commit but before cleanup
+            cleanup_spill(self.cfg.lake_root, sorted(done))
+        pending = [(e, p) for e, p in list_epoch_dirs(events_root) if e not in done]
+        boot = bootstrap if BOOTSTRAP_EPOCH not in done else None
         total_events = 0
-        epochs_run = 0
         all_metrics: list[dict] = []
-        for epoch, path in list_epoch_dirs(events_root):
-            if epoch in done:
-                continue
-            ds = rd.read_parquet(path)
-            rows = self.apply_epoch(epoch, ds)
-            all_metrics.extend(rows)
-            total_events += sum(r["events_in"] for r in rows)
-            epochs_run += 1
+        if catch_up and len(pending) + (boot is not None) > 1:
+            all_metrics = self._apply_epochs_batched(
+                events_root, [e for e, _ in pending], bootstrap=boot
+            )
+            total_events = sum(r["events_in"] for r in all_metrics)
+        else:
+            if boot is not None:
+                all_metrics.extend(self.bootstrap(boot))
+            for epoch, path in pending:
+                # prune at the read: payload columns only (also skips the
+                # hive `epoch` dir column, whose inferred type is unstable)
+                cols = self._event_columns(path)
+                ds = rd.read_parquet(path, columns=cols)
+                rows = self.apply_epoch(epoch, ds)
+                all_metrics.extend(rows)
+                total_events += sum(r["events_in"] for r in rows)
         if publish:
             self.lake.publish_manifest(note=f"replay {events_root}")
         dt = time.perf_counter() - t0
         return {
-            "epochs_run": epochs_run,
+            "epochs_run": len(pending),
             "events_applied": total_events,
             "sec": dt,
             "events_per_sec": total_events / dt if dt > 0 else 0.0,
             "metrics": all_metrics,
         }
 
+    def _apply_epochs_batched(
+        self,
+        events_root: str,
+        pending: list[int],
+        bootstrap: rd.Dataset | pa.Table | None = None,
+    ) -> list[dict]:
+        """One execution over all pending epochs (and optionally the
+        bootstrap snapshot as epoch -1); group = (partition, epoch)."""
+        cfg = self.cfg
+        # prune at the read only when every epoch shares one schema; with
+        # schema evolution mid-stream the reader must see all columns
+        # (Ray's parquet `columns` arg rejects fields absent from the
+        # schema it infers from the first file)
+        per_epoch = [
+            tuple(self._event_columns(path) or ())
+            for _, path in list_epoch_dirs(events_root)
+        ]
+        if len(set(per_epoch)) == 1 and per_epoch[0]:
+            ds = rd.read_parquet(
+                events_root, columns=list(per_epoch[0]) + ["epoch"]
+            )
+        else:
+            ds = rd.read_parquet(events_root)
+        want = pa.array(pending, pa.int64())
+
+        def keep_pending(t: pa.Table) -> pa.Table:
+            e = pc.cast(t.column("epoch"), pa.int64())
+            return t.set_column(
+                t.column_names.index("epoch"), "epoch", e
+            ).filter(pc.is_in(e, value_set=want))
+
+        ds = ds.map_batches(keep_pending, batch_format="pyarrow")
+        if bootstrap is not None:
+            bs = (
+                _table_to_blocks(bootstrap)
+                if isinstance(bootstrap, pa.Table)
+                else bootstrap
+            )
+
+            def to_boot_events(t: pa.Table) -> pa.Table:
+                t = as_insert_events(t)
+                return t.append_column(
+                    "epoch",
+                    pa.array([BOOTSTRAP_EPOCH] * t.num_rows, pa.int64()),
+                )
+
+            ds = ds.union(bs.map_batches(to_boot_events, batch_format="pyarrow"))
+            pending = pending + [BOOTSTRAP_EPOCH]
+        # already-committed (partition, epoch) pairs (crash resume)
+        committed: dict[int, set[int]] = {}
+        for p in self.lake.partitions():
+            for e in self.lake.read_checkpoint(p)["applied_epochs"]:
+                committed.setdefault(e, set()).add(p)
+        if cfg.exchange_mode == "spill":
+            rows = self._run_spill_exchange(
+                ds, epochs=pending, fixed_epoch=None,
+                committed=committed or None, pending_filter=pending,
+            )
+            for e in pending:
+                self.lake.mark_epoch_done(e)
+            cleanup_spill(cfg.lake_root, pending)
+            return rows
+        ds = ds.map_batches(
+            make_transform(cfg, keep_epoch=True),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+        if committed:
+            def drop_committed(t: pa.Table) -> pa.Table:
+                mask = np.zeros(t.num_rows, dtype=bool)
+                eps = t.column("epoch").to_numpy()
+                parts = t.column("partition").to_numpy()
+                for e, ps in committed.items():
+                    if ps:
+                        mask |= (eps == e) & np.isin(
+                            parts, np.fromiter(ps, dtype=np.int64)
+                        )
+                return t.filter(pa.array(~mask))
+
+            ds = ds.map_batches(drop_committed, batch_format="pyarrow")
+        lake_root, cfg_json = cfg.lake_root, self._cfg_json
+
+        def apply_group(group: pa.Table) -> pa.Table:
+            return PartitionApplier(lake_root, None, cfg_json)(group)
+
+        rows = (
+            ds.groupby(["partition", "epoch"])
+            .map_groups(apply_group, batch_format="pyarrow")
+            .take_all()
+        )
+        for e in pending:
+            self.lake.mark_epoch_done(e)
+        return rows
+
+    @staticmethod
+    def _event_columns(path: str) -> list[str] | None:
+        """Columns present in the epoch's parquet files (payload only —
+        excludes the hive partition column)."""
+        import pyarrow.parquet as pq
+
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                return pq.read_schema(os.path.join(path, f)).names
+        return None
+
     # --- bootstrap / repair (direct-sync analog, ref §3.2) ------------------
 
     def bootstrap(self, base: rd.Dataset | pa.Table, table: str = "docs") -> list[dict]:
         """Load the base snapshot as epoch -1 (insert events at log_pos 0)."""
         if isinstance(base, pa.Table):
-            base = rd.from_arrow(as_insert_events(base, table))
-        else:
-            base = base.map_batches(
-                lambda t: as_insert_events(t, table), batch_format="pyarrow"
-            )
+            # a driver-held table is one block => one serial task; slice it
+            # so transform/exchange/apply parallelize
+            base = _table_to_blocks(base)
+        base = base.map_batches(
+            lambda t: as_insert_events(t, table), batch_format="pyarrow"
+        )
         return self.apply_epoch(BOOTSTRAP_EPOCH, base)
 
     def repair(
@@ -241,6 +450,15 @@ class _FoldPartition:
                     arrays.append(pa.nulls(t.num_rows, f.type))
             t = pa.Table.from_arrays(arrays, schema=self.schema)
         return t
+
+
+def export_lake(
+    lake_root: str, out_dir: str, concurrency: int | None = None
+) -> None:
+    """Materialize the current lake state as plain partitioned Parquet (one
+    part-file set per hash partition, never one giant file) — the full-table
+    sink for consumers that want a snapshot rather than merge-on-read."""
+    read_lake(lake_root, concurrency=concurrency).write_parquet(out_dir)
 
 
 def read_lake(lake_root: str, concurrency: int | None = None) -> rd.Dataset:

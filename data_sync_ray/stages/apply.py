@@ -27,6 +27,10 @@ METRICS_SCHEMA = pa.schema(
         ("replayed", pa.bool_()),
         ("watermark_log_pos", pa.int64()),
         ("apply_sec", pa.float64()),
+        # skew lineage: events landing on the hottest key of this group —
+        # post-combine this is bounded by the upstream batch count, proving
+        # the two-phase LWW keeps hot keys harmless (SURVEY §4.2 salting)
+        ("max_key_events", pa.int64()),
     ]
 )
 
@@ -39,7 +43,14 @@ class PartitionApplier:
     delta normalize -> exactly-once commit via the lake's commit log.
     """
 
-    def __init__(self, lake_root: str, epoch: int, cfg_json: str):
+    def __init__(self, lake_root: str, epoch: int | None, cfg_json: str):
+        """epoch=None (catch-up mode): each group carries its own epoch
+        column; the group key is (partition, epoch)."""
+        # one Arrow thread per task: N concurrent tasks each spinning up
+        # pyarrow's default per-process pool (=all cores) oversubscribes the
+        # node ~Nx and quadruples per-task latency at high concurrency
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
         self.lake = Lake(lake_root)
         self.epoch = epoch
         self.cfg = SyncConfig.from_json(cfg_json)
@@ -48,14 +59,22 @@ class PartitionApplier:
         if group.num_rows == 0:
             return METRICS_SCHEMA.empty_table()
         partition = group.column("partition")[0].as_py()
+        epoch = self.epoch
+        if epoch is None:
+            epoch = group.column("epoch")[0].as_py()
+            group = group.drop_columns(["epoch"])
         n_in = group.num_rows
+        vc = pa.compute.value_counts(group.column(self.cfg.key_column))
+        max_key = (
+            pa.compute.max(vc.field("counts")).as_py() if len(vc) else 0
+        )
         winners = lww_winners(
             group, key=self.cfg.key_column, order=self.cfg.order_column
         )
         delta = events_to_delta(winners)
         # deterministic file content under task retries: sort by key
         delta = delta.sort_by(self.cfg.key_column)
-        m = self.lake.commit_delta(partition, self.epoch, delta, n_in)
+        m = self.lake.commit_delta(partition, epoch, delta, n_in)
         return pa.Table.from_pylist(
             [
                 {
@@ -66,6 +85,7 @@ class PartitionApplier:
                     "replayed": m["replayed"],
                     "watermark_log_pos": m["watermark_log_pos"],
                     "apply_sec": m["apply_sec"],
+                    "max_key_events": int(max_key),
                 }
             ],
             schema=METRICS_SCHEMA,

@@ -1,0 +1,181 @@
+"""Spill-based hash exchange — the engine's default partition router.
+
+Ray Data's groupby shuffle is sort-based: it materializes the whole input,
+samples boundaries, and runs map/reduce rounds behind an all-to-all barrier.
+For this workload (route rows to their doc_id hash partition) a sort is
+semantically unnecessary, and the barrier caps utilization (~20% measured).
+
+This exchange instead uses the lake's own filesystem as the shuffle medium:
+
+  phase 1 (streaming, NO barrier):  read -> transform -> write each batch's
+      rows into per-(epoch, group) spill files (group = partition % G),
+      lz4-compressed, uuid-named;
+  phase 2 (one task per (epoch, group)): read that group's spill files,
+      split by partition, LWW-reduce, commit delta + checkpoint
+      exactly-once per (partition, epoch).
+
+Why at-least-once spill is safe: change events are idempotent under the
+LWW fold — a duplicated event produces a (key, log_pos) tie and the winner
+kernel keeps exactly one row (merge.py). So phase-1 task retries and
+crash-reruns may append duplicate spill rows without any commit log; only
+phase 2 needs exactly-once, and it already has the per-(partition, epoch)
+commit log. Spill dirs are deleted after the epoch is marked done.
+
+Multi-node assumption (documented): the spill directory lives on the lake's
+filesystem, which at cluster scale is shared storage (object store / NFS) —
+the standard lakehouse ingest pattern (write temp files, then commit).
+Spill fan-in per (epoch, group) is (#phase-1 tasks); size G to the cluster
+so files stay >= a few MB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import SyncConfig
+from .apply import METRICS_SCHEMA, PartitionApplier
+from .transform import make_transform
+
+COUNTS_SCHEMA = pa.schema(
+    [("epoch", pa.int64()), ("g", pa.int32()), ("rows", pa.int64())]
+)
+
+
+def spill_dir(lake_root: str, epoch: int, group: int | None = None) -> str:
+    d = os.path.join(lake_root, "spill", f"epoch={epoch}")
+    if group is None:
+        return d
+    return os.path.join(d, f"g={group:04d}")
+
+
+def prepare_spill_dirs(lake_root: str, epochs: list[int], groups: int) -> None:
+    for e in epochs:
+        for g in range(groups):
+            os.makedirs(spill_dir(lake_root, e, g), exist_ok=True)
+
+
+def cleanup_spill(lake_root: str, epochs: list[int]) -> None:
+    for e in epochs:
+        shutil.rmtree(spill_dir(lake_root, e), ignore_errors=True)
+
+
+def make_spill_stage(
+    cfg: SyncConfig,
+    epoch: int | None,
+    committed: dict[int, set[int]] | None = None,
+    pending: list[int] | None = None,
+):
+    """Phase-1 fn for map_batches: [epoch filter ->] transform -> split by
+    (epoch, group) -> write spill fragments. epoch=None means catch-up mode
+    (the batch carries an epoch column; `pending` filters to those epochs).
+    Returns per-group row counts (tiny)."""
+    groups = cfg.spill_groups
+    lake_root = cfg.lake_root
+    transform = make_transform(cfg, keep_epoch=epoch is None)
+    want = pa.array(pending, pa.int64()) if pending is not None else None
+
+    def spill(batch: pa.Table) -> pa.Table:
+        if want is not None and "epoch" in batch.column_names:
+            e = pc.cast(batch.column("epoch"), pa.int64())
+            batch = batch.set_column(
+                batch.column_names.index("epoch"), "epoch", e
+            ).filter(pc.is_in(e, value_set=want))
+        batch = transform(batch)
+        if batch.num_rows == 0:
+            return COUNTS_SCHEMA.empty_table()
+        if epoch is not None:
+            batch = batch.append_column(
+                "epoch", pa.array([epoch] * batch.num_rows, pa.int64())
+            )
+        if committed:
+            eps = batch.column("epoch").to_numpy()
+            parts = batch.column("partition").to_numpy()
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            for e, ps in committed.items():
+                if ps:
+                    mask |= (eps == e) & np.isin(
+                        parts, np.fromiter(ps, dtype=np.int64)
+                    )
+            if mask.any():
+                batch = batch.filter(pa.array(~mask))
+                if batch.num_rows == 0:
+                    return COUNTS_SCHEMA.empty_table()
+        g = (batch.column("partition").to_numpy() % groups).astype(np.int32)
+        batch = batch.append_column("g", pa.array(g))
+        idx = pc.sort_indices(
+            batch, sort_keys=[("epoch", "ascending"), ("g", "ascending")]
+        )
+        batch = batch.take(idx)
+        eps = batch.column("epoch").to_numpy()
+        gs = batch.column("g").to_numpy()
+        # contiguous (epoch, g) runs
+        keys = eps * groups + gs
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [batch.num_rows]])
+        tag = uuid.uuid4().hex[:16]
+        out = []
+        for lo, hi in zip(starts, ends):
+            e, gi = int(eps[lo]), int(gs[lo])
+            sub = batch.slice(lo, hi - lo).drop_columns(["g"])
+            d = spill_dir(lake_root, e, gi)
+            pq.write_table(
+                sub, os.path.join(d, f"{tag}.parquet"), compression="lz4"
+            )
+            out.append({"epoch": e, "g": gi, "rows": int(hi - lo)})
+        return pa.Table.from_pylist(out, schema=COUNTS_SCHEMA)
+
+    return spill
+
+
+def make_fold_commit_stage(cfg: SyncConfig):
+    """Phase-2 fn for map_batches over (epoch, group) items: read the
+    group's spill fragments, split by partition, exactly-once commit."""
+    lake_root = cfg.lake_root
+    cfg_json = cfg.to_json()
+
+    def fold_commit(batch: pa.Table) -> pa.Table:
+        outs = []
+        for e, gi in zip(
+            batch.column("epoch").to_pylist(), batch.column("g").to_pylist()
+        ):
+            applier = PartitionApplier(lake_root, int(e), cfg_json)
+            gdir = spill_dir(lake_root, int(e), int(gi))
+            if not os.path.isdir(gdir):
+                continue
+            frags = [
+                pq.read_table(os.path.join(gdir, f))
+                for f in sorted(os.listdir(gdir))
+                if f.endswith(".parquet")
+            ]
+            frags = [f for f in frags if f.num_rows]
+            if not frags:
+                continue
+            t = (
+                pa.concat_tables(frags, promote_options="permissive")
+                if len(frags) > 1
+                else frags[0]
+            )
+            if "epoch" in t.column_names:
+                t = t.drop_columns(["epoch"])
+            parts = t.column("partition").to_numpy()
+            order = np.argsort(parts, kind="stable")
+            t = t.take(pa.array(order))
+            parts = parts[order]
+            bounds = np.flatnonzero(np.diff(parts)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [t.num_rows]])
+            for lo, hi in zip(starts, ends):
+                outs.append(applier(t.slice(lo, hi - lo)))
+        if not outs:
+            return METRICS_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+    return fold_commit

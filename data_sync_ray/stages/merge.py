@@ -41,11 +41,14 @@ def lww_winners(t: pa.Table, key: str = "doc_id", order: str = "log_pos") -> pa.
         t, sort_keys=[(key, "ascending"), (order, "ascending")]
     )
     t = t.take(idx)
-    keys = t.column(key).to_numpy(zero_copy_only=False)
-    # last row of each equal-key run wins
-    is_last = np.empty(len(keys), dtype=bool)
-    is_last[-1] = True
-    np.not_equal(keys[:-1], keys[1:], out=is_last[:-1])
+    # last row of each equal-key run wins. Adjacent-compare stays in Arrow
+    # (native string buffers) — materializing the key column as a numpy
+    # object array would allocate a Python string per row in the hot path.
+    keys = t.column(key).combine_chunks()
+    n = len(keys)
+    neq = pc.not_equal(keys.slice(0, n - 1), keys.slice(1, n))
+    is_last = np.ones(n, dtype=bool)
+    is_last[:-1] = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
     if is_last.all():
         return t
     return t.filter(pa.array(is_last))

@@ -12,6 +12,7 @@ batch_format="pyarrow")`` — no state, so no actor pool needed here.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -41,13 +42,28 @@ def clear_custom_filters() -> None:
 def stable_hash_strings(values) -> np.ndarray:
     """Deterministic, process-independent uint64 hash of a string column.
 
-    pandas' SipHash-based hash_array with the fixed default key — stable
-    across runs and hosts (unlike Python's seeded hash()), vectorized in
-    Cython. Role of the reference's Md5-based signing util
-    (src/lib/util/util.go:62-74) for partition routing.
+    Role of the reference's Md5-based signing util
+    (src/lib/util/util.go:62-74) for partition routing. Primary path:
+    polars' seeded xxhash over the Arrow buffer — zero-copy, vectorized,
+    no per-row Python objects. Fallback: pandas' SipHash hash_array.
+
+    NOTE: partition assignment must stay stable for a lake's lifetime
+    (doc ownership); the hash implementation/version is part of the lake
+    format — pin the library version in deployment.
     """
-    arr = np.asarray(values, dtype=object)
-    return pandas.util.hash_array(arr, categorize=False)
+    try:
+        # one polars thread per task (same oversubscription logic as Arrow);
+        # effective because workers import polars lazily, here
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = pa.array(values)
+        h = pl.from_arrow(values).hash(seed=42).to_numpy()
+        return h.astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        arr = np.asarray(values, dtype=object)
+        return pandas.util.hash_array(arr, categorize=False)
 
 
 def assign_partition(
@@ -56,7 +72,7 @@ def assign_partition(
     """Append `partition = hash(key) % P` (int32). Hash-partitioning by the
     primary key guarantees each key is owned by exactly one apply task/actor
     => per-key serial apply like the reference's single channel, x N."""
-    h = stable_hash_strings(t.column(key).to_numpy(zero_copy_only=False))
+    h = stable_hash_strings(t.column(key))
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return t.append_column("partition", pa.array(part))
 
@@ -157,30 +173,62 @@ def key_histogram(
     return {values[int(i)].as_py(): int(counts[int(i)]) for i in hot}
 
 
-def make_transform(cfg: SyncConfig) -> Callable[[pa.Table], pa.Table]:
+def make_transform(
+    cfg: SyncConfig, keep_epoch: bool = False
+) -> Callable[[pa.Table], pa.Table]:
     """Build the fused stage fn for map_batches: F4 -> F5 -> F7 -> schema
-    policy -> in-batch LWW pre-combine -> partition assign."""
+    policy -> in-batch LWW pre-combine -> partition assign.
+
+    keep_epoch=True (catch-up replay): the hive `epoch` column survives as
+    int64 so the exchange can group by (partition, epoch) and commit each
+    pair exactly-once in a single execution over many epochs.
+    """
 
     lake_payload = {"doc_id", "tokens", "n_tok", "source"}
 
     def transform(t: pa.Table) -> pa.Table:
+        # single Arrow thread per task (see apply.py: oversubscription)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
         t = filter_tables(t, cfg)
         if t.num_rows == 0:
-            return _empty_like(t)
+            return _empty_like(t, keep_epoch)
         t = drop_filtered_columns(t, cfg)
         t = apply_custom_filters(t, cfg)
         if cfg.schema_policy == "conform":
             # reference behavior: drop event columns unknown to the target
             # schema (mysql_filter_service.go:37-41); envelope cols survive
-            keep = lake_payload | {"op", "table", "ts", cfg.order_column, "schema_ver"}
+            keep = lake_payload | {
+                "op", "table", "ts", cfg.order_column, "schema_ver", "epoch"
+            }
             t = t.select([c for c in t.column_names if c in keep])
         t = lww_winners(t, key=cfg.key_column, order=cfg.order_column)
+        # drop envelope columns BEFORE the hash exchange — shuffling dead
+        # columns wastes exchange bandwidth (op drives tombstones; epoch
+        # survives only in catch-up mode as the commit-log key)
+        dead = ["table", "ts", "schema_ver"]
+        if not keep_epoch:
+            dead.append("epoch")
+        dead = [c for c in dead if c in t.column_names]
+        if dead:
+            t = t.drop_columns(dead)
+        if keep_epoch and "epoch" in t.column_names:
+            i = t.column_names.index("epoch")
+            t = t.set_column(i, "epoch", pc.cast(t.column("epoch"), pa.int64()))
         t = assign_partition(t, cfg.num_partitions, key=cfg.key_column)
         return t
 
     return transform
 
 
-def _empty_like(t: pa.Table) -> pa.Table:
-    s = t.schema.append(pa.field("partition", pa.int32()))
-    return s.empty_table()
+def _empty_like(t: pa.Table, keep_epoch: bool = False) -> pa.Table:
+    s = t.schema
+    if keep_epoch and "epoch" in s.names:
+        i = s.get_field_index("epoch")
+        s = s.set(i, pa.field("epoch", pa.int64()))
+    elif "epoch" in s.names:
+        s = s.remove(s.get_field_index("epoch"))
+    for c in ("table", "ts", "schema_ver"):
+        if c in s.names:
+            s = s.remove(s.get_field_index(c))
+    return s.append(pa.field("partition", pa.int32())).empty_table()

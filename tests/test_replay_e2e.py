@@ -78,6 +78,31 @@ def test_replay_matches_oracle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_catch_up_single_execution_with_bootstrap(tmp_path):
+    """Bootstrap + all epochs in ONE execution (catch-up mode) must equal
+    the oracle and the per-epoch path bit-for-bit."""
+    spec = StreamSpec(n_events=2500, n_docs=180, n_epochs=3, seed=23,
+                      evolve_from_epoch=2)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=180, seed=23)
+    job = make_job(str(tmp_path))
+    summary = job.replay(ev_root, bootstrap=base)
+    assert summary["epochs_run"] == 3
+    want = replay_oracle(base, epochs)
+    assert_tables_equal(job.lake.read_all(), want)
+    # per-epoch path over the same fixture gives the identical lake state
+    import os as _os
+
+    cfg2 = SyncConfig(
+        lake_root=_os.path.join(str(tmp_path), "lake2"), num_partitions=8,
+        apply_concurrency=2,
+    )
+    job2 = ReplayJob(cfg2)
+    job2.bootstrap(base)
+    job2.replay(ev_root, catch_up=False)
+    assert_tables_equal(job2.lake.read_all(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_duplicate_delivery_is_noop(tmp_path):
     """Feed the same event epochs twice (at-least-once delivery, the
     reference's retry analog mysql_handler.go:109-118): state unchanged."""
