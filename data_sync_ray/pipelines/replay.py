@@ -135,26 +135,28 @@ class ReplayJob:
         self.lake.mark_epoch_done(epoch)
         return rows
 
-    def _run_spill_exchange(
+    def _spill_phase(
         self,
         ds: rd.Dataset,
         epochs: list[int],
         fixed_epoch: int | None,
         committed: dict[int, set[int]] | None,
         pending_filter: list[int] | None = None,
-    ) -> list[dict]:
-        """Two-phase filesystem exchange (stages/exchange.py): streaming
-        spill, then one fold+commit task per (epoch, group)."""
+    ) -> None:
+        """Exchange phase 1: transform + spill (streaming, no barrier).
+        The take_all is the phase boundary — fragments durable on return."""
         cfg = self.cfg
         prepare_spill_dirs(cfg.lake_root, epochs, cfg.spill_groups)
-        # phase 1: transform + spill (streaming, no barrier); the take_all
-        # is the phase boundary — all fragments durable before phase 2
         ds.map_batches(
             make_spill_stage(cfg, fixed_epoch, committed, pending_filter),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             zero_copy_batch=True,
         ).take_all()
+
+    def _fold_phase(self, epochs: list[int]) -> list[dict]:
+        """Exchange phase 2: one fold+commit task per (epoch, group)."""
+        cfg = self.cfg
         items = [
             {"epoch": e, "g": g}
             for e in epochs
@@ -169,6 +171,17 @@ class ReplayJob:
             )
             .take_all()
         )
+
+    def _run_spill_exchange(
+        self,
+        ds: rd.Dataset,
+        epochs: list[int],
+        fixed_epoch: int | None,
+        committed: dict[int, set[int]] | None,
+        pending_filter: list[int] | None = None,
+    ) -> list[dict]:
+        self._spill_phase(ds, epochs, fixed_epoch, committed, pending_filter)
+        return self._fold_phase(epochs)
 
     # --- full replay loop ---------------------------------------------------
 
@@ -257,6 +270,38 @@ class ReplayJob:
                 t.column_names.index("epoch"), "epoch", e
             ).filter(pc.is_in(e, value_set=want))
 
+        # already-committed (partition, epoch) pairs (crash resume)
+        committed: dict[int, set[int]] = {}
+        for p in self.lake.partitions():
+            for e in self.lake.read_checkpoint(p)["applied_epochs"]:
+                committed.setdefault(e, set()).add(p)
+        if cfg.exchange_mode == "spill":
+            all_epochs = list(pending)
+            if bootstrap is not None:
+                # bootstrap spills in its OWN small execution: a union
+                # branch would block read->spill operator fusion for the
+                # whole stream and cost far more than it saves
+                bs = (
+                    _table_to_blocks(bootstrap)
+                    if isinstance(bootstrap, pa.Table)
+                    else bootstrap
+                )
+                bs = bs.map_batches(
+                    lambda t: as_insert_events(t), batch_format="pyarrow"
+                )
+                self._spill_phase(
+                    bs, [BOOTSTRAP_EPOCH], BOOTSTRAP_EPOCH, committed or None
+                )
+                all_epochs = pending + [BOOTSTRAP_EPOCH]
+            self._spill_phase(
+                ds.map_batches(keep_pending, batch_format="pyarrow"),
+                pending, None, committed or None, pending_filter=pending,
+            )
+            rows = self._fold_phase(all_epochs)
+            for e in all_epochs:
+                self.lake.mark_epoch_done(e)
+            cleanup_spill(cfg.lake_root, all_epochs)
+            return rows
         ds = ds.map_batches(keep_pending, batch_format="pyarrow")
         if bootstrap is not None:
             bs = (
@@ -274,20 +319,6 @@ class ReplayJob:
 
             ds = ds.union(bs.map_batches(to_boot_events, batch_format="pyarrow"))
             pending = pending + [BOOTSTRAP_EPOCH]
-        # already-committed (partition, epoch) pairs (crash resume)
-        committed: dict[int, set[int]] = {}
-        for p in self.lake.partitions():
-            for e in self.lake.read_checkpoint(p)["applied_epochs"]:
-                committed.setdefault(e, set()).add(p)
-        if cfg.exchange_mode == "spill":
-            rows = self._run_spill_exchange(
-                ds, epochs=pending, fixed_epoch=None,
-                committed=committed or None, pending_filter=pending,
-            )
-            for e in pending:
-                self.lake.mark_epoch_done(e)
-            cleanup_spill(cfg.lake_root, pending)
-            return rows
         ds = ds.map_batches(
             make_transform(cfg, keep_epoch=True),
             batch_format="pyarrow",

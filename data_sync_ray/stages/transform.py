@@ -174,7 +174,7 @@ def key_histogram(
 
 
 def make_transform(
-    cfg: SyncConfig, keep_epoch: bool = False
+    cfg: SyncConfig, keep_epoch: bool = False, pre_combine: bool = True
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the fused stage fn for map_batches: F4 -> F5 -> F7 -> schema
     policy -> in-batch LWW pre-combine -> partition assign.
@@ -202,7 +202,8 @@ def make_transform(
                 "op", "table", "ts", cfg.order_column, "schema_ver", "epoch"
             }
             t = t.select([c for c in t.column_names if c in keep])
-        t = lww_winners(t, key=cfg.key_column, order=cfg.order_column)
+        if pre_combine:
+            t = lww_winners(t, key=cfg.key_column, order=cfg.order_column)
         # drop envelope columns BEFORE the hash exchange — shuffling dead
         # columns wastes exchange bandwidth (op drives tombstones; epoch
         # survives only in catch-up mode as the commit-log key)
