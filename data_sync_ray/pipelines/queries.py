@@ -245,6 +245,103 @@ FROM events ORDER BY events.value DESC LIMIT 20
 """
 
 
+def orders_customer_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Both-sides-large hash join via Dataset.join (hash-partitioned on the
+    key) followed by a grouped aggregate — the shuffle-join path, in
+    contrast to the broadcast joins above."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = (
+        joined.groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_totalprice"),
+        )
+        .to_pandas()
+    )
+    return _round(out, {"sum_totalprice": 2})
+
+
+HASH_JOIN_SQL = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def semi_anti_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi/anti filter: customers with vs without orders
+    (ref J1's existence-check semi-join, broadcast key set)."""
+    keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    key_ref = ray.put(keys)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(key_ref)
+        batch["has_orders"] = batch["c_custkey"].isin(ks)
+        return batch[["c_custkey", "has_orders"]]
+
+    return _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        tag, batch_format="pandas"
+    ).to_pandas()
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey,
+       c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+FROM customer
+"""
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user (gap > 1h starts a new session) via
+    groupby(user).map_groups over ts-sorted groups — the streaming-shaped
+    stateful window the Dataset API can't express directly.
+    Ordering assumption: per-user sessionization only needs intra-group
+    order, established inside the group task."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(0)
+        g["session_id"] = (gap > 3600).cumsum().astype("int64")
+        agg = g.groupby("session_id").agg(
+            n_events=("event_id", "count"), sum_value=("value", "sum")
+        ).reset_index()
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg[["user_id", "session_id", "n_events", "sum_value"]]
+
+    out = (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return _round(out, {"sum_value": 2})
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1 HOUR OR
+                   lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 # --- CDC semantics on the driver's events table -----------------------------
 
 
@@ -656,6 +753,9 @@ QUERIES: dict[str, tuple] = {
     "mktsegment_order_stats": (mktsegment_order_stats, MKTSEG_SQL),
     "revenue_by_month": (revenue_by_month, REVENUE_MONTH_SQL),
     "orderkeys_union": (orderkeys_union, UNION_SQL),
+    "orders_customer_hash_join": (orders_customer_hash_join, HASH_JOIN_SQL),
+    "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "systematic_sample": (systematic_sample, SAMPLE_SQL),
     "events_sorted_head": (events_sorted_head, SORT_HEAD_SQL),
     "cdc_lww_latest": (cdc_lww_latest, LWW_SQL),

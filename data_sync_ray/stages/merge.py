@@ -72,22 +72,30 @@ def fold_state(
     key: str = "doc_id",
     order: str = "log_pos",
     sort_output: bool = True,
+    drop_tombstones: bool = True,
 ) -> pa.Table:
     """Merge-on-read fold: base + delta fragments -> current table state.
 
     Concat (schema-unified), LWW winner per key, drop tombstone winners,
     drop the tombstone marker column. Fold order is irrelevant (LWW is
     order-insensitive), so fragments can be read in any order in parallel.
+
+    drop_tombstones=False (compaction): KEEP winning tombstones and the
+    marker column. A compacted base that dropped a tombstone would let any
+    later-arriving STALE event for that key (repair snapshot, replayed old
+    epoch — log_pos below the delete) resurrect it; retaining the
+    tombstone keeps the fold algebra associative across compactions.
     """
     t = unify_concat(tables)
     if t.num_rows == 0:
-        return _strip_deleted(t)
+        return _strip_deleted(t) if drop_tombstones else t
     t = lww_winners(t, key=key, order=order)
-    if DELETED_COL in t.column_names:
-        col = t.column(DELETED_COL)
-        mask = pc.fill_null(col, False)
-        t = t.filter(pc.invert(mask))
-    t = _strip_deleted(t)
+    if drop_tombstones:
+        if DELETED_COL in t.column_names:
+            col = t.column(DELETED_COL)
+            mask = pc.fill_null(col, False)
+            t = t.filter(pc.invert(mask))
+        t = _strip_deleted(t)
     if sort_output and t.num_rows > 1:
         t = t.sort_by(key)
     return t

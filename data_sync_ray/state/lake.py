@@ -232,9 +232,12 @@ class Lake:
             if n.startswith("part-")
         )
 
-    def read_partition(self, partition: int) -> pa.Table:
+    def read_partition(
+        self, partition: int, drop_tombstones: bool = True
+    ) -> pa.Table:
         """Fold one partition's fragments into its current state (LWW,
-        tombstones dropped). Fragment read order is irrelevant."""
+        tombstones dropped). Fragment read order is irrelevant.
+        drop_tombstones=False is the compaction path — see fold_state."""
         ckpt = self.read_checkpoint(partition)
         frags = []
         for rel in ckpt["files"]:
@@ -243,8 +246,8 @@ class Lake:
                 frags.append(pq.read_table(p))
         if not frags:
             return None
-        t = fold_state(frags)
-        if "partition" in t.column_names:
+        t = fold_state(frags, drop_tombstones=drop_tombstones)
+        if drop_tombstones and "partition" in t.column_names:
             t = t.drop_columns(["partition"])
         return t
 
@@ -288,7 +291,9 @@ class Lake:
         ckpt = self.read_checkpoint(partition)
         if len(ckpt["files"]) <= 1:
             return {"partition": partition, "compacted": False}
-        state = self.read_partition(partition)
+        # tombstones retained: a compacted base must keep winning deletes
+        # or a stale event below the delete's log_pos could resurrect keys
+        state = self.read_partition(partition, drop_tombstones=False)
         gen = ckpt.get("compaction_gen", 0) + 1
         pdir = self.part_dir(partition)
         fname = f"base-c{gen:07d}.parquet"

@@ -1,0 +1,111 @@
+"""Property-based proofs of the merge semantics (hypothesis, no Ray).
+
+The engine's whole exactly-once/ordering story rests on: LWW-by-log_pos is
+commutative, associative, and idempotent, so ANY grouping of events into
+delta fragments folded in ANY order — including with duplicated events —
+yields the sequential-replay state. These tests pin that algebra.
+"""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_sync_ray.stages.merge import DELETED_COL, fold_state, lww_winners
+
+KEYS = ["a", "b", "c", "d"]
+
+
+def event_strategy():
+    return st.fixed_dictionaries(
+        {
+            "doc_id": st.sampled_from(KEYS),
+            "op": st.sampled_from(["insert", "update", "delete"]),
+            "v": st.integers(0, 100),
+        }
+    )
+
+
+def with_log_pos(events):
+    return [
+        {**e, "log_pos": i + 1, DELETED_COL: e["op"] == "delete"}
+        for i, e in enumerate(events)
+    ]
+
+
+def oracle(events):
+    state = {}
+    for e in sorted(events, key=lambda x: x["log_pos"]):
+        if e[DELETED_COL]:
+            state.pop(e["doc_id"], None)
+        else:
+            state[e["doc_id"]] = (e["log_pos"], e["v"])
+    return state
+
+
+def fold_to_state(tables):
+    out = fold_state([t for t in tables if t.num_rows])
+    return {
+        r["doc_id"]: (r["log_pos"], r["v"])
+        for r in out.to_pylist()
+        if not r.get(DELETED_COL, False)
+    }
+
+
+def to_table(rows):
+    if not rows:
+        return pa.schema(
+            [("doc_id", pa.string()), ("op", pa.string()), ("v", pa.int64()),
+             ("log_pos", pa.int64()), (DELETED_COL, pa.bool_())]
+        ).empty_table()
+    return pa.Table.from_pylist(rows)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    events=st.lists(event_strategy(), min_size=1, max_size=40),
+    cut_points=st.lists(st.integers(0, 39), max_size=5),
+    seed=st.integers(0, 2**16),
+)
+def test_any_fragmentation_and_order_matches_oracle(events, cut_points, seed):
+    """Split the event sequence at arbitrary points into fragments, fold
+    them in a shuffled order: result == sequential oracle."""
+    import random
+
+    rows = with_log_pos(events)
+    cuts = sorted({c for c in cut_points if c < len(rows)} | {0, len(rows)})
+    frags = [rows[a:b] for a, b in zip(cuts, cuts[1:])]
+    random.Random(seed).shuffle(frags)
+    got = fold_to_state([to_table(f) for f in frags])
+    want = oracle(rows)
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    events=st.lists(event_strategy(), min_size=1, max_size=30),
+    dup_idx=st.lists(st.integers(0, 29), max_size=10),
+)
+def test_duplicated_delivery_converges(events, dup_idx):
+    """At-least-once delivery: re-delivering any subset of events (same
+    log_pos) leaves the folded state unchanged."""
+    rows = with_log_pos(events)
+    dups = [rows[i] for i in dup_idx if i < len(rows)]
+    base = fold_to_state([to_table(rows)])
+    with_dups = fold_to_state([to_table(rows), to_table(dups)])
+    assert base == with_dups
+
+
+@settings(max_examples=100, deadline=None)
+@given(events=st.lists(event_strategy(), min_size=1, max_size=30))
+def test_winners_idempotent_and_fold_associative(events):
+    rows = with_log_pos(events)
+    t = to_table(rows)
+    w1 = lww_winners(t)
+    w2 = lww_winners(w1)
+    assert w1.sort_by("doc_id").equals(w2.sort_by("doc_id"))
+    # fold(fold(a), b) == fold(a + b)
+    half = len(rows) // 2
+    a, b = to_table(rows[:half]), to_table(rows[half:])
+    nested = fold_to_state([fold_state([x for x in [a] if x.num_rows] or [a]), b])
+    flat = fold_to_state([a, b])
+    assert nested == flat

@@ -216,6 +216,36 @@ def test_compaction_preserves_state(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_compaction_keeps_tombstones_no_resurrection(tmp_path):
+    """delete -> compact -> stale repair snapshot (log_pos below the
+    delete) must NOT resurrect the deleted key: compacted bases retain
+    winning tombstones."""
+    import ray.data as rd
+
+    from data_sync_ray.datamodel import CHANGE_EVENT_SCHEMA
+
+    base = gen_base_table(30, seed=9)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.bootstrap(base)
+    dead = "doc00000007"
+    ev = pa.Table.from_pylist(
+        [dict(log_pos=100, ts=None, op="delete", table="docs", doc_id=dead,
+              tokens=None, n_tok=None, source=None, schema_ver=1)],
+        schema=CHANGE_EVENT_SCHEMA,
+    )
+    ev_root = os.path.join(str(tmp_path), "ev")
+    write_event_log(ev_root, [ev])
+    job.replay(ev_root)
+    assert dead not in set(job.lake.read_all().column("doc_id").to_pylist())
+    job.compact()
+    # stale repair: the original base still contains the dead doc at log_pos 0
+    job.repair(rd.from_arrow(base), repair_id=1)
+    ids = set(job.lake.read_all().column("doc_id").to_pylist())
+    assert dead not in ids, "compaction dropped the tombstone -> resurrection"
+    assert len(ids) == 29
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_repair_and_inspect(tmp_path):
     spec = StreamSpec(n_events=800, n_docs=80, n_epochs=2, seed=17)
     base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=80, seed=17)
