@@ -99,6 +99,7 @@ def run_replay(sf_name: str, num_cpus: int) -> dict:
     cfg = SyncConfig(
         lake_root=lake_root,
         num_partitions=64,
+        spill_groups=32,  # phase-2 parallelism; >= the largest CPU count
         batch_size=16_384,  # ~n_rows_per_epoch/batch_size tasks per stage
     )
     job = ReplayJob(cfg)

@@ -155,17 +155,14 @@ class ReplayJob:
         ).take_all()
 
     def _fold_phase(self, epochs: list[int]) -> list[dict]:
-        """Exchange phase 2: one fold+commit task per (epoch, group)."""
+        """Exchange phase 2: ONE fold+commit task per group (all epochs) —
+        a partition's checkpoint must only ever be written by one task."""
         cfg = self.cfg
-        items = [
-            {"epoch": e, "g": g}
-            for e in epochs
-            for g in range(cfg.spill_groups)
-        ]
+        items = [{"g": g} for g in range(cfg.spill_groups)]
         return (
             rd.from_items(items)
             .map_batches(
-                make_fold_commit_stage(cfg),
+                make_fold_commit_stage(cfg, epochs),
                 batch_format="pyarrow",
                 batch_size=1,
             )

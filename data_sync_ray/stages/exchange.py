@@ -170,45 +170,52 @@ def make_spill_stage(
     return spill
 
 
-def make_fold_commit_stage(cfg: SyncConfig):
-    """Phase-2 fn for map_batches over (epoch, group) items: read the
-    group's spill fragments, split by partition, exactly-once commit."""
+def make_fold_commit_stage(cfg: SyncConfig, epochs: list[int]):
+    """Phase-2 fn for map_batches over GROUP items: read each epoch's
+    spill fragments for the group, split by partition, exactly-once commit.
+
+    Task granularity is the group (partition % G), NOT (epoch, group):
+    a partition's checkpoint is a read-modify-write file, so all commits
+    touching it must come from one task. Per-(epoch, group) tasks would
+    race two epochs' commits on the same checkpoint and could silently
+    drop a delta reference. One task per group serializes a partition's
+    commits structurally; parallelism = G (size G to the cluster).
+    """
     lake_root = cfg.lake_root
     cfg_json = cfg.to_json()
 
     def fold_commit(batch: pa.Table) -> pa.Table:
         outs = []
-        for e, gi in zip(
-            batch.column("epoch").to_pylist(), batch.column("g").to_pylist()
-        ):
-            applier = PartitionApplier(lake_root, int(e), cfg_json)
-            gdir = spill_dir(lake_root, int(e), int(gi))
-            if not os.path.isdir(gdir):
-                continue
-            frags = [
-                _read_spill(os.path.join(gdir, f))
-                for f in sorted(os.listdir(gdir))
-                if f.endswith(".arrows")
-            ]
-            frags = [f for f in frags if f.num_rows]
-            if not frags:
-                continue
-            t = (
-                pa.concat_tables(frags, promote_options="permissive")
-                if len(frags) > 1
-                else frags[0]
-            )
-            if "epoch" in t.column_names:
-                t = t.drop_columns(["epoch"])
-            parts = t.column("partition").to_numpy()
-            order = np.argsort(parts, kind="stable")
-            t = t.take(pa.array(order))
-            parts = parts[order]
-            bounds = np.flatnonzero(np.diff(parts)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [t.num_rows]])
-            for lo, hi in zip(starts, ends):
-                outs.append(applier(t.slice(lo, hi - lo)))
+        for gi in batch.column("g").to_pylist():
+            for e in epochs:
+                applier = PartitionApplier(lake_root, int(e), cfg_json)
+                gdir = spill_dir(lake_root, int(e), int(gi))
+                if not os.path.isdir(gdir):
+                    continue
+                frags = [
+                    _read_spill(os.path.join(gdir, f))
+                    for f in sorted(os.listdir(gdir))
+                    if f.endswith(".arrows")
+                ]
+                frags = [f for f in frags if f.num_rows]
+                if not frags:
+                    continue
+                t = (
+                    pa.concat_tables(frags, promote_options="permissive")
+                    if len(frags) > 1
+                    else frags[0]
+                )
+                if "epoch" in t.column_names:
+                    t = t.drop_columns(["epoch"])
+                parts = t.column("partition").to_numpy()
+                order = np.argsort(parts, kind="stable")
+                t = t.take(pa.array(order))
+                parts = parts[order]
+                bounds = np.flatnonzero(np.diff(parts)) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [t.num_rows]])
+                for lo, hi in zip(starts, ends):
+                    outs.append(applier(t.slice(lo, hi - lo)))
         if not outs:
             return METRICS_SCHEMA.empty_table()
         return pa.concat_tables(outs)

@@ -261,3 +261,19 @@ def test_repair_and_inspect(tmp_path):
     rep = job.inspect(ev_root)
     assert rep["status"] == "ok"
     assert rep["lag"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_many_epochs_few_partitions_stress(tmp_path):
+    """Race-prone shape (many epochs sharing few partitions in one
+    catch-up execution): commits for a partition are serialized
+    structurally (one fold task per group); state must stay exact."""
+    spec = StreamSpec(n_events=2400, n_docs=120, n_epochs=8, seed=41)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=120, seed=41)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.replay(ev_root, bootstrap=base)
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+    # every (partition, epoch) pair committed exactly once
+    for p in job.lake.partitions():
+        ck = job.lake.read_checkpoint(p)
+        assert len(ck["applied_epochs"]) == len(set(ck["applied_epochs"]))
