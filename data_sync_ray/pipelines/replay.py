@@ -390,15 +390,40 @@ class ReplayJob:
         """Compare source max log_pos vs lake watermarks; stalled = lag > 0
         and no watermark progressed since the previous inspect round
         (state machine of mysql_handler.go:341-366, persisted like T3)."""
+        from ..config import table_passes
+
         src_max = -1
         for _, path in list_epoch_dirs(events_root):
             for f in os.listdir(path):
                 if f.endswith(".parquet"):
                     import pyarrow.parquet as pq
 
-                    t = pq.read_table(
-                        os.path.join(path, f), columns=["log_pos"]
-                    )
+                    cols = ["log_pos"]
+                    has_table = "table" in pq.read_schema(
+                        os.path.join(path, f)
+                    ).names
+                    if has_table:
+                        cols.append("table")
+                    t = pq.read_table(os.path.join(path, f), columns=cols)
+                    if has_table:
+                        # source max over THIS job's tables only (the ref
+                        # compares per-table max PK, mysql_handler.go:341)
+                        allowed = [
+                            v
+                            for v in pc.unique(t.column("table")).to_pylist()
+                            if v is not None
+                            and table_passes(
+                                v,
+                                self.cfg.include_tables,
+                                self.cfg.exclude_tables,
+                            )
+                        ]
+                        t = t.filter(
+                            pc.is_in(
+                                t.column("table"),
+                                value_set=pa.array(allowed, pa.string()),
+                            )
+                        )
                     if t.num_rows:
                         src_max = max(src_max, pc.max(t.column("log_pos")).as_py())
         wms = self.lake.watermarks()

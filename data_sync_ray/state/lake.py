@@ -201,7 +201,8 @@ class Lake:
         ckpt["events_applied"] += n_events_in
         ckpt["batches"] += 1
         dt = time.perf_counter() - t0
-        ckpt.setdefault("lineage", []).append(
+        lineage = ckpt.setdefault("lineage", [])
+        lineage.append(
             {
                 "epoch": epoch,
                 "events_in": n_events_in,
@@ -210,6 +211,11 @@ class Lake:
                 "apply_sec": round(dt, 6),
             }
         )
+        # bounded lineage: keep the most recent entries only (aggregate
+        # counters above carry the totals) — a long-lived partition would
+        # otherwise grow its checkpoint without bound
+        if len(lineage) > 200:
+            del lineage[: len(lineage) - 200]
         self.write_checkpoint(ckpt)  # atomic commit point
         return {
             "partition": partition,
@@ -263,6 +269,37 @@ class Lake:
         from ..stages.merge import unify_concat
 
         return unify_concat(parts).sort_by("doc_id")
+
+    def metrics_dataset(self):
+        """Per-partition lineage/metrics as a Dataset (the A4 metrics
+        surface — ref: Prometheus counters, src/infrastructure/monitor/
+        monitor.go:44-108). One row per (partition, applied epoch)."""
+        import ray.data as rd
+
+        rows = []
+        for p in self.partitions():
+            ck = self.read_checkpoint(p)
+            for ln in ck.get("lineage", []):
+                rows.append(
+                    {
+                        "partition": p,
+                        "epoch": ln["epoch"],
+                        "events_in": ln["events_in"],
+                        "rows_written": ln["rows_written"],
+                        "watermark_log_pos": ln["watermark_log_pos"],
+                        "apply_sec": ln["apply_sec"],
+                    }
+                )
+        if not rows:
+            return rd.from_arrow(
+                pa.schema(
+                    [("partition", pa.int64()), ("epoch", pa.int64()),
+                     ("events_in", pa.int64()), ("rows_written", pa.int64()),
+                     ("watermark_log_pos", pa.int64()),
+                     ("apply_sec", pa.float64())]
+                ).empty_table()
+            )
+        return rd.from_items(rows)
 
     def union_schema(self) -> pa.Schema | None:
         """Unified schema across all live fragments (metadata-only reads) —
