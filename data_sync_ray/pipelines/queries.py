@@ -342,6 +342,88 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def asof_latest_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each event, the most recent order of the same key
+    with o_orderdate <= ts. Ray path: broadcast the (small) orders side
+    sorted per key, pd.merge_asof per batch — the guide's as-of pattern;
+    at scale both sides bucket by key first."""
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).to_pandas()
+    # one row per (custkey, orderdate) — min orderkey — so the as-of match
+    # is deterministic on both sides (the SQL oracle dedups identically)
+    orders = (
+        orders.sort_values(["o_orderdate", "o_orderkey"])
+        .drop_duplicates(["o_custkey", "o_orderdate"], keep="first")
+        .reset_index(drop=True)
+    )
+    o_ref = ray.put(orders)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(o_ref)
+        batch = batch.sort_values("ts").reset_index(drop=True)
+        out = pd.merge_asof(
+            batch, od, left_on="ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey", direction="backward",
+        )
+        return out[["event_id", "user_id", "o_orderkey"]]
+
+    out = (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(join, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("float64")
+    return out
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, CAST(o.o_orderkey AS DOUBLE) AS o_orderkey
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey) AS rn
+  FROM orders QUALIFY rn = 1
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def top2_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (window-function analog) via groupby.map_groups."""
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+
+    out = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(top2, batch_format="pandas")
+        .to_pandas()
+    )
+    return _round(out, {"o_totalprice": 2})
+
+
+TOP2_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+def distinct_user_count(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count (the shuffle-dedup aggregate)."""
+    n = len(_t(sf_dir, "events", ["user_id"]).unique("user_id"))
+    return pd.DataFrame({"n_users": pd.array([n], dtype="int64")})
+
+
+DISTINCT_COUNT_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
+
+
 # --- CDC semantics on the driver's events table -----------------------------
 
 
@@ -756,6 +838,9 @@ QUERIES: dict[str, tuple] = {
     "orders_customer_hash_join": (orders_customer_hash_join, HASH_JOIN_SQL),
     "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "asof_latest_order": (asof_latest_order, ASOF_SQL),
+    "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
+    "distinct_user_count": (distinct_user_count, DISTINCT_COUNT_SQL),
     "systematic_sample": (systematic_sample, SAMPLE_SQL),
     "events_sorted_head": (events_sorted_head, SORT_HEAD_SQL),
     "cdc_lww_latest": (cdc_lww_latest, LWW_SQL),

@@ -277,3 +277,30 @@ def test_many_epochs_few_partitions_stress(tmp_path):
     for p in job.lake.partitions():
         ck = job.lake.read_checkpoint(p)
         assert len(ck["applied_epochs"]) == len(set(ck["applied_epochs"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tailing_mode_incremental_epochs(tmp_path):
+    """Kafka-tail analog: epoch dirs appear over time; each replay() call
+    picks up only the new ones; final state equals the full oracle."""
+    import shutil
+
+    spec = StreamSpec(n_events=1800, n_docs=150, n_epochs=3, seed=67)
+    base = gen_base_table(150, seed=67)
+    epochs = gen_change_stream(spec)
+    staged = os.path.join(str(tmp_path), "staged")
+    live = os.path.join(str(tmp_path), "events")
+    write_event_log(staged, epochs)
+    os.makedirs(live, exist_ok=True)
+    job = make_job(str(tmp_path))
+    job.bootstrap(base)
+    for e in range(3):
+        shutil.copytree(
+            os.path.join(staged, f"epoch={e:05d}"),
+            os.path.join(live, f"epoch={e:05d}"),
+        )
+        summary = job.replay(live)
+        assert summary["epochs_run"] == 1  # only the new epoch ran
+        rep = job.inspect(live)
+        assert rep["lag"] == 0
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
