@@ -201,6 +201,12 @@ class ReplayJob:
         Tailing (one new epoch at a time) naturally uses the per-epoch path.
         """
         t0 = time.perf_counter()
+        with self.lake.job_lock():
+            return self._replay_locked(
+                events_root, publish, catch_up, bootstrap, t0
+            )
+
+    def _replay_locked(self, events_root, publish, catch_up, bootstrap, t0):
         done = self.lake.epochs_done()
         if done:
             # orphaned spill from a crash after commit but before cleanup
@@ -359,6 +365,35 @@ class ReplayJob:
             if f.endswith(".parquet"):
                 return pq.read_schema(os.path.join(path, f)).names
         return None
+
+    def tail(
+        self,
+        events_root: str,
+        poll_interval: float = 5.0,
+        max_rounds: int | None = None,
+        bootstrap: rd.Dataset | pa.Table | None = None,
+        inspect_every: int = 0,
+    ) -> dict:
+        """Continuous tailing loop — the reference's daemon mode (60s
+        direct-sync ticker + 30s inspector, conf/iot.sync.toml:28-33) as a
+        poll-for-new-epochs loop. Each round replays whatever epoch dirs
+        appeared since the last; optional periodic inspection. Bounded by
+        max_rounds for tests/CLI; None = run until interrupted."""
+        rounds = 0
+        totals = {"rounds": 0, "epochs_run": 0, "events_applied": 0}
+        boot = bootstrap
+        while max_rounds is None or rounds < max_rounds:
+            s = self.replay(events_root, bootstrap=boot)
+            boot = None
+            totals["rounds"] += 1
+            totals["epochs_run"] += s["epochs_run"]
+            totals["events_applied"] += s["events_applied"]
+            if inspect_every and totals["rounds"] % inspect_every == 0:
+                totals["last_inspect"] = self.inspect(events_root)
+            rounds += 1
+            if max_rounds is None or rounds < max_rounds:
+                time.sleep(poll_interval)
+        return totals
 
     # --- bootstrap / repair (direct-sync analog, ref §3.2) ------------------
 

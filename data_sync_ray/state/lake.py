@@ -83,6 +83,38 @@ class Lake:
             f.write(cfg.to_json())
         return lake
 
+    def job_lock(self):
+        """Advisory single-writer lock for the lake (flock on LOCK).
+
+        The commit protocol assumes one replay job writes a lake at a time
+        (per-partition checkpoints are read-modify-write). This guards
+        against accidental concurrent jobs on one machine / shared POSIX
+        filesystem; on object stores use an external lease instead.
+        """
+        import fcntl
+
+        class _Lock:
+            def __init__(self, path):
+                self.path = path
+                self.f = None
+
+            def __enter__(self):
+                self.f = open(self.path, "w")
+                try:
+                    fcntl.flock(self.f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    self.f.close()
+                    raise RuntimeError(
+                        f"another job holds the lake lock {self.path}"
+                    ) from None
+                return self
+
+            def __exit__(self, *exc):
+                fcntl.flock(self.f, fcntl.LOCK_UN)
+                self.f.close()
+
+        return _Lock(os.path.join(self.root, "LOCK"))
+
     def config(self) -> SyncConfig:
         with open(os.path.join(self.root, "CONFIG.json")) as f:
             return SyncConfig.from_json(f.read())

@@ -304,3 +304,36 @@ def test_tailing_mode_incremental_epochs(tmp_path):
         rep = job.inspect(live)
         assert rep["lag"] == 0
     assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_exchange_and_actor_apply_paths_agree(tmp_path):
+    """Legacy paths cross-check: exchange_mode='sort' + apply_mode='actors'
+    produce the same lake state as the default spill/tasks path."""
+    spec = StreamSpec(n_events=1200, n_docs=100, n_epochs=2, seed=55)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=100, seed=55)
+    want = replay_oracle(base, epochs)
+    job_sort = make_job(str(tmp_path), exchange_mode="sort",
+                        apply_mode="actors")
+    job_sort.replay(ev_root, bootstrap=base)
+    assert_tables_equal(job_sort.lake.read_all(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_and_job_lock(tmp_path):
+    spec = StreamSpec(n_events=900, n_docs=80, n_epochs=3, seed=61)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=80, seed=61)
+    job = make_job(str(tmp_path))
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=3,
+                      bootstrap=base, inspect_every=1)
+    assert totals["rounds"] == 3
+    assert totals["epochs_run"] == 3  # all epochs consumed in round 1
+    assert totals["last_inspect"]["status"] == "ok"
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+    # lock excludes a second concurrent job
+    with job.lake.job_lock():
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="lake lock"):
+            with job.lake.job_lock():
+                pass
