@@ -245,6 +245,47 @@ def minhash_dedup_pairs(
     return verify_jaccard(cands, docs, threshold, k=k)
 
 
+def connected_components(pairs: pd.DataFrame) -> dict:
+    """Union-find over verified near-dup pairs -> {doc_id: root}.
+
+    Driver-side by design: the pair set is the LSH+verify output, which is
+    tiny relative to the corpus (bounded by real near-dup density); at
+    extreme densities switch to iterated min-label propagation via groupby
+    rounds (same result, distributed)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup_keep_first(
+    docs: rd.Dataset, threshold: float = 0.5, k: int = 3, **kw
+) -> rd.Dataset:
+    """End-to-end near-dup REMOVAL: LSH candidates -> exact-Jaccard verify
+    -> connected components -> keep the min-doc_id member of each dup
+    group, drop the rest. Returns the surviving docs Dataset."""
+    pairs = minhash_dedup_pairs(docs, threshold=threshold, k=k, **kw).to_pandas()
+    roots = connected_components(pairs)
+    drop = {d for d, r in roots.items() if r != d}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ds_ = ray.get(drop_ref)
+        return batch[~batch["doc_id"].isin(ds_)]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

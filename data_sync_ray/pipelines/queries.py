@@ -629,6 +629,42 @@ def lang_id_docs(sf_dir: str) -> pd.DataFrame:
     return ds.select_columns(["doc_id", "pred_lang"]).to_pandas()
 
 
+def _profile_hits(lang: str) -> str:
+    from ..functions.text import LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+    return (
+        f"len(list_filter(ws, x -> lower(x) IN ({words})))"
+    )
+
+
+# SQL restatement of the LangId heuristic: CJK => zh; else argmax of
+# per-language stopword hits over [A-Za-z + accents]+ words, first language
+# in (en, fr, de, es) order wins ties; zero hits => unknown
+LANG_ID_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[a-zA-ZÀ-ÿäöüßñ]+') AS ws,
+         regexp_matches(text, '[一-鿿]') AS cjk
+  FROM documents
+),
+h AS (
+  SELECT doc_id, cjk,
+         {_profile_hits("en")} AS e, {_profile_hits("fr")} AS f,
+         {_profile_hits("de")} AS d, {_profile_hits("es")} AS s
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN greatest(e, f, d, s) = 0 THEN 'unknown'
+            WHEN e = greatest(e, f, d, s) THEN 'en'
+            WHEN f = greatest(e, f, d, s) THEN 'fr'
+            WHEN d = greatest(e, f, d, s) THEN 'de'
+            ELSE 'es' END AS pred_lang
+FROM h
+"""
+
+
 # --- dedup ------------------------------------------------------------------
 
 
@@ -687,6 +723,59 @@ FROM inter
 JOIN ss sa ON sa.doc_id = doc_a
 JOIN ss sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def minhash_dedup_keep_first_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import minhash_dedup_keep_first
+
+    ds = minhash_dedup_keep_first(
+        _t(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, k=3
+    )
+    return ds.select_columns(["doc_id"]).to_pandas()
+
+
+# keep-first over near-dup components: transitive closure of the exact
+# >=0.5-Jaccard pair graph (recursive CTE), keep each component's min id
+KEEP_FIRST_SQL = r"""
+WITH RECURSIVE wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM wl
+  WHERE len(ws) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+           AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+),
+ss AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+dup_pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN ss sa ON sa.doc_id = a.doc_id
+  JOIN ss sb ON sb.doc_id = b.doc_id
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, sa.n, sb.n
+  HAVING count(*) * 1.0 / (sa.n + sb.n - count(*)) >= 0.5
+),
+edges AS (
+  SELECT u, v FROM dup_pairs UNION SELECT v, u FROM dup_pairs
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.b FROM edges e JOIN reach r ON e.v = r.a
+),
+label AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+SELECT d.doc_id
+FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+WHERE l.root IS NULL OR l.root = d.doc_id
 """
 
 
@@ -862,9 +951,10 @@ QUERIES: dict[str, tuple] = {
     "token_counts_docs": (token_counts_docs, TOKEN_COUNT_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
-    "lang_id_docs": (lang_id_docs, None),
+    "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
+    "minhash_dedup_keep_first": (minhash_dedup_keep_first_docs, KEEP_FIRST_SQL),
     "simhash_docs": (simhash_docs, None),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
