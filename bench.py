@@ -43,6 +43,8 @@ QUERY_SAMPLE = [
     "minhash_near_dup_docs",
     "ann_topk_cosine",
     "token_counts_docs",
+    "sessionize_events",
+    "orders_customer_hash_join",
 ]
 
 

@@ -209,10 +209,14 @@ def verify_jaccard(
 
     def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch[id_col].isin(cand_ids)]
+        # lists, not ndarrays: Ray's block size estimator chokes on
+        # object columns of numpy arrays (noisy vectorize warnings)
         return pd.DataFrame(
             {
                 id_col: m[id_col],
-                "sh": m["text"].map(lambda t: _shingle_hashes(t, k)),
+                "sh": m["text"].map(
+                    lambda t: _shingle_hashes(t, k).tolist()
+                ),
             }
         )
 
@@ -226,9 +230,11 @@ def verify_jaccard(
         ja = []
         for a, b in zip(batch["doc_a"], batch["doc_b"]):
             sa, sb = lookup.get(a), lookup.get(b)
-            if sa is None or sb is None or sa.size == 0 or sb.size == 0:
+            if not sa or not sb:
                 ja.append(0.0)
                 continue
+            sa = np.asarray(sa, dtype=np.uint64)
+            sb = np.asarray(sb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             ja.append(inter / (sa.size + sb.size - inter))
         batch["jaccard"] = ja

@@ -418,7 +418,7 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 def distinct_user_count(sf_dir: str) -> pd.DataFrame:
     """Exact distinct count (the shuffle-dedup aggregate)."""
     n = len(_t(sf_dir, "events", ["user_id"]).unique("user_id"))
-    return pd.DataFrame({"n_users": pd.array([n], dtype="int64")})
+    return pd.DataFrame({"n_users": np.array([n], dtype="int64")})
 
 
 DISTINCT_COUNT_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
@@ -480,7 +480,7 @@ FROM (
 
 def watermark_max(sf_dir: str) -> pd.DataFrame:
     v = _t(sf_dir, "events", ["event_id"]).max("event_id")
-    return pd.DataFrame({"watermark": pd.array([v], dtype="int64")})
+    return pd.DataFrame({"watermark": np.array([v], dtype="int64")})
 
 
 WATERMARK_SQL = "SELECT max(event_id) AS watermark FROM events"
