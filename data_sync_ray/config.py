@@ -45,6 +45,9 @@ class SyncConfig:
     # hot-key detection: keys whose per-batch share exceeds this fraction are
     # reported in the skew histogram metric (pre-reduce makes them harmless)
     hot_key_threshold: float = 0.05
+    # inspector escalates stalled -> alarm after this many consecutive
+    # no-progress rounds (ref: inspect_alarm_count, conf/iot.sync.toml:33)
+    inspect_alarm_count: int = 5
     # schema policy: 'unify' (additive evolution, default) or 'conform'
     # (reference behavior: drop unknown columns, mysql_filter_service.go:37-41)
     schema_policy: str = "unify"
@@ -81,6 +84,7 @@ class SyncConfig:
             apply_concurrency=int(sec.get("apply_concurrency", 4)),
             batch_size=int(sec.get("batch_size", 32768)),
             hot_key_threshold=float(sec.get("hot_key_threshold", 0.05)),
+            inspect_alarm_count=int(sec.get("inspect_alarm_count", 5)),
             schema_policy=sec.get("schema_policy", "unify"),
         )
 

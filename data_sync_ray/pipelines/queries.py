@@ -919,7 +919,11 @@ def cdc_replay_lake(sf_dir: str) -> pa.Table:
     out = job.lake.read_all()
     # token arrays don't hash portably through every converter; project the
     # verifiable scalar shape (tokens equality is pinned by pytest)
-    return out.select(["doc_id", "n_tok", "source", "log_pos"])
+    out = out.select(["doc_id", "n_tok", "source", "log_pos"])
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # --- registry ---------------------------------------------------------------

@@ -464,26 +464,38 @@ class ReplayJob:
         wms = self.lake.watermarks()
         target_max = max(wms.values(), default=-1)
         state_path = os.path.join(self.lake.ckpt_dir, "_inspect.json")
-        prev = -2
+        prev, fails = -2, 0
         if os.path.exists(state_path):
             import json
 
             with open(state_path) as f:
-                prev = json.load(f)["target_max"]
+                st = json.load(f)
+            prev = st["target_max"]
+            fails = st.get("consecutive_fails", 0)
+        if src_max <= target_max:
+            status, fails = "ok", 0
+        elif target_max > prev:
+            status, fails = "progressing", 0
+        else:
+            # stalled: lag > 0 and no watermark progress since last round;
+            # escalate to alarm after N consecutive rounds (the reference's
+            # inspect_alarm_count, mysql_handler.go:341-366 + inspect.go:72-77)
+            fails += 1
+            status = (
+                "alarm" if fails >= self.cfg.inspect_alarm_count else "stalled"
+            )
         from ..state.lake import atomic_write_json
 
-        atomic_write_json(state_path, {"target_max": target_max})
-        if src_max <= target_max:
-            status = "ok"
-        elif target_max > prev:
-            status = "progressing"
-        else:
-            status = "stalled"
+        atomic_write_json(
+            state_path,
+            {"target_max": target_max, "consecutive_fails": fails},
+        )
         return {
             "status": status,
             "source_max_log_pos": src_max,
             "target_max_log_pos": target_max,
             "lag": max(0, src_max - target_max),
+            "consecutive_fails": fails,
             "partition_watermarks": wms,
         }
 

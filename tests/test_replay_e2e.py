@@ -337,3 +337,28 @@ def test_tail_and_job_lock(tmp_path):
         with _pytest.raises(RuntimeError, match="lake lock"):
             with job.lake.job_lock():
                 pass
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inspector_stall_alarm_escalation(tmp_path):
+    """Lag with no progress escalates stalled -> alarm after N rounds
+    (the reference's inspect_alarm_count state machine)."""
+    spec = StreamSpec(n_events=600, n_docs=60, n_epochs=2, seed=71)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=60, seed=71)
+    job = make_job(str(tmp_path), inspect_alarm_count=3)
+    # apply only epoch 0: lag remains
+    import ray.data as rd
+
+    job.bootstrap(base)
+    job.apply_epoch(0, rd.read_parquet(os.path.join(ev_root, "epoch=00000")))
+    r1 = job.inspect(ev_root)
+    assert r1["status"] == "progressing" and r1["lag"] > 0
+    r2 = job.inspect(ev_root)
+    assert r2["status"] == "stalled" and r2["consecutive_fails"] == 1
+    job.inspect(ev_root)
+    r4 = job.inspect(ev_root)
+    assert r4["status"] == "alarm" and r4["consecutive_fails"] == 3
+    # catching up resets the counter
+    job.apply_epoch(1, rd.read_parquet(os.path.join(ev_root, "epoch=00001")))
+    r5 = job.inspect(ev_root)
+    assert r5["status"] == "ok" and r5["consecutive_fails"] == 0
