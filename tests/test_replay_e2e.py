@@ -362,3 +362,23 @@ def test_inspector_stall_alarm_escalation(tmp_path):
     job.apply_epoch(1, rd.read_parquet(os.path.join(ev_root, "epoch=00001")))
     r5 = job.inspect(ev_root)
     assert r5["status"] == "ok" and r5["consecutive_fails"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deep_verify_detects_corruption(tmp_path):
+    """deep_verify: consistent after replay; detects a corrupted row and a
+    deleted row in the lake."""
+    spec = StreamSpec(n_events=800, n_docs=80, n_epochs=2, seed=83)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=80, seed=83)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.replay(ev_root, bootstrap=base)
+    expected = replay_oracle(base, epochs).select(["doc_id", "tokens"])
+    rep = job.deep_verify(expected)
+    assert rep["consistent"], rep
+    # corrupt: tamper with one expected row + add a phantom row
+    bad = expected.to_pylist()
+    bad[0]["tokens"] = [1, 2, 3]
+    bad.append({"doc_id": "phantom", "tokens": [9]})
+    rep2 = job.deep_verify(pa.Table.from_pylist(bad))
+    assert not rep2["consistent"]
+    assert rep2["mismatch"] == 1 and rep2["missing"] == 1
