@@ -20,7 +20,8 @@ from .datamodel import (
     replay_oracle,
     write_event_log,
 )
-from .pipelines.replay import ReplayJob, read_lake
+from .pipelines.multi import MultiTableReplay
+from .pipelines.replay import ReplayJob, export_lake, read_lake
 from .stages.merge import events_to_delta, fold_state, lww_winners, unify_concat
 from .stages.transform import (
     assign_partition,
@@ -35,12 +36,14 @@ __all__ = [
     "CHANGE_EVENT_SCHEMA",
     "LAKE_SCHEMA",
     "Lake",
+    "MultiTableReplay",
     "ReplayJob",
     "StreamSpec",
     "SyncConfig",
     "assign_partition",
     "clear_custom_filters",
     "events_to_delta",
+    "export_lake",
     "fold_state",
     "gen_base_table",
     "gen_change_stream",

@@ -21,14 +21,16 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data-sync-ray")
     p.add_argument("command",
-                   choices=["replay", "bootstrap", "repair", "inspect",
-                            "compact", "export"])
+                   choices=["replay", "tail", "bootstrap", "repair",
+                            "inspect", "compact", "export"])
     p.add_argument("--config", required=True, help="TOML job config")
     p.add_argument("--events", help="event-log root (epoch=K dirs)")
     p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
     p.add_argument("--out", help="output dir (export)")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--no-catch-up", action="store_true")
+    p.add_argument("--poll-interval", type=float, default=5.0)
+    p.add_argument("--max-rounds", type=int, default=None)
     args = p.parse_args(argv)
 
     import ray
@@ -51,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "replay":
         out = job.replay(args.events, catch_up=not args.no_catch_up)
         out.pop("metrics", None)
+    elif args.command == "tail":
+        out = job.tail(args.events, poll_interval=args.poll_interval,
+                       max_rounds=args.max_rounds, inspect_every=1)
     elif args.command == "bootstrap":
         out = {"partitions": len(job.bootstrap(rd.read_parquet(args.snapshot)))}
     elif args.command == "repair":
