@@ -382,3 +382,25 @@ def test_deep_verify_detects_corruption(tmp_path):
     rep2 = job.deep_verify(pa.Table.from_pylist(bad))
     assert not rep2["consistent"]
     assert rep2["mismatch"] == 1 and rep2["missing"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_spec_seeds(tmp_path, seed):
+    """Seed sweep: varied op mixes / skew / epochs through the full
+    pipeline, each against its oracle."""
+    rngish = seed % 3
+    spec = StreamSpec(
+        n_events=800 + seed, n_docs=60 + rngish * 40,
+        n_epochs=2 + rngish, seed=seed,
+        op_mix=[(0.5, 0.4, 0.1), (0.8, 0.1, 0.1), (0.3, 0.3, 0.4)][rngish],
+        hot_weight=[0.3, 0.7, 0.0][rngish],
+        evolve_from_epoch=None if rngish == 0 else 1,
+    )
+    base = gen_base_table(spec.n_docs, seed=seed)
+    epochs = gen_change_stream(spec)
+    ev_root = os.path.join(str(tmp_path), "events")
+    write_event_log(ev_root, epochs)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.replay(ev_root, bootstrap=base)
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
