@@ -28,7 +28,7 @@ import ray.data as rd
 
 from ..config import SyncConfig
 from ..datamodel import BOOTSTRAP_SRC_LOG_POS, list_epoch_dirs
-from ..stages.apply import PartitionApplier
+from ..stages.apply import METRICS_SCHEMA, PartitionApplier
 from ..stages.exchange import (
     cleanup_spill,
     make_fold_commit_stage,
@@ -207,6 +207,8 @@ class ReplayJob:
             )
 
     def _replay_locked(self, events_root, publish, catch_up, bootstrap, t0):
+        # safe under the job lock: no writer is mid-commit
+        self.lake.sweep_stale_tmp()
         done = self.lake.epochs_done()
         if done:
             # orphaned spill from a crash after commit but before cleanup
@@ -344,10 +346,29 @@ class ReplayJob:
         lake_root, cfg_json = cfg.lake_root, self._cfg_json
 
         def apply_group(group: pa.Table) -> pa.Table:
-            return PartitionApplier(lake_root, None, cfg_json)(group)
+            # group = ONE partition, all epochs. The partition checkpoint is
+            # read-modify-write, so all of a partition's epoch commits must
+            # come from this single task (mirrors make_fold_commit_stage);
+            # grouping by (partition, epoch) would race two epochs' commits
+            # on one checkpoint and could silently drop a delta reference.
+            if group.num_rows == 0:
+                return METRICS_SCHEMA.empty_table()
+            applier = PartitionApplier(lake_root, None, cfg_json)
+            eps = pc.cast(group.column("epoch"), pa.int64()).to_numpy()
+            order = np.argsort(eps, kind="stable")
+            group = group.take(pa.array(order))
+            eps = eps[order]
+            bounds = np.flatnonzero(np.diff(eps)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [group.num_rows]])
+            outs = [
+                applier(group.slice(lo, hi - lo))
+                for lo, hi in zip(starts, ends)
+            ]
+            return pa.concat_tables(outs)
 
         rows = (
-            ds.groupby(["partition", "epoch"])
+            ds.groupby("partition")
             .map_groups(apply_group, batch_format="pyarrow")
             .take_all()
         )

@@ -28,6 +28,41 @@ from ..datamodel import CHANGE_EVENT_SCHEMA
 _OPS = {"insert", "update", "delete"}
 
 
+def parse_position(ev: dict) -> int:
+    """Total order from the event's position/xid.
+
+    Real Maxwell output carries `position` as a string like
+    "master.000006:800911" (binlog file : byte offset — see the reference's
+    embedded example, src/infrastructure/repo/format/insert.go:12-30).
+    Derive a total order as (file index << 40) | offset (binlog files are
+    capped at 1 GiB, far below 2^40). Integer positions pass through;
+    unparseable positions fall back to xid, then 0 — a malformed field
+    never kills the batch task.
+    """
+    pos = ev.get("position")
+    if pos is not None:
+        if isinstance(pos, (int, float)) and not isinstance(pos, bool):
+            return int(pos)
+        s = str(pos)
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        file_part, sep, off_part = s.rpartition(":")
+        if sep:
+            try:
+                idx = int(file_part.rsplit(".", 1)[-1])
+                off = int(off_part)
+                if 0 <= off < (1 << 40):
+                    return (idx << 40) | off
+            except ValueError:
+                pass
+    try:
+        return int(ev.get("xid", 0) or 0)
+    except (TypeError, ValueError):
+        return 0
+
+
 def parse_maxwell_batch(
     lines: list[str],
     update_semantics: str = "new",
@@ -57,19 +92,27 @@ def parse_maxwell_batch(
             payload = {**data, **old}
         else:
             payload = data
-        # primary key: explicit fields win; else taken from the row image
+        # primary key: explicit fields win; else taken from the row image.
+        # Composite PKs are normalized to ONE canonical key by zipping
+        # primary_key_columns with the values — the analog of the
+        # reference's WHERE pk1=? AND pk2=? zip
+        # (src/service/mysql_filter_service.go:90-93); "\x1f" (unit
+        # separator) joins parts so ("a","b:c") != ("a:b","c").
         pk_cols = ev.get("primary_key_columns") or [key_column]
         pk_vals = ev.get("primary_key")
         if pk_vals is not None:
-            doc_id = str(pk_vals[0]) if isinstance(pk_vals, list) else str(pk_vals)
+            if isinstance(pk_vals, list):
+                doc_id = "\x1f".join(str(v) for v in pk_vals)
+            else:
+                doc_id = str(pk_vals)
         else:
-            doc_id = payload.get(pk_cols[0])
-            if doc_id is None:
+            vals = [payload.get(c) for c in pk_cols]
+            if any(v is None for v in vals):
                 continue  # ref: missing pk is an error -> veto the event
-            doc_id = str(doc_id)
+            doc_id = "\x1f".join(str(v) for v in vals)
         rows.append(
             {
-                "log_pos": int(ev.get("position", ev.get("xid", 0))),
+                "log_pos": parse_position(ev),
                 "ts": ev.get("ts"),
                 "op": op,
                 "table": ev.get("table", ""),

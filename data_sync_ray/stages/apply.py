@@ -68,13 +68,20 @@ class PartitionApplier:
         max_key = (
             pa.compute.max(vc.field("counts")).as_py() if len(vc) else 0
         )
-        winners = lww_winners(
-            group, key=self.cfg.key_column, order=self.cfg.order_column
-        )
-        delta = events_to_delta(winners)
-        # deterministic file content under task retries: sort by key
-        delta = delta.sort_by(self.cfg.key_column)
-        m = self.lake.commit_delta(partition, epoch, delta, n_in)
+        try:
+            winners = lww_winners(
+                group, key=self.cfg.key_column, order=self.cfg.order_column
+            )
+            delta = events_to_delta(winners)
+            # deterministic file content under task retries: sort by key
+            delta = delta.sort_by(self.cfg.key_column)
+            m = self.lake.commit_delta(partition, epoch, delta, n_in)
+        except Exception as e:  # count, then let Ray retry the task (T4)
+            try:
+                self.lake.record_failure(partition, repr(e))
+            except Exception:
+                pass
+            raise
         return pa.Table.from_pylist(
             [
                 {

@@ -54,6 +54,22 @@ def _read_spill(path: str) -> pa.Table:
     with ipc.open_stream(path) as r:
         return r.read_all()
 
+
+def _read_spill_safe(path: str) -> pa.Table | None:
+    """Read a fragment, quarantining it if the IPC stream is invalid.
+    A killed phase-1 task can leave a truncated fragment while its Ray
+    retry re-emits the same rows into a new fragment; LWW collapses the
+    duplicates, so skipping a corrupt fragment is safe (and blocking the
+    fold on it would wedge replay until manual spill cleanup)."""
+    try:
+        return _read_spill(path)
+    except (pa.ArrowInvalid, OSError):
+        try:
+            os.replace(path, path + ".bad")
+        except OSError:
+            pass
+        return None
+
 from ..config import SyncConfig
 from .apply import METRICS_SCHEMA, PartitionApplier
 from .transform import make_transform
@@ -72,6 +88,10 @@ def spill_dir(lake_root: str, epoch: int, group: int | None = None) -> str:
 
 def prepare_spill_dirs(lake_root: str, epochs: list[int], groups: int) -> None:
     for e in epochs:
+        # a crashed prior run can leave truncated fragments (phase-1 task
+        # killed mid-write); this execution re-spills the epoch's full input
+        # and LWW dedups, so stale fragments are pure liability — clear them
+        shutil.rmtree(spill_dir(lake_root, e), ignore_errors=True)
         for g in range(groups):
             os.makedirs(spill_dir(lake_root, e, g), exist_ok=True)
 
@@ -193,11 +213,11 @@ def make_fold_commit_stage(cfg: SyncConfig, epochs: list[int]):
                 if not os.path.isdir(gdir):
                     continue
                 frags = [
-                    _read_spill(os.path.join(gdir, f))
+                    _read_spill_safe(os.path.join(gdir, f))
                     for f in sorted(os.listdir(gdir))
                     if f.endswith(".arrows")
                 ]
-                frags = [f for f in frags if f.num_rows]
+                frags = [f for f in frags if f is not None and f.num_rows]
                 if not frags:
                     continue
                 t = (

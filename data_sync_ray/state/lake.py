@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 import pyarrow as pa
@@ -42,6 +43,11 @@ from ..config import SyncConfig
 from ..stages.merge import fold_state
 
 BOOTSTRAP_EPOCH = -1
+
+#: committed checkpoint files only — a crash mid-atomic_write_json can leave
+#: a partial "part-NNNNN.json.tmp.<pid>"; matching it would make resume fail
+#: on JSONDecodeError, so listings must match the exact committed name
+_CKPT_RE = re.compile(r"^part-(\d+)\.json$")
 
 
 def atomic_write_json(path: str, obj) -> None:
@@ -74,12 +80,37 @@ class Lake:
 
     # --- creation / discovery ---------------------------------------------
 
+    #: lake-identity fields: changing any of these on an existing lake
+    #: re-routes keys to different partitions / reorders the LWW fold,
+    #: leaving stale winners the per-partition fold can never supersede
+    IMMUTABLE_FIELDS = ("num_partitions", "key_column", "order_column")
+
     @staticmethod
     def create(cfg: SyncConfig) -> "Lake":
         lake = Lake(cfg.lake_root)
         for d in (lake.data_dir, lake.ckpt_dir, lake.manifest_dir):
             os.makedirs(d, exist_ok=True)
-        with open(os.path.join(lake.root, "CONFIG.json"), "w") as f:
+        cfg_path = os.path.join(lake.root, "CONFIG.json")
+        if os.path.exists(cfg_path):
+            # reopening an existing lake: immutable fields must match the
+            # config it was created with (silent re-route otherwise)
+            old = lake.config()
+            diffs = [
+                f
+                for f in Lake.IMMUTABLE_FIELDS
+                if getattr(old, f) != getattr(cfg, f)
+            ]
+            if diffs:
+                raise ValueError(
+                    f"lake {lake.root} exists with different immutable "
+                    f"config fields {diffs}: "
+                    + ", ".join(
+                        f"{f}={getattr(old, f)!r} -> {getattr(cfg, f)!r}"
+                        for f in diffs
+                    )
+                    + " (create a new lake_root to change these)"
+                )
+        with open(cfg_path, "w") as f:
             f.write(cfg.to_json())
         return lake
 
@@ -148,14 +179,31 @@ class Lake:
     def write_checkpoint(self, ckpt: dict) -> None:
         atomic_write_json(self._ckpt_path(ckpt["partition"]), ckpt)
 
+    def _ckpt_names(self) -> list[str]:
+        """Committed checkpoint files only (exact part-NNNNN.json names —
+        never in-flight/orphaned *.tmp.* from a crash mid-write)."""
+        if not os.path.isdir(self.ckpt_dir):
+            return []
+        return sorted(n for n in os.listdir(self.ckpt_dir) if _CKPT_RE.match(n))
+
+    def sweep_stale_tmp(self) -> int:
+        """Unlink orphaned atomic-write temp files (crash between tmp write
+        and os.replace). Safe under the job lock: no writer is mid-commit."""
+        n = 0
+        if os.path.isdir(self.ckpt_dir):
+            for name in os.listdir(self.ckpt_dir):
+                if ".tmp." in name:
+                    try:
+                        os.remove(os.path.join(self.ckpt_dir, name))
+                        n += 1
+                    except FileNotFoundError:
+                        pass
+        return n
+
     def committed_partitions(self, epoch: int) -> set[int]:
         """Partitions whose commit log already contains `epoch`."""
         out = set()
-        if not os.path.isdir(self.ckpt_dir):
-            return out
-        for name in os.listdir(self.ckpt_dir):
-            if not name.startswith("part-"):
-                continue
+        for name in self._ckpt_names():
             ck = _read_json(os.path.join(self.ckpt_dir, name))
             if epoch in ck.get("applied_epochs", []):
                 out.add(ck["partition"])
@@ -163,12 +211,9 @@ class Lake:
 
     def watermarks(self) -> dict[int, int]:
         out = {}
-        if not os.path.isdir(self.ckpt_dir):
-            return out
-        for name in os.listdir(self.ckpt_dir):
-            if name.startswith("part-"):
-                ck = _read_json(os.path.join(self.ckpt_dir, name))
-                out[ck["partition"]] = ck.get("watermark_log_pos", -1)
+        for name in self._ckpt_names():
+            ck = _read_json(os.path.join(self.ckpt_dir, name))
+            out[ck["partition"]] = ck.get("watermark_log_pos", -1)
         return out
 
     # --- epoch-level commit markers (driver-level resume) -------------------
@@ -259,15 +304,23 @@ class Lake:
             "apply_sec": dt,
         }
 
+    def record_failure(self, partition: int, err: str = "") -> None:
+        """Bump the partition's failure counter before the apply task
+        re-raises (ref T4: fail counters, src/infrastructure/monitor/
+        monitor.go:44-108). Safe RMW: the failing task is the partition's
+        single owner in this execution, and the commit it was attempting
+        did not happen (checkpoint replace is the commit point)."""
+        ckpt = self.read_checkpoint(partition)
+        ckpt["failures"] = ckpt.get("failures", 0) + 1
+        if err:
+            ckpt["last_error"] = err[:500]
+        self.write_checkpoint(ckpt)
+
     # --- merge-on-read ------------------------------------------------------
 
     def partitions(self) -> list[int]:
-        if not os.path.isdir(self.ckpt_dir):
-            return []
         return sorted(
-            int(n.split("-")[1].split(".")[0])
-            for n in os.listdir(self.ckpt_dir)
-            if n.startswith("part-")
+            int(_CKPT_RE.match(n).group(1)) for n in self._ckpt_names()
         )
 
     def read_partition(

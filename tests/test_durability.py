@@ -1,0 +1,124 @@
+"""Round-2 durability/crash-safety regressions:
+
+- stale checkpoint tmp files from a crash mid-atomic-write must not block
+  resume (ADVICE: lake.py part-* glob matched *.tmp.* partials);
+- truncated spill fragments from a killed phase-1 task must be skipped or
+  cleared, never wedge the fold (ADVICE: exchange.py);
+- reopening a lake with different immutable config must fail loudly, not
+  silently re-route keys (ADVICE: Lake.create CONFIG.json overwrite);
+- sort-mode catch-up must serialize a partition's epoch commits in one
+  task (ADVICE high: (partition, epoch) grouping raced the checkpoint RMW);
+- the T4 failures counter is actually wired.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from data_sync_ray import (
+    ReplayJob,
+    StreamSpec,
+    SyncConfig,
+    gen_base_table,
+    gen_change_stream,
+    replay_oracle,
+    write_event_log,
+)
+from data_sync_ray.stages.exchange import (
+    _read_spill_safe,
+    _write_spill,
+    prepare_spill_dirs,
+    spill_dir,
+)
+from data_sync_ray.state.lake import Lake
+
+from test_replay_e2e import assert_tables_equal, build_fixture, make_job
+
+
+def test_stale_ckpt_tmp_does_not_block_resume(tmp_path):
+    cfg = SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=4)
+    lake = Lake.create(cfg)
+    lake.commit_delta(1, 0, pa.table({"doc_id": ["a"], "log_pos": [1]}), 1)
+    # crash mid-atomic-write leaves a partial tmp file
+    partial = os.path.join(lake.ckpt_dir, "part-00002.json.tmp.12345")
+    with open(partial, "w") as f:
+        f.write('{"partition": 2, "watermark')  # truncated JSON
+    # listings must ignore it instead of raising JSONDecodeError
+    assert lake.partitions() == [1]
+    assert lake.watermarks() == {1: 1}
+    assert lake.committed_partitions(0) == {1}
+    assert lake.sweep_stale_tmp() == 1
+    assert not os.path.exists(partial)
+
+
+def test_truncated_spill_fragment_is_quarantined(tmp_path):
+    root = str(tmp_path / "lake")
+    prepare_spill_dirs(root, [0], 2)
+    d = spill_dir(root, 0, 0)
+    good = os.path.join(d, "good.arrows")
+    _write_spill(pa.table({"doc_id": ["a"], "log_pos": [1]}), good)
+    bad = os.path.join(d, "bad.arrows")
+    with open(good, "rb") as f:
+        blob = f.read()
+    with open(bad, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # killed mid-write
+    assert _read_spill_safe(good).num_rows == 1
+    assert _read_spill_safe(bad) is None
+    assert os.path.exists(bad + ".bad")  # quarantined, not re-parsed
+    # and prepare_spill_dirs clears leftovers from a crashed prior run
+    prepare_spill_dirs(root, [0], 2)
+    assert os.listdir(spill_dir(root, 0, 0)) == []
+
+
+def test_reopen_lake_with_different_partitioning_fails(tmp_path):
+    cfg = SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=8)
+    Lake.create(cfg)
+    with pytest.raises(ValueError, match="num_partitions"):
+        Lake.create(
+            SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=16)
+        )
+    # same immutable fields: reopen fine (mutable fields may change)
+    Lake.create(
+        SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=8,
+                   batch_size=1024)
+    )
+
+
+def test_failures_counter_is_wired(tmp_path):
+    cfg = SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=4)
+    lake = Lake.create(cfg)
+    lake.record_failure(3, "RuntimeError('boom')")
+    lake.record_failure(3)
+    ck = lake.read_checkpoint(3)
+    assert ck["failures"] == 2
+    assert "boom" in ck["last_error"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_catchup_single_committer_per_partition(tmp_path):
+    """Sort-mode catch-up: all of a partition's epochs commit from ONE
+    group task (serially), so no checkpoint RMW race can drop a delta.
+    Verified by (a) oracle equality and (b) every applied epoch's delta
+    file still referenced in the checkpoint it committed to."""
+    spec = StreamSpec(n_events=4000, n_docs=250, n_epochs=5, seed=99)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=250,
+                                          seed=99)
+    job = make_job(str(tmp_path), exchange_mode="sort")
+    summary = job.replay(ev_root, bootstrap=base, catch_up=True)
+    assert summary["epochs_run"] == 5
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+    for p in job.lake.partitions():
+        ck = job.lake.read_checkpoint(p)
+        lineage_writes = {
+            ln["epoch"] for ln in ck["lineage"] if ln["rows_written"] > 0
+        }
+        referenced = {
+            os.path.basename(f) for f in ck["files"]
+        }
+        for e in lineage_writes:
+            tag = f"e{e:07d}" if e >= 0 else "bootstrap"
+            assert f"delta-{tag}.parquet" in referenced, (
+                f"partition {p}: epoch {e} delta lost from checkpoint"
+            )

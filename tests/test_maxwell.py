@@ -79,6 +79,44 @@ def test_pk_fallback_to_row_image_and_veto():
     assert t.column("doc_id").to_pylist() == ["doc1"]
 
 
+def test_binlog_string_position_total_order():
+    """Real Maxwell emits position as "file:offset" (the reference's
+    embedded example, format/insert.go) — must parse, order correctly
+    across binlog file rollover, and never kill the batch."""
+    lines = [
+        ev(position="master.000006:800911"),
+        ev(position="master.000007:12"),   # later file, smaller offset
+        ev(position="not-a-position", xid=77),  # fallback to xid
+        ev(position="master.junk:5", xid=None),  # unparseable -> 0
+    ]
+    t = parse_maxwell_batch(lines)
+    got = t.column("log_pos").to_pylist()
+    assert got[0] == (6 << 40) | 800911
+    assert got[1] == (7 << 40) | 12
+    assert got[1] > got[0]  # file rollover preserves the total order
+    assert got[2] == 77
+    assert got[3] == 0
+
+
+def test_composite_primary_key_normalized():
+    """Multi-column PKs zip to one canonical key (the analog of the
+    reference's WHERE pk1=? AND pk2=?, mysql_filter_service.go:90-93)."""
+    explicit = ev(position=11, primary_key=["a", "b:c"],
+                  primary_key_columns=["k1", "k2"])
+    d = json.loads(ev(position=12))
+    del d["primary_key"]
+    d["primary_key_columns"] = ["doc_id", "source"]
+    from_image = json.dumps(d)
+    t = parse_maxwell_batch([explicit, from_image])
+    ids = t.column("doc_id").to_pylist()
+    assert ids[0] == "a\x1fb:c"          # separator-safe join
+    assert ids[1] == "doc1\x1fweb"       # zipped from the row image
+    # missing one component of a composite key vetoes the event
+    d2 = json.loads(from_image)
+    d2["data"] = {"doc_id": "doc1"}
+    assert parse_maxwell_batch([json.dumps(d2)]).num_rows == 0
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_read_maxwell_json_end_to_end(tmp_path):
     from data_sync_ray.sources.maxwell import read_maxwell_json
