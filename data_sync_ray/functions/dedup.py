@@ -1,16 +1,18 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale notes (100 TB design):
-- exact dedup: hash-partition on the content hash => per-group first. One
-  all-to-all exchange on a 16-byte key, combiner-reduced per batch first.
+- exact dedup: per-batch combiner (local keep-first) -> hash-partition on
+  the content hash into a FIXED number of parts -> per-part keep-first.
+  The exchange key is a small int (never one group per distinct hash —
+  many-tiny-group map_groups is a measured 20-100x pitfall, BASELINE.md).
 - MinHash-LSH: shingle->minhash per batch (stateless, vectorized) ->
-  explode to (band, band_hash, doc_id) rows -> groupby on the band key
-  (the only shuffle; band rows are tiny) -> candidate pairs -> exact-Jaccard
-  verify. Verification here broadcasts the candidate docs' shingle sets
-  (ray.put once); at petabyte scale you would co-partition candidates and
-  docs by doc_id instead — the band-bucket stage is unchanged.
-- SimHash: 64-bit signature per doc; candidates via 4x16-bit band buckets
-  (Hamming<=3-ish recall), verified by exact Hamming distance.
+  explode to (band, band_hash, doc_id) rows (vectorized mix-hash) ->
+  groupby on the band key (the only shuffle; band rows are tiny) ->
+  candidate pairs -> exact-Jaccard verify. Verification co-partitions
+  pairs and docs by doc id via two hash joins (pair->shingles), so no
+  driver-side materialization of pairs or shingle sets.
+- SimHash: 64-bit signature per doc (batch-vectorized bit-count sum);
+  candidates via 4x16-bit band buckets, verified by exact Hamming.
 """
 
 from __future__ import annotations
@@ -65,25 +67,43 @@ def exact_dedup(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     batch_size: int = 4096,
-    concurrency: int = 2,
+    num_parts: int = 32,
 ) -> rd.Dataset:
-    """Keep the first (min id) row per identical text: hash -> per-batch
-    combiner (keep local min) -> hash-partitioned group -> global min."""
+    """Keep the first (min id) row per identical text.
+
+    Shape: per-batch combiner (local keep-first) -> hash-partition the
+    survivors on content_hash into `num_parts` int buckets -> per-bucket
+    keep-first inside ONE group task per bucket. All rows of one hash land
+    in one bucket, so the per-bucket drop_duplicates is a global dedup —
+    same answer as a per-hash group, without one map_groups task per
+    distinct hash (the many-tiny-group pitfall; was ~6s for 5k docs, now
+    bounded by num_parts tasks). Size num_parts to the cluster."""
 
     def local_first(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(id_col).drop_duplicates(
+        batch = ContentHasher()(batch)
+        batch = batch.sort_values(id_col).drop_duplicates(
             "content_hash", keep="first"
         )
+        # deterministic bucket from the hash's own hex prefix
+        batch["_part"] = (
+            batch["content_hash"].str.slice(0, 8)
+            .apply(lambda s: int(s, 16) % num_parts)
+            .astype("int64")
+        )
+        return batch
 
-    def group_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    def part_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(id_col)
+            .drop_duplicates("content_hash", keep="first")
+            .drop(columns=["_part"])
+        )
 
     return (
-        ds.map_batches(ContentHasher().__call__, batch_format="pandas",
+        ds.map_batches(local_first, batch_format="pandas",
                        batch_size=batch_size)
-        .map_batches(local_first, batch_format="pandas", batch_size=batch_size)
-        .groupby("content_hash")
-        .map_groups(group_first, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(part_first, batch_format="pandas")
     )
 
 
@@ -120,43 +140,96 @@ class MinHasher:
 
 
 class BandExploder:
-    """Signature -> one row per LSH band: (band, band_hash, doc_id)."""
+    """Signature -> one row per LSH band: (band, band_hash, doc_id).
+
+    Fully vectorized: the batch's signatures stack to an (N, bands, rows)
+    uint64 cube and each band chunk is reduced with a splitmix-style mixing
+    hash (equal chunks => equal hash; distinct chunks collide at ~2^-63 —
+    collisions only cost a wasted verify, never a wrong answer). The prior
+    per-doc-per-band blake2b loop was the hot spot of the LSH path."""
 
     def __init__(self, bands: int = 32, rows: int = 4):
         self.bands = bands
         self.rows = rows
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(int.from_bytes(h, "little") >> 1)
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {"band": pd.Series([], dtype="int64"),
+                 "band_hash": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64")}
+            )
+        sig = np.asarray(batch["sig"].tolist(), dtype=np.uint64)
+        sig = sig.reshape(n, self.bands, self.rows)
+        h = np.full((n, self.bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound intended
+            for r in range(self.rows):  # rows is small (4); cols vectorized
+                h = (h ^ sig[:, :, r]) * np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(29)
         return pd.DataFrame(
-            {"band": out_band, "band_hash": out_hash, "doc_id": out_doc}
+            {
+                "band": np.tile(
+                    np.arange(self.bands, dtype=np.int64), n
+                ),
+                "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+            }
         )
 
 
 def _bucket_pairs(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket. Buckets larger
-    than max_bucket are truncated (logged via the `truncated` flag) — a
-    degenerate bucket would otherwise emit O(n^2) pairs."""
-    ids = sorted(g["doc_id"].unique())
-    truncated = len(ids) > max_bucket
-    ids = ids[:max_bucket]
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "truncated": []})
-    pairs = list(itertools.combinations(ids, 2))
+    """Candidate pairs for every (band, band_hash) bucket within one hash
+    partition of buckets. The group key is a SMALL int partition (bucket
+    hash % P), not the bucket itself — one task iterates its partition's
+    buckets with a local pandas groupby instead of one Ray group per
+    bucket (many-tiny-group pitfall). Buckets larger than max_bucket are
+    truncated — a degenerate bucket would otherwise emit O(n^2) pairs."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for _, sub in g.groupby(["band", "band_hash"], sort=False):
+        ids = np.unique(sub["doc_id"].to_numpy())
+        if ids.size < 2:
+            continue
+        ids = np.sort(ids)[:max_bucket]
+        ia, ib = np.triu_indices(ids.size, k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
     return pd.DataFrame(
-        {
-            "doc_a": [a for a, _ in pairs],
-            "doc_b": [b for _, b in pairs],
-            "truncated": [truncated] * len(pairs),
-        }
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+def dedup_pair_rows(
+    pairs: rd.Dataset,
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Distinct (doc_a, doc_b) rows via hash-partition + per-part
+    drop_duplicates — NOT one map_groups group per pair (many-tiny-group
+    pitfall). Local combiner first, then num_parts group tasks."""
+    ca, cb = cols
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.drop_duplicates([ca, cb])
+        h = pd.util.hash_pandas_object(batch[[ca, cb]], index=False)
+        batch = batch.assign(
+            _part=(h.to_numpy() % num_parts).astype(np.int64)
+        )
+        return batch
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([ca, cb]).drop(columns=["_part"])
+
+    return (
+        pairs.map_batches(route, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(uniq, batch_format="pandas")
     )
 
 
@@ -175,15 +248,111 @@ def minhash_lsh_candidates(
     # starve the read/shuffle tasks and stall the streaming executor.
     mh = MinHasher(k=k, num_hashes=num_hashes)
     be = BandExploder(bands=bands, rows=rows)
+    num_parts = 16
     sig = docs.map_batches(mh.__call__, batch_format="pandas")
-    band_rows = sig.map_batches(be.__call__, batch_format="pandas")
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+
+    def explode_and_route(batch: pd.DataFrame) -> pd.DataFrame:
+        b = be(batch)
+        # exchange on a small int partition of buckets, never per bucket
+        b["_part"] = (
+            b["band_hash"].to_numpy().astype(np.uint64) % num_parts
+        ).astype(np.int64)
+        return b
+
+    band_rows = sig.map_batches(explode_and_route, batch_format="pandas")
+    pairs = band_rows.groupby("_part").map_groups(
         _bucket_pairs, batch_format="pandas"
     )
     # distinct pairs (a pair can match in many bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1)[["doc_a", "doc_b"]], batch_format="pandas"
+    return dedup_pair_rows(pairs)
+
+
+_EMPTY_VERIFIED = pa.table(
+    {"doc_a": pa.array([], pa.int64()),
+     "doc_b": pa.array([], pa.int64()),
+     "jaccard": pa.array([], pa.float64())}
+)
+
+_SH_TYPE = pa.list_(pa.int64())
+
+
+def _attach_shingles(
+    pair_rows: rd.Dataset,
+    shingles: rd.Dataset,
+    side: str,
+    out_col: str,
+    carry: tuple[str, ...],
+    num_parts: int,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Distributed hash join of pair rows with per-doc shingle lists on
+    `side`, built from union + single-int-key groupby (Ray's native hash
+    join rejects list-typed payload columns). Both inputs route to
+    part = doc id % num_parts with IDENTICAL Arrow schemas (explicitly
+    typed nulls for the absent columns), so the union concatenates
+    cleanly; one group task per part builds the doc->shingles lookup and
+    emits its pairs. Pairs whose doc has no shingle row are dropped
+    (inner-join semantics; matches the old 0.0-Jaccard filter)."""
+
+    def route_p(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "_part": pa.array(
+                t.column(side).to_numpy() % num_parts, pa.int64()
+            ),
+            "_id": t.column(side).combine_chunks().cast(pa.int64()),
+            "doc_a": t.column("doc_a").combine_chunks().cast(pa.int64()),
+            "doc_b": t.column("doc_b").combine_chunks().cast(pa.int64()),
+            "_sh": pa.nulls(n, _SH_TYPE),
+        }
+        for c in carry:
+            cols[c] = t.column(c).combine_chunks().cast(_SH_TYPE)
+        return pa.table(cols)
+
+    def route_s(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "_part": pa.array(
+                t.column(id_col).to_numpy() % num_parts, pa.int64()
+            ),
+            "_id": t.column(id_col).combine_chunks().cast(pa.int64()),
+            "doc_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "_sh": t.column("sh").combine_chunks().cast(_SH_TYPE),
+        }
+        for c in carry:
+            cols[c] = pa.nulls(n, _SH_TYPE)
+        return pa.table(cols)
+
+    unioned = pair_rows.map_batches(route_p, batch_format="pyarrow").union(
+        shingles.map_batches(route_s, batch_format="pyarrow")
     )
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        # output is explicitly-typed Arrow: a pandas list column would be
+        # re-inferred as Ray's variable-shaped-tensor extension type, which
+        # the next round's cast to list<int64> rejects
+        is_sh = g["doc_a"].to_numpy() < 0
+        lut = dict(zip(g.loc[is_sh, "_id"], g.loc[is_sh, "_sh"]))
+        m = g.loc[~is_sh]
+        att = [lut.get(i) for i in m["_id"]]
+        keep = np.array([a is not None for a in att], dtype=bool)
+        m = m.loc[keep]
+        cols = {
+            "doc_a": pa.array(m["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(m["doc_b"].to_numpy(), pa.int64()),
+        }
+        for c in carry:
+            cols[c] = pa.array(
+                [np.asarray(v, dtype=np.int64) for v in m[c]], _SH_TYPE
+            )
+        cols[out_col] = pa.array(
+            [np.asarray(a, dtype=np.int64) for a in att if a is not None],
+            _SH_TYPE,
+        )
+        return pa.table(cols)
+
+    return unioned.groupby("_part").map_groups(attach, batch_format="pandas")
 
 
 def verify_jaccard(
@@ -192,55 +361,57 @@ def verify_jaccard(
     threshold: float,
     k: int = 3,
     id_col: str = "doc_id",
+    num_partitions: int = 8,
 ) -> rd.Dataset:
-    """Exact word-k-gram Jaccard on candidate pairs. Broadcasts the
-    candidate docs' shingle sets via ray.put (small by construction: LSH
-    already pruned the universe); tasks look up per batch."""
-    pair_tbl = pairs.to_pandas()
-    if pair_tbl.empty:
-        return rd.from_arrow(
-            pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        )
-    cand_ids = set(pair_tbl["doc_a"]) | set(pair_tbl["doc_b"])
+    """Exact word-k-gram Jaccard on candidate pairs — DISTRIBUTED.
+
+    Co-partitions pairs and docs by doc id via two hash joins
+    (pairs ⋈ shingles on doc_a, then on doc_b); the shingle sets travel
+    inside the shuffled blocks, never through the driver. A doc that
+    matches no pair is dropped by the join's build side — the semi-join
+    falls out for free. Docs too short to shingle produce no shingle row,
+    so their pairs drop at the join (same as a 0.0 Jaccard before)."""
+    pairs = pairs.materialize()  # tiny (LSH output); enables the 0-pair exit
+    if pairs.count() == 0:
+        return rd.from_arrow(_EMPTY_VERIFIED)
 
     def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[batch[id_col].isin(cand_ids)]
         # lists, not ndarrays: Ray's block size estimator chokes on
-        # object columns of numpy arrays (noisy vectorize warnings)
+        # object columns of numpy arrays (noisy vectorize warnings).
+        # >>1 keeps values int64-safe (the join shuffle casts to the
+        # unified block type); 63-bit equality is all Jaccard needs.
+        sh = batch["text"].map(
+            lambda t: np.unique(
+                (_shingle_hashes(t, k) >> np.uint64(1)).astype(np.int64)
+            ).tolist()
+        )
+        keep = sh.map(len) > 0
         return pd.DataFrame(
-            {
-                id_col: m[id_col],
-                "sh": m["text"].map(
-                    lambda t: _shingle_hashes(t, k).tolist()
-                ),
-            }
+            {id_col: batch.loc[keep, id_col], "sh": sh[keep]}
         )
 
-    sh_tbl = docs.map_batches(
-        shingles_of, batch_format="pandas"
-    ).to_pandas()
-    lookup_ref = ray.put(dict(zip(sh_tbl[id_col], sh_tbl["sh"])))
+    shingles = docs.map_batches(shingles_of, batch_format="pandas")
+    j1 = _attach_shingles(
+        pairs, shingles, side="doc_a", out_col="sh_a", carry=(),
+        num_parts=num_partitions, id_col=id_col,
+    )
+    j2 = _attach_shingles(
+        j1, shingles, side="doc_b", out_col="sh_b", carry=("sh_a",),
+        num_parts=num_partitions, id_col=id_col,
+    )
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
         ja = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa, sb = lookup.get(a), lookup.get(b)
-            if not sa or not sb:
-                ja.append(0.0)
-                continue
-            sa = np.asarray(sa, dtype=np.uint64)
-            sb = np.asarray(sb, dtype=np.uint64)
+        for sa, sb in zip(batch["sh_a"], batch["sh_b"]):
+            sa = np.asarray(sa, dtype=np.int64)
+            sb = np.asarray(sb, dtype=np.int64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             ja.append(inter / (sa.size + sb.size - inter))
+        batch = batch[["doc_a", "doc_b"]].copy()
         batch["jaccard"] = ja
         return batch[batch["jaccard"] >= threshold]
 
-    return rd.from_pandas(pair_tbl).map_batches(score, batch_format="pandas")
+    return j2.map_batches(score, batch_format="pandas")
 
 
 def minhash_dedup_pairs(
@@ -296,66 +467,145 @@ def minhash_dedup_keep_first(
 
 
 class SimHasher:
-    """64-bit SimHash over word hashes (count-weighted sign sum)."""
+    """64-bit SimHash over word hashes (count-weighted sign sum).
+
+    Batch-vectorized: all docs' words flatten to one hash array (per-word
+    blake2b memoized across batches in actor/task state — the natural-text
+    vocabulary is tiny relative to the token stream), the ±1 bit
+    contributions expand once, and per-doc sums come from one
+    np.add.reduceat over doc boundaries. Count-weighting falls out of
+    summing every occurrence. Identical signatures to the original
+    per-doc implementation (pinned by the sf0.01 fixture oracle)."""
+
+    #: cap the flattened words-per-chunk so the (words x 64) expansion
+    #: stays ~tens of MB regardless of batch shape
+    _CHUNK_WORDS = 1 << 20
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _word_hashes(self, words: list[str]) -> np.ndarray:
+        c = self._cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = c.get(w)
+            if h is None:
+                h = _hash64(w)
+                c[w] = h
+            out[i] = h
+        if len(c) > 2_000_000:  # bound actor memory on adversarial input
+            self._cache = {}
+        return out
+
+    def _pack(self, vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """(flat word hashes, words-per-doc) -> per-doc simhash uint64.
+        Empty docs hash to 0 and are excluded up front (np.add.reduceat
+        misreads zero-length runs)."""
+        sig = np.zeros(lens.size, dtype=np.uint64)
+        nz = np.flatnonzero(lens)
+        if nz.size == 0:
+            return sig
+        lens_nz = lens[nz]
+        starts = np.concatenate([[0], np.cumsum(lens_nz)[:-1]])
+        shifts = np.arange(64, dtype=np.uint64)
+        acc = np.zeros((nz.size, 64), dtype=np.int64)
+        lo = 0
+        while lo < nz.size:
+            w0 = starts[lo]
+            hi = lo + 1
+            while (
+                hi < nz.size
+                and starts[hi] + lens_nz[hi] - w0 <= self._CHUNK_WORDS
+            ):
+                hi += 1
+            w1 = starts[hi - 1] + lens_nz[hi - 1]
+            chunk = vals[w0:w1]
+            contrib = (
+                ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+                * 2 - 1
+            )
+            acc[lo:hi] = np.add.reduceat(
+                contrib.astype(np.int32), starts[lo:hi] - w0, axis=0
+            )
+            lo = hi
+        sig[nz] = np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << shifts[None, :], axis=1
+        )
+        return sig
 
     def signature(self, text: str) -> int:
         words = text.split()
         if not words:
             return 0
-        vals, counts = np.unique(
-            np.fromiter((_hash64(w) for w in words), dtype=np.uint64,
-                        count=len(words)),
-            return_counts=True,
-        )
-        bits = ((vals[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int64
-        )
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
         return int(
-            np.bitwise_or.reduce(
-                (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            )
+            self._pack(
+                self._word_hashes(words),
+                np.array([len(words)], dtype=np.int64),
+            )[0]
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = (
-            batch["text"].map(self.signature).astype("uint64")
+        word_lists = [t.split() for t in batch["text"]]
+        lens = np.fromiter(
+            (len(w) for w in word_lists), dtype=np.int64,
+            count=len(word_lists),
         )
+        flat = [w for ws in word_lists for w in ws]
+        batch["simhash"] = self._pack(self._word_hashes(flat), lens)
         return batch
 
 
 def simhash_dup_pairs(
     docs: rd.Dataset, max_hamming: int = 3, concurrency: int = 4
 ) -> rd.Dataset:
-    """Near-dup pairs by SimHash: 4x16-bit band buckets -> exact Hamming."""
+    """Near-dup pairs by SimHash: 4x16-bit band buckets -> exact Hamming.
+    Same exchange shape as MinHash-LSH: explode vectorized, route buckets
+    into a small int partition, pair up inside one task per partition."""
+    num_parts = 16
     sigs = docs.map_batches(
-        SimHasher().__call__, batch_format="pandas"
+        SimHasher, batch_format="pandas", concurrency=concurrency
     ).select_columns(["doc_id", "simhash"])
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for d, s in zip(batch["doc_id"], batch["simhash"]):
-            s = int(s)
-            for b in range(4):
-                rows.append((b, (s >> (16 * b)) & 0xFFFF, d, s))
+        n = len(batch)
+        s = batch["simhash"].to_numpy().astype(np.uint64)
+        bh = np.stack(
+            [(s >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)],
+            axis=1,
+        )  # (n, 4)
         return pd.DataFrame(
-            rows, columns=["band", "band_hash", "doc_id", "simhash"]
+            {
+                "band": np.tile(np.arange(4, dtype=np.int64), n),
+                "band_hash": bh.astype(np.int64).ravel(),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), 4),
+                "simhash": np.repeat(s, 4),
+                "_part": (
+                    (bh.ravel() * np.uint64(4) + np.tile(
+                        np.arange(4, dtype=np.uint64), n))
+                    % np.uint64(num_parts)
+                ).astype(np.int64),
+            }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["doc_id"], g["simhash"])))[:200]
-        out = []
-        for (da, sa), (db, sb) in itertools.combinations(recs, 2):
-            ham = bin(int(sa) ^ int(sb)).count("1")
-            if ham <= max_hamming:
-                out.append((da, db, ham))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        out_a, out_b, out_h = [], [], []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))[:200]
+            for (da, sa), (db, sb) in itertools.combinations(recs, 2):
+                ham = bin(int(sa) ^ int(sb)).count("1")
+                if ham <= max_hamming:
+                    out_a.append(da)
+                    out_b.append(db)
+                    out_h.append(ham)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_h, dtype="int64")}
+        )
 
     cand = (
         sigs.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "band_hash"])
+        .groupby("_part")
         .map_groups(pairs, batch_format="pandas")
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_pair_rows(cand)

@@ -308,19 +308,26 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         gap = g["ts"].diff().dt.total_seconds().fillna(0)
         g["session_id"] = (gap > 3600).cumsum().astype("int64")
+        # order-insensitive sum: round each value to integer cents FIRST
+        # (identical floor(x*100+0.5) on the SQL side), then sum int64 —
+        # float-sum order across engines can flip a final round() at a
+        # .xx5 boundary, which showed up as a hash mismatch at sf0.01
+        g["value_c"] = np.floor(
+            g["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
         agg = g.groupby("session_id").agg(
-            n_events=("event_id", "count"), sum_value=("value", "sum")
+            n_events=("event_id", "count"), sum_value=("value_c", "sum")
         ).reset_index()
+        agg["sum_value"] = agg["sum_value"] / 100.0
         agg["user_id"] = g["user_id"].iloc[0]
         return agg[["user_id", "session_id", "n_events", "sum_value"]]
 
-    out = (
+    return (
         _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
         .groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
     )
-    return _round(out, {"sum_value": 2})
 
 
 SESSIONIZE_SQL = """
@@ -337,7 +344,7 @@ sess AS (
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -793,6 +800,21 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(hexify, batch_format="pandas").to_pandas()
 
 
+#: pinned-fixture oracle (valid at sf0.01 ONLY — the driver's correctness
+#: scale): expected signatures computed by the independent pure-Python
+#: reference in tools/gen_fixtures.py, not by SimHasher itself
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ),
+    "fixtures",
+)
+SIMHASH_SQL = f"""
+SELECT doc_id, simhash_hex
+FROM read_parquet('{_FIXTURE_DIR}/simhash_sf001.parquet')
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -959,7 +981,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
     "minhash_dedup_keep_first": (minhash_dedup_keep_first_docs, KEEP_FIRST_SQL),
-    "simhash_docs": (simhash_docs, None),
+    "simhash_docs": (simhash_docs, SIMHASH_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "lsh_ann_topk": (lsh_ann_topk, None),
