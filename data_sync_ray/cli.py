@@ -22,7 +22,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data-sync-ray")
     p.add_argument("command",
                    choices=["replay", "tail", "bootstrap", "repair",
-                            "inspect", "compact", "export"])
+                            "inspect", "compact", "export", "control",
+                            "status"])
     p.add_argument("--config", required=True, help="TOML job config")
     p.add_argument("--events", help="event-log root (epoch=K dirs)")
     p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
@@ -31,7 +32,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-catch-up", action="store_true")
     p.add_argument("--poll-interval", type=float, default=5.0)
     p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--mode", choices=["run", "pause", "stop"],
+                   help="strategy mode (control)")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="mutable config override for a running tail job")
     args = p.parse_args(argv)
+
+    if args.command in ("control", "status"):
+        # control-plane file ops need no Ray session (server.go analog)
+        from .config import SyncConfig
+        from .control import ControlPlane
+
+        cp = ControlPlane(SyncConfig.from_toml(args.config).lake_root)
+        if args.command == "control":
+            overrides = {}
+            for kv in args.set:
+                k, _, v = kv.partition("=")
+                overrides[k] = json.loads(v)
+            cp.set_strategy_mode(args.mode or "run", overrides)
+            out = {"strategy_mode": args.mode or "run",
+                   "overrides": overrides}
+        else:
+            out = cp.get_status() or {"status": "no status written yet"}
+        print(json.dumps(out, default=str))
+        return 0
 
     import ray
 

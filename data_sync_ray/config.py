@@ -42,6 +42,11 @@ class SyncConfig:
     apply_mode: str = "tasks"
     apply_concurrency: int | tuple[int, int] = 4  # actor pool size
     batch_size: int = 32_768  # events per transform batch
+    # fold memory budget: a fold task LWW-reduces its spill fragments
+    # incrementally once this many buffered rows accumulate, so fold
+    # memory is O(distinct keys + chunk) instead of O(all spilled events)
+    # — an epoch 100x larger no longer needs a 100x fold heap
+    fold_chunk_rows: int = 2_000_000
     # hot-key detection: keys whose per-batch share exceeds this fraction are
     # reported in the skew histogram metric (pre-reduce makes them harmless)
     hot_key_threshold: float = 0.05
@@ -83,6 +88,7 @@ class SyncConfig:
             apply_mode=sec.get("apply_mode", "tasks"),
             apply_concurrency=int(sec.get("apply_concurrency", 4)),
             batch_size=int(sec.get("batch_size", 32768)),
+            fold_chunk_rows=int(sec.get("fold_chunk_rows", 2_000_000)),
             hot_key_threshold=float(sec.get("hot_key_threshold", 0.05)),
             inspect_alarm_count=int(sec.get("inspect_alarm_count", 5)),
             schema_policy=sec.get("schema_policy", "unify"),

@@ -1,0 +1,129 @@
+"""Runtime control surface for tailing jobs — the file-based analog of the
+reference's HTTP control plane (/root/reference/src/server/http/server.go:
+59-158: /sync/getConfig, /sync/setStrategyMode -> application.Reload, and
+the Prometheus scrape at /sync/monitor/metrics, src/infrastructure/monitor/
+monitor.go:44-108).
+
+No HTTP framework in this sandbox, so the surface is two JSON files under
+<lake_root>/control/ with the same semantics:
+
+  status.json   — written by the tail loop each round: config snapshot,
+                  per-round counters, lag/watermarks, failure totals.
+                  Reading it IS getConfig + the metrics scrape (any
+                  sidecar can poll and re-export it).
+  control.json  — written by an operator (or ControlPlane.set_strategy_mode):
+                  {"strategy_mode": "run"|"pause"|"stop",
+                   "config": {mutable overrides}}. The tail loop reads it
+                  between rounds and hot-applies it — the Reload analog
+                  (app.go:97-116), minus the goroutine teardown Ray does
+                  not need (each round is its own Dataset execution).
+
+Lake-identity fields (num_partitions, key/order columns, lake_root) are
+NOT hot-reloadable — changing them re-routes keys (see Lake.IMMUTABLE_FIELDS);
+overrides naming them are rejected and reported in status.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+from .config import SyncConfig
+
+#: config fields the Reload analog may change between rounds
+MUTABLE_FIELDS = (
+    "include_tables",
+    "exclude_tables",
+    "filter_cols",
+    "exchange_mode",
+    "spill_groups",
+    "apply_mode",
+    "apply_concurrency",
+    "batch_size",
+    "fold_chunk_rows",
+    "hot_key_threshold",
+    "inspect_alarm_count",
+    "schema_policy",
+)
+
+STRATEGY_MODES = ("run", "pause", "stop")
+
+
+class ControlPlane:
+    def __init__(self, lake_root: str):
+        self.dir = os.path.join(lake_root, "control")
+        self.status_path = os.path.join(self.dir, "status.json")
+        self.control_path = os.path.join(self.dir, "control.json")
+
+    # --- operator side (the HTTP-client analog) -----------------------------
+
+    def set_strategy_mode(
+        self, mode: str, config: dict | None = None
+    ) -> None:
+        """The setStrategyMode analog (server.go:129-158): queue a mode
+        change and optional mutable-config overrides for the tail loop's
+        next round."""
+        if mode not in STRATEGY_MODES:
+            raise ValueError(f"strategy_mode must be one of {STRATEGY_MODES}")
+        from .state.lake import atomic_write_json
+
+        os.makedirs(self.dir, exist_ok=True)
+        atomic_write_json(
+            self.control_path,
+            {"strategy_mode": mode, "config": config or {}},
+        )
+
+    def get_status(self) -> dict | None:
+        """The getConfig + metrics-scrape analog (server.go:117-121)."""
+        if not os.path.exists(self.status_path):
+            return None
+        with open(self.status_path) as f:
+            return json.load(f)
+
+    # --- tail-loop side ------------------------------------------------------
+
+    def read_control(self) -> dict:
+        if not os.path.exists(self.control_path):
+            return {"strategy_mode": "run", "config": {}}
+        try:
+            with open(self.control_path) as f:
+                d = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return {"strategy_mode": "run", "config": {}}
+        if d.get("strategy_mode") not in STRATEGY_MODES:
+            d["strategy_mode"] = "run"
+        d.setdefault("config", {})
+        return d
+
+    @staticmethod
+    def apply_overrides(
+        cfg: SyncConfig, overrides: dict
+    ) -> tuple[SyncConfig, list[str], list[str]]:
+        """The Reload analog: return (new config, applied, rejected).
+        Unknown and immutable fields are rejected, never applied."""
+        applied, rejected = [], []
+        d = dataclasses.asdict(cfg)
+        for k, v in overrides.items():
+            if k in MUTABLE_FIELDS:
+                d[k] = v
+                applied.append(k)
+            else:
+                rejected.append(k)
+        if not applied:
+            return cfg, applied, rejected
+        for k in ("include_tables", "exclude_tables"):
+            d[k] = tuple(d[k])
+        d["filter_cols"] = {k: tuple(v) for k, v in d["filter_cols"].items()}
+        if isinstance(d.get("apply_concurrency"), list):
+            d["apply_concurrency"] = tuple(d["apply_concurrency"])
+        return SyncConfig(**d), applied, rejected
+
+    def write_status(self, payload: dict) -> None:
+        from .state.lake import atomic_write_json
+
+        os.makedirs(self.dir, exist_ok=True)
+        payload = dict(payload)
+        payload["ts"] = time.time()
+        atomic_write_json(self.status_path, payload)

@@ -161,36 +161,182 @@ def lsh_topk(
 # --- embedding near-dup -----------------------------------------------------
 
 
-def cosine_near_dup_pairs(
-    emb: rd.Dataset, threshold: float = 0.4, concurrency: int = 4
-) -> rd.Dataset:
-    """All pairs (a < b) with cosine >= threshold. Corpus is broadcast
-    (ray.put once, read per actor); each batch does one (block x corpus)
-    matmul. 100 TB path: LSH-bucket both sides first, same per-bucket body."""
-    all_tbl = emb.select_columns(["vec_id", "embedding"]).to_pandas()
-    M = _normalize(_stack(all_tbl["embedding"]))
-    ids = all_tbl["vec_id"].to_numpy()
-    ref = ray.put((M, ids))
-
-    class PairFinder:
-        def __init__(self):
-            self.M, self.ids = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            E = _normalize(_stack(batch["embedding"]))
-            bids = batch["vec_id"].to_numpy()
-            S = E @ self.M.T
-            ai, bj = np.nonzero(S >= threshold)
-            a, b = bids[ai], self.ids[bj]
-            keep = a < b  # dedupe the symmetric pair + self-match
-            return pd.DataFrame(
-                {
-                    "vec_a": a[keep],
-                    "vec_b": b[keep],
-                    "cosine": S[ai[keep], bj[keep]],
-                }
-            )
-
-    return emb.map_batches(
-        PairFinder, batch_format="pandas", concurrency=concurrency
+@ray.remote
+def _block_pair_scores(
+    ta: pa.Table, tb: pa.Table, threshold: float, same: bool
+) -> pa.Table:
+    """Exact cosine pairs >= threshold between two corpus blocks (blocks
+    arrive by object ref — shared-memory reads, shipped at most once per
+    consumer node)."""
+    A = _stack(ta.column("embedding").to_pylist())
+    ids_a = ta.column("vec_id").to_numpy()
+    if same:
+        S = A @ A.T
+        iu, ju = np.triu_indices(S.shape[0], k=1)
+        m = S[iu, ju] >= threshold
+        a, b, c = ids_a[iu[m]], ids_a[ju[m]], S[iu, ju][m]
+    else:
+        B = _stack(tb.column("embedding").to_pylist())
+        ids_b = tb.column("vec_id").to_numpy()
+        S = A @ B.T
+        ai, bj = np.nonzero(S >= threshold)
+        a, b, c = ids_a[ai], ids_b[bj], S[ai, bj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64()),
+         "cosine": pa.array(c, pa.float64())}
     )
+
+
+def cosine_near_dup_pairs(
+    emb: rd.Dataset, threshold: float = 0.4, num_blocks: int = 8
+) -> rd.Dataset:
+    """All pairs (a < b) with cosine >= threshold — EXACT, distributed.
+
+    Block-pair sweep: normalize + materialize the corpus as num_blocks
+    object-store blocks (spillable — never driver memory), then one raw
+    Ray task per block pair (i <= j) does an (n/B x n/B) matmul. Raw
+    tasks because a block cartesian product is the one shape the Dataset
+    API can't express (SURVEY §2 custom-operator rule c). Exact all-pairs
+    is inherently O(N^2) compute — spread over B(B+1)/2 tasks, with each
+    block shipped to at most B consumers; at low thresholds (wide angles)
+    no LSH scheme can prune without losing recall, which the exact SQL
+    oracle would catch. For HIGH thresholds use
+    cosine_near_dup_pairs_lsh — same answer where it prunes, linear cost.
+    """
+
+    def pack(t: pa.Table) -> pa.Table:
+        M = _normalize(_stack(t.column("embedding").to_pylist()))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").combine_chunks().cast(pa.int64()),
+                "embedding": pa.array(list(M), pa.list_(pa.float64())),
+            }
+        )
+
+    pre = (
+        emb.select_columns(["vec_id", "embedding"])
+        .map_batches(pack, batch_format="pyarrow")
+        .repartition(num_blocks)
+        .materialize()
+    )
+    refs = [
+        r
+        for bundle in pre.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    outs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            outs.append(
+                _block_pair_scores.remote(
+                    refs[i], refs[j], threshold, i == j
+                )
+            )
+    tables = [t for t in ray.get(outs) if t.num_rows]
+    if not tables:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        )
+    # pair output is tiny (bounded by real near-dup density)
+    return rd.from_arrow(pa.concat_tables(tables))
+
+
+def cosine_near_dup_pairs_lsh(
+    emb: rd.Dataset,
+    threshold: float = 0.9,
+    n_planes: int = 2,
+    n_bands: int = 16,
+    seed: int = 5,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Approximate near-dup pairs — the 100 TB scale path for HIGH
+    thresholds. n_bands independent hyperplane signatures bucket the
+    corpus; only same-(band, bucket) vectors are compared (exact cosine
+    verify inside the bucket task, so false candidates never surface).
+    Per-pair miss probability is (1 - (1-theta/pi)^n_planes)^n_bands —
+    negligible for near-duplicate angles, unbounded for wide angles
+    (use the exact sweep there). One shuffle on a small int partition of
+    buckets; embeddings travel n_bands times.
+    """
+    empty_routed = pa.schema(
+        [("band", pa.int64()), ("bucket", pa.int64()),
+         ("vec_id", pa.int64()),
+         ("embedding", pa.list_(pa.float64())), ("_part", pa.int64())]
+    ).empty_table()
+
+    def route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_routed
+        E = _normalize(_stack(t.column("embedding").to_pylist()))
+        # planes derive from the seed only — identical in every task
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_bands * n_planes, E.shape[1])
+        )
+        bits = (E @ planes.T) > 0  # (n, bands*planes)
+        bits = bits.reshape(len(E), n_bands, n_planes)
+        pows = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = bits.astype(np.int64) @ pows  # (n, bands)
+        band_idx = np.tile(np.arange(n_bands, dtype=np.int64), len(E))
+        bucket_flat = buckets.ravel()
+        return pa.table(
+            {
+                "band": pa.array(band_idx),
+                "bucket": pa.array(bucket_flat),
+                "vec_id": pa.array(
+                    np.repeat(t.column("vec_id").to_numpy(), n_bands),
+                    pa.int64(),
+                ),
+                "embedding": pa.array(
+                    list(np.repeat(E, n_bands, axis=0)),
+                    pa.list_(pa.float64()),
+                ),
+                "_part": pa.array(
+                    (band_idx * 1315423911 + bucket_flat) % num_parts
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for _, sub in g.groupby(["band", "bucket"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            E = np.vstack([np.asarray(v) for v in sub["embedding"]])
+            S = E @ E.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            m = S[iu, ju] >= threshold
+            a, b = ids[iu[m]], ids[ju[m]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(S[iu, ju][m])
+        if not out_a:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    cand = (
+        emb.select_columns(["vec_id", "embedding"])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # a pair can collide in many bands: distinct on (vec_a, vec_b)
+    from .dedup import dedup_pair_rows
+
+    return dedup_pair_rows(cand, cols=("vec_a", "vec_b"))

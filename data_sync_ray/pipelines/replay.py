@@ -18,6 +18,7 @@ commit logs => crash anywhere, rerun, identical final state.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -399,21 +400,70 @@ class ReplayJob:
         direct-sync ticker + 30s inspector, conf/iot.sync.toml:28-33) as a
         poll-for-new-epochs loop. Each round replays whatever epoch dirs
         appeared since the last; optional periodic inspection. Bounded by
-        max_rounds for tests/CLI; None = run until interrupted."""
+        max_rounds for tests/CLI; None = run until interrupted.
+
+        Runtime control (the HTTP control-plane analog, see control.py):
+        between rounds the loop reads <lake>/control/control.json —
+        strategy_mode "pause" skips replay rounds, "stop" exits the loop,
+        and mutable config overrides hot-apply (the Reload analog). After
+        every round it writes <lake>/control/status.json with the config
+        snapshot and cumulative counters (the getConfig/metrics scrape).
+        """
+        from ..control import ControlPlane
+
+        cp = ControlPlane(self.cfg.lake_root)
         rounds = 0
         totals = {"rounds": 0, "epochs_run": 0, "events_applied": 0}
         boot = bootstrap
+        mode = "run"
+        applied_overrides: list[str] = []
+        rejected_overrides: list[str] = []
         while max_rounds is None or rounds < max_rounds:
-            s = self.replay(events_root, bootstrap=boot)
-            boot = None
-            totals["rounds"] += 1
-            totals["epochs_run"] += s["epochs_run"]
-            totals["events_applied"] += s["events_applied"]
-            if inspect_every and totals["rounds"] % inspect_every == 0:
-                totals["last_inspect"] = self.inspect(events_root)
+            ctl = cp.read_control()
+            mode = ctl["strategy_mode"]
+            if ctl["config"]:
+                new_cfg, applied, rejected = cp.apply_overrides(
+                    self.cfg, ctl["config"]
+                )
+                applied_overrides = applied
+                rejected_overrides = rejected
+                if applied:
+                    self.cfg = new_cfg
+                    self._cfg_json = new_cfg.to_json()
+            if mode == "stop":
+                break
+            if mode != "pause":
+                s = self.replay(events_root, bootstrap=boot)
+                boot = None
+                totals["rounds"] += 1
+                totals["epochs_run"] += s["epochs_run"]
+                totals["events_applied"] += s["events_applied"]
+                if inspect_every and totals["rounds"] % inspect_every == 0:
+                    totals["last_inspect"] = self.inspect(events_root)
+            wms = self.lake.watermarks()
+            failures = sum(
+                self.lake.read_checkpoint(p).get("failures", 0)
+                for p in self.lake.partitions()
+            )
+            cp.write_status(
+                {
+                    "strategy_mode": mode,
+                    "config": json.loads(self._cfg_json),
+                    "rounds": totals["rounds"],
+                    "epochs_run": totals["epochs_run"],
+                    "events_applied": totals["events_applied"],
+                    "watermark_max": max(wms.values(), default=-1),
+                    "watermark_min": min(wms.values(), default=-1),
+                    "partitions": len(wms),
+                    "failures": failures,
+                    "applied_overrides": applied_overrides,
+                    "rejected_overrides": rejected_overrides,
+                }
+            )
             rounds += 1
             if max_rounds is None or rounds < max_rounds:
                 time.sleep(poll_interval)
+        totals["strategy_mode"] = mode
         return totals
 
     # --- bootstrap / repair (direct-sync analog, ref §3.2) ------------------
@@ -522,69 +572,92 @@ class ReplayJob:
 
     def deep_verify(self, expected: rd.Dataset | pa.Table) -> dict:
         """Deep consistency check (SURVEY §3.3's optional deep mode): exact
-        token-array equality per doc_id between the lake's current state and
-        an expected snapshot — distributed via per-row checksums + a
-        full outer hash join on doc_id. Returns mismatch/missing/extra
-        counts; 0/0/0 == the judged invariant holds."""
+        token-array equality per doc_id between the lake's current state
+        and an expected snapshot — distributed via per-row checksums
+        co-partitioned on doc_id (union + single-int-key groupby; the same
+        exchange shape as the dedup joins — Ray's native join spawns hash
+        aggregator actors and logs schema-hash warnings for this shape).
+        Returns mismatch/missing/extra counts; 0/0/0 == the judged
+        invariant holds."""
         import hashlib
+
+        import pandas as pd
 
         if isinstance(expected, pa.Table):
             expected = _table_to_blocks(expected)
+        num_parts = max(4, self.cfg.spill_groups)
 
-        def checksum(t: pa.Table) -> pa.Table:
-            toks = t.column("tokens")
-            out = []
-            for v in toks:
-                b = (
-                    np.asarray(v.as_py() or [], dtype=np.int32).tobytes()
-                )
-                out.append(
-                    int.from_bytes(
-                        hashlib.blake2b(b, digest_size=8).digest(), "little"
+        def make_checksum(side: int):
+            def checksum(t: pa.Table) -> pa.Table:
+                toks = t.column("tokens")
+                out = []
+                for v in toks:
+                    b = np.asarray(v.as_py() or [], dtype=np.int32).tobytes()
+                    out.append(
+                        int.from_bytes(
+                            hashlib.blake2b(b, digest_size=8).digest(),
+                            "little",
+                        )
+                        >> 1
                     )
-                    >> 1
+                ids = t.column("doc_id").combine_chunks().cast(pa.string())
+                part = (
+                    pd.util.hash_pandas_object(
+                        pd.Series(ids.to_pandas()), index=False
+                    ).to_numpy()
+                    % num_parts
+                ).astype(np.int64)
+                return pa.table(
+                    {
+                        "_part": pa.array(part),
+                        "doc_id": ids,
+                        "cksum": pa.array(out, pa.int64()),
+                        "side": pa.array(
+                            np.full(t.num_rows, side, dtype=np.int8)
+                        ),
+                    }
                 )
-            return pa.table(
-                {"doc_id": t.column("doc_id"), "cksum": pa.array(out, pa.int64())}
-            )
+
+            return checksum
 
         lake_ck = read_lake(self.cfg.lake_root).map_batches(
-            checksum, batch_format="pyarrow"
+            make_checksum(0), batch_format="pyarrow"
         )
-        want_ck = expected.map_batches(checksum, batch_format="pyarrow")
-        joined = lake_ck.join(
-            want_ck,
-            join_type="full_outer",
-            num_partitions=max(4, self.cfg.spill_groups),
-            on=("doc_id",),
-            left_suffix="_lake",
-            right_suffix="_want",
+        want_ck = expected.map_batches(
+            make_checksum(1), batch_format="pyarrow"
         )
 
-        def classify(t: pa.Table) -> pa.Table:
-            a = t.column("cksum_lake" if "cksum_lake" in t.column_names else "cksum")
-            b = t.column("cksum_want" if "cksum_want" in t.column_names else "cksum")
-            missing = pc.is_null(a)
-            extra = pc.is_null(b)
-            matched = pc.and_(
-                pc.and_(pc.invert(missing), pc.invert(extra)),
-                pc.equal(a, b),
+        def compare(g: pd.DataFrame) -> pa.Table:
+            a = g[g["side"] == 0][["doc_id", "cksum"]]
+            b = g[g["side"] == 1][["doc_id", "cksum"]]
+            m = a.merge(
+                b, on="doc_id", how="outer", suffixes=("_lake", "_want")
             )
-            mismatch = pc.and_(
-                pc.and_(pc.invert(missing), pc.invert(extra)),
-                pc.invert(pc.equal(a, b)),
-            )
+            missing = int(m["cksum_lake"].isna().sum())
+            extra = int(m["cksum_want"].isna().sum())
+            both = m.dropna(subset=["cksum_lake", "cksum_want"])
+            mismatch = int((both["cksum_lake"] != both["cksum_want"]).sum())
             return pa.table(
                 {
-                    "missing": pa.array([pc.sum(pc.cast(missing, pa.int64())).as_py() or 0]),
-                    "extra": pa.array([pc.sum(pc.cast(extra, pa.int64())).as_py() or 0]),
-                    "mismatch": pa.array([pc.sum(pc.cast(mismatch, pa.int64())).as_py() or 0]),
-                    "matched": pa.array([pc.sum(pc.cast(matched, pa.int64())).as_py() or 0]),
+                    "missing": pa.array([missing], pa.int64()),
+                    "extra": pa.array([extra], pa.int64()),
+                    "mismatch": pa.array([mismatch], pa.int64()),
+                    "matched": pa.array(
+                        [len(both) - mismatch], pa.int64()
+                    ),
                 }
             )
 
-        rows = joined.map_batches(classify, batch_format="pyarrow").take_all()
-        agg = {k: sum(r[k] for r in rows) for k in ("missing", "extra", "mismatch", "matched")}
+        rows = (
+            lake_ck.union(want_ck)
+            .groupby("_part")
+            .map_groups(compare, batch_format="pandas")
+            .take_all()
+        )
+        agg = {
+            k: sum(r[k] for r in rows)
+            for k in ("missing", "extra", "mismatch", "matched")
+        }
         agg["consistent"] = (
             agg["missing"] == 0 and agg["extra"] == 0 and agg["mismatch"] == 0
         )

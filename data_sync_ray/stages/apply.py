@@ -55,7 +55,9 @@ class PartitionApplier:
         self.epoch = epoch
         self.cfg = SyncConfig.from_json(cfg_json)
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group: pa.Table, n_in: int | None = None) -> pa.Table:
+        """n_in: raw (pre-combine) event count override — the chunked fold
+        reduces fragments before calling, so group.num_rows undercounts."""
         if group.num_rows == 0:
             return METRICS_SCHEMA.empty_table()
         partition = group.column("partition")[0].as_py()
@@ -63,7 +65,8 @@ class PartitionApplier:
         if epoch is None:
             epoch = group.column("epoch")[0].as_py()
             group = group.drop_columns(["epoch"])
-        n_in = group.num_rows
+        if n_in is None:
+            n_in = group.num_rows
         vc = pa.compute.value_counts(group.column(self.cfg.key_column))
         max_key = (
             pa.compute.max(vc.field("counts")).as_py() if len(vc) else 0

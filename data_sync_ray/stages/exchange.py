@@ -200,9 +200,26 @@ def make_fold_commit_stage(cfg: SyncConfig, epochs: list[int]):
     race two epochs' commits on the same checkpoint and could silently
     drop a delta reference. One task per group serializes a partition's
     commits structurally; parallelism = G (size G to the cluster).
+
+    Memory is bounded by cfg.fold_chunk_rows: fragments stream through an
+    incremental LWW reduce (safe: the fold algebra is associative and
+    commutative — hypothesis-pinned in tests/test_properties.py), so the
+    task holds O(distinct keys + chunk) rows, never the epoch's full
+    spill. Raw event counts per partition are tracked separately for the
+    events_in metric.
     """
     lake_root = cfg.lake_root
     cfg_json = cfg.to_json()
+    key_col, order_col = cfg.key_column, cfg.order_column
+    chunk_rows = max(1, cfg.fold_chunk_rows)
+
+    from .merge import lww_winners, unify_concat
+
+    def reduce_pending(state: pa.Table | None, pending: list[pa.Table]):
+        tables = ([state] if state is not None else []) + pending
+        if not tables:
+            return state
+        return lww_winners(unify_concat(tables), key=key_col, order=order_col)
 
     def fold_commit(batch: pa.Table) -> pa.Table:
         outs = []
@@ -212,30 +229,46 @@ def make_fold_commit_stage(cfg: SyncConfig, epochs: list[int]):
                 gdir = spill_dir(lake_root, int(e), int(gi))
                 if not os.path.isdir(gdir):
                     continue
-                frags = [
-                    _read_spill_safe(os.path.join(gdir, f))
-                    for f in sorted(os.listdir(gdir))
-                    if f.endswith(".arrows")
-                ]
-                frags = [f for f in frags if f is not None and f.num_rows]
-                if not frags:
+                state: pa.Table | None = None
+                pending: list[pa.Table] = []
+                pending_rows = 0
+                raw_counts: dict[int, int] = {}
+                for f in sorted(os.listdir(gdir)):
+                    if not f.endswith(".arrows"):
+                        continue
+                    t = _read_spill_safe(os.path.join(gdir, f))
+                    if t is None or t.num_rows == 0:
+                        continue
+                    if "epoch" in t.column_names:
+                        t = t.drop_columns(["epoch"])
+                    pv, pc_ = np.unique(
+                        t.column("partition").to_numpy(), return_counts=True
+                    )
+                    for p, c in zip(pv, pc_):
+                        raw_counts[int(p)] = raw_counts.get(int(p), 0) + int(c)
+                    pending.append(t)
+                    pending_rows += t.num_rows
+                    if pending_rows >= chunk_rows:
+                        state = reduce_pending(state, pending)
+                        pending, pending_rows = [], 0
+                state = reduce_pending(state, pending)
+                if state is None or state.num_rows == 0:
                     continue
-                t = (
-                    pa.concat_tables(frags, promote_options="permissive")
-                    if len(frags) > 1
-                    else frags[0]
-                )
-                if "epoch" in t.column_names:
-                    t = t.drop_columns(["epoch"])
-                parts = t.column("partition").to_numpy()
+                parts = state.column("partition").to_numpy()
                 order = np.argsort(parts, kind="stable")
-                t = t.take(pa.array(order))
+                state = state.take(pa.array(order))
                 parts = parts[order]
                 bounds = np.flatnonzero(np.diff(parts)) + 1
                 starts = np.concatenate([[0], bounds])
-                ends = np.concatenate([bounds, [t.num_rows]])
+                ends = np.concatenate([bounds, [state.num_rows]])
                 for lo, hi in zip(starts, ends):
-                    outs.append(applier(t.slice(lo, hi - lo)))
+                    p = int(parts[lo])
+                    outs.append(
+                        applier(
+                            state.slice(lo, hi - lo),
+                            n_in=raw_counts.get(p, int(hi - lo)),
+                        )
+                    )
         if not outs:
             return METRICS_SCHEMA.empty_table()
         return pa.concat_tables(outs)

@@ -1,0 +1,76 @@
+"""Runtime control surface for tail mode — the file-based analog of the
+reference's HTTP control plane (server.go:59-158: getConfig /
+setStrategyMode -> Reload) and metrics scrape (monitor.go:44-108)."""
+
+import os
+
+import pytest
+
+from data_sync_ray import (
+    ReplayJob,
+    StreamSpec,
+    SyncConfig,
+    gen_base_table,
+    gen_change_stream,
+    replay_oracle,
+    write_event_log,
+)
+from data_sync_ray.control import ControlPlane
+
+from test_replay_e2e import assert_tables_equal, build_fixture
+
+
+def _fixture(tmp_path):
+    spec = StreamSpec(n_events=800, n_docs=80, n_epochs=2, seed=11)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=80,
+                                          seed=11)
+    cfg = SyncConfig(lake_root=os.path.join(str(tmp_path), "lake"),
+                     num_partitions=4)
+    return ReplayJob(cfg), base, epochs, ev_root
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_writes_status_and_hot_applies_overrides(tmp_path):
+    job, base, epochs, ev_root = _fixture(tmp_path)
+    cp = ControlPlane(job.cfg.lake_root)
+    # queue a mutable override + an immutable one (must be rejected)
+    cp.set_strategy_mode(
+        "run", config={"batch_size": 1024, "num_partitions": 64}
+    )
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=2,
+                      bootstrap=base)
+    assert totals["rounds"] == 2
+    assert job.cfg.batch_size == 1024          # Reload analog applied
+    assert job.cfg.num_partitions == 4         # identity field untouched
+    st = cp.get_status()
+    assert st["strategy_mode"] == "run"
+    assert st["config"]["batch_size"] == 1024  # getConfig analog
+    assert st["applied_overrides"] == ["batch_size"]
+    assert st["rejected_overrides"] == ["num_partitions"]
+    assert st["events_applied"] > 0
+    assert st["watermark_max"] >= 0
+    assert st["failures"] == 0
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_pause_and_stop_modes(tmp_path):
+    job, base, epochs, ev_root = _fixture(tmp_path)
+    cp = ControlPlane(job.cfg.lake_root)
+    cp.set_strategy_mode("pause")
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=2)
+    assert totals["rounds"] == 0               # paused: no replay rounds
+    assert cp.get_status()["strategy_mode"] == "pause"
+    cp.set_strategy_mode("stop")
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=5)
+    assert totals["strategy_mode"] == "stop"
+    assert totals["rounds"] == 0               # exited before any round
+    cp.set_strategy_mode("run")
+    job.tail(ev_root, poll_interval=0.01, max_rounds=1, bootstrap=base)
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+
+
+def test_invalid_mode_rejected(tmp_path):
+    cp = ControlPlane(str(tmp_path / "lake"))
+    with pytest.raises(ValueError):
+        cp.set_strategy_mode("bogus")

@@ -97,6 +97,27 @@ def test_failures_counter_is_wired(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_chunked_fold_bounded_memory_equals_oracle(tmp_path):
+    """fold_chunk_rows far below the spill size forces the incremental
+    LWW reduce path many times over; the final state must still equal the
+    sequential oracle exactly (fold algebra associativity in practice)."""
+    spec = StreamSpec(n_events=6000, n_docs=300, n_epochs=3, seed=31,
+                      evolve_from_epoch=2)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=300,
+                                          seed=31)
+    job = make_job(str(tmp_path), fold_chunk_rows=64)
+    job.replay(ev_root, bootstrap=base)
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+    # events_in metric still counts raw (pre-reduce) spilled events
+    total_in = sum(
+        ln["events_in"]
+        for p in job.lake.partitions()
+        for ln in job.lake.read_checkpoint(p)["lineage"]
+    )
+    assert total_in >= 300  # bootstrap inserts alone
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sort_catchup_single_committer_per_partition(tmp_path):
     """Sort-mode catch-up: all of a partition's epochs commit from ONE
     group task (serially), so no checkpoint RMW race can drop a delta.

@@ -145,6 +145,56 @@ class TestAnn:
         assert 3 in approx
         assert len(exact & approx) >= 2
 
+    def test_block_sweep_near_dup_exact(self):
+        """The distributed block-pair sweep equals numpy ground truth —
+        every pair, every block split, including cross-block pairs."""
+        from data_sync_ray.functions.ann import cosine_near_dup_pairs
+
+        rng = np.random.default_rng(2)
+        M = rng.standard_normal((120, 16))
+        M[11] = M[3] + 0.05 * rng.standard_normal(16)  # planted near-dup
+        M[77] = M[40] + 0.05 * rng.standard_normal(16)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        iu, ju = np.triu_indices(120, k=1)
+        keep = S[iu, ju] >= 0.5
+        want = set(zip(iu[keep], ju[keep]))
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": range(120), "embedding": [v.tolist() for v in M]}
+            )
+        )
+        out = cosine_near_dup_pairs(ds, threshold=0.5, num_blocks=5).to_pandas()
+        got = set(zip(out["vec_a"], out["vec_b"]))
+        assert got == want
+        assert {(3, 11), (40, 77)} <= got
+
+    def test_lsh_near_dup_high_threshold_recall(self):
+        """Bucketed LSH pairs = exact pairs at a near-duplicate threshold
+        (plus never emits a false pair — cosine verified in-bucket)."""
+        from data_sync_ray.functions.ann import (
+            cosine_near_dup_pairs,
+            cosine_near_dup_pairs_lsh,
+        )
+
+        rng = np.random.default_rng(4)
+        M = rng.standard_normal((200, 32))
+        for a, b in [(5, 150), (9, 60), (100, 101)]:
+            M[b] = M[a] + 0.1 * rng.standard_normal(32)
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": range(200), "embedding": [v.tolist() for v in M]}
+            )
+        )
+        exact = cosine_near_dup_pairs(ds, threshold=0.9).to_pandas()
+        approx = cosine_near_dup_pairs_lsh(
+            ds, threshold=0.9, n_planes=2, n_bands=16
+        ).to_pandas()
+        want = set(zip(exact["vec_a"], exact["vec_b"]))
+        got = set(zip(approx["vec_a"], approx["vec_b"]))
+        assert want  # the planted dups qualify
+        assert got == want
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
