@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--mode", choices=["run", "pause", "stop"],
                    help="strategy mode (control)")
+    p.add_argument("--format", choices=["json", "prom"], default="json",
+                   help="status output format (prom = Prometheus text)")
     p.add_argument("--set", action="append", default=[],
                    metavar="KEY=JSON",
                    help="mutable config override for a running tail job")
@@ -55,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                    "overrides": overrides}
         else:
             out = cp.get_status() or {"status": "no status written yet"}
+            if args.format == "prom":
+                from .control import status_to_prometheus
+
+                print(status_to_prometheus(out), end="")
+                return 0
         print(json.dumps(out, default=str))
         return 0
 

@@ -127,3 +127,25 @@ class ControlPlane:
         payload = dict(payload)
         payload["ts"] = time.time()
         atomic_write_json(self.status_path, payload)
+
+
+def status_to_prometheus(status: dict) -> str:
+    """Render a status snapshot as Prometheus text-exposition counters —
+    the /sync/monitor/metrics analog (monitor.go:44-108: consume/handle/
+    fail counters become events/epochs/failures). A node-exporter-style
+    sidecar can serve this string; the engine itself stays HTTP-free."""
+    gauges = {
+        "data_sync_events_applied_total": status.get("events_applied", 0),
+        "data_sync_epochs_run_total": status.get("epochs_run", 0),
+        "data_sync_rounds_total": status.get("rounds", 0),
+        "data_sync_failures_total": status.get("failures", 0),
+        "data_sync_watermark_max": status.get("watermark_max", -1),
+        "data_sync_watermark_min": status.get("watermark_min", -1),
+        "data_sync_partitions": status.get("partitions", 0),
+        "data_sync_paused": 1 if status.get("strategy_mode") == "pause" else 0,
+    }
+    lines = []
+    for name, val in gauges.items():
+        lines.append(f"# TYPE {name} gauge")
+        lines.append(f"{name} {val}")
+    return "\n".join(lines) + "\n"

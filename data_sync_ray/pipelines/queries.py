@@ -889,7 +889,17 @@ def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
 
     q = _query_vec(sf_dir)[None, :]
     out = lsh_topk(_t(sf_dir, "embeddings"), q, k=10)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
     return _round(out, {"score": 4})
+
+
+#: pinned-fixture oracle (sf0.01 only): single-probe LSH top-k recomputed
+#: from first principles in tools/gen_fixtures.py (plain numpy, no Ray)
+LSH_TOPK_SQL = f"""
+SELECT query_id, vec_id, score
+FROM read_parquet('{_FIXTURE_DIR}/lsh_topk_sf001.parquet')
+"""
 
 
 # --- windowed aggregate -----------------------------------------------------
@@ -1020,7 +1030,7 @@ QUERIES: dict[str, tuple] = {
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
-    "lsh_ann_topk": (lsh_ann_topk, None),
+    "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
     "cdc_replay_lake": (cdc_replay_lake, None),
 }

@@ -74,3 +74,15 @@ def test_invalid_mode_rejected(tmp_path):
     cp = ControlPlane(str(tmp_path / "lake"))
     with pytest.raises(ValueError):
         cp.set_strategy_mode("bogus")
+
+
+def test_prometheus_text_export():
+    from data_sync_ray.control import status_to_prometheus
+
+    text = status_to_prometheus(
+        {"events_applied": 42, "strategy_mode": "pause", "failures": 1}
+    )
+    assert "data_sync_events_applied_total 42" in text
+    assert "data_sync_failures_total 1" in text
+    assert "data_sync_paused 1" in text
+    assert text.endswith("\n")

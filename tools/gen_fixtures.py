@@ -35,6 +35,36 @@ def simhash_ref(text: str) -> int:
     return sum(1 << i for i in range(64) if acc[i] > 0)
 
 
+def lsh_topk_ref(sf_dir: str, k: int = 10, n_planes: int = 8, seed: int = 5):
+    """Reference single-probe LSH top-k (query = vec_id 0), recomputed
+    from first principles with plain numpy — mirrors the published
+    random-hyperplane construction, independent of functions/ann.py's
+    Ray pipeline staging."""
+    import numpy as np
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_numpy()
+    M = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q = M[list(ids).index(0)]
+    planes = np.random.default_rng(seed).standard_normal((n_planes, M.shape[1]))
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = ((M @ planes.T) > 0).astype(np.int64) @ pows
+    qb = int(((q @ planes.T) > 0).astype(np.int64) @ pows)
+    mask = buckets == qb
+    scores = M[mask] @ q
+    bids = ids[mask]
+    order = np.lexsort((bids, -scores))[:k]
+    return [
+        (0, int(bids[i]), round(float(scores[i]), 4)) for i in order
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -54,6 +84,18 @@ def main() -> None:
     path = os.path.join(out_dir, "simhash_sf001.parquet")
     pq.write_table(out, path)
     print(f"wrote {path}: {out.num_rows} rows")
+
+    rows = lsh_topk_ref(sf_dir)
+    out2 = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    path2 = os.path.join(out_dir, "lsh_topk_sf001.parquet")
+    pq.write_table(out2, path2)
+    print(f"wrote {path2}: {out2.num_rows} rows")
 
 
 if __name__ == "__main__":
