@@ -35,19 +35,45 @@ def _hash64(s: str) -> int:
     )
 
 
+#: process-stable per-task memo of word -> blake2b-64 (the text vocabulary
+#: is tiny relative to the token stream; same trick as SimHasher)
+_WORD_CACHE: dict[str, int] = {}
+
+
+def _word_hash_arr(words: list[str]) -> np.ndarray:
+    c = _WORD_CACHE
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = c.get(w)
+        if h is None:
+            h = _hash64(w)
+            c[w] = h
+        out[i] = h
+    if len(c) > 2_000_000:  # bound task memory on adversarial vocabularies
+        c.clear()
+    return out
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Word k-gram shingles -> uint64 hashes. Docs shorter than k words
-    have no shingles (excluded from near-dup, both here and in oracles)."""
+    have no shingles (excluded from near-dup, both here and in oracles).
+
+    Vectorized: blake2b only per UNIQUE word (memoized), then a k-step
+    FNV-style mixing combine over shifted hash windows — no per-shingle
+    digest calls. The mix is order-sensitive within the window, so
+    "a b c" != "c b a"; identical shingles collide by construction and
+    distinct ones at ~2^-64 (only risk: an off-by-one in Jaccard)."""
     w = text.split()
     if len(w) < k:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (_hash64(" ".join(w[i : i + k])) for i in range(len(w) - k + 1)),
-            dtype=np.uint64,
-            count=len(w) - k + 1,
-        )
-    )
+    wh = _word_hash_arr(w)
+    n = wh.size
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound intended
+        h = np.full(n - k + 1, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for j in range(k):  # k is small (3); windows vectorized
+            h = (h ^ wh[j : n - k + 1 + j]) * np.uint64(0x100000001B3)
+            h ^= h >> np.uint64(31)
+    return np.unique(h)
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -240,8 +266,13 @@ def minhash_lsh_candidates(
     bands: int = 32,
     rows: int = 4,
     concurrency: int = 4,
+    distinct: bool = True,
 ) -> rd.Dataset:
-    """docs(text, doc_id) -> distinct candidate pairs (doc_a < doc_b)."""
+    """docs(text, doc_id) -> candidate pairs (doc_a < doc_b).
+
+    distinct=False skips the pair-dedup exchange (a pair matching in many
+    bands appears once per matching band) — callers that already dedup
+    downstream (verify_jaccard's first attach) save a full shuffle."""
     assert bands * rows == num_hashes
     # cheap per-call state (seeded coefficients) => task-based map_batches.
     # Actor pools here would RESERVE CPUs per stage; two chained pools can
@@ -263,15 +294,11 @@ def minhash_lsh_candidates(
     pairs = band_rows.groupby("_part").map_groups(
         _bucket_pairs, batch_format="pandas"
     )
+    if not distinct:
+        return pairs
     # distinct pairs (a pair can match in many bands)
     return dedup_pair_rows(pairs)
 
-
-_EMPTY_VERIFIED = pa.table(
-    {"doc_a": pa.array([], pa.int64()),
-     "doc_b": pa.array([], pa.int64()),
-     "jaccard": pa.array([], pa.float64())}
-)
 
 _SH_TYPE = pa.list_(pa.int64())
 
@@ -284,6 +311,7 @@ def _attach_shingles(
     carry: tuple[str, ...],
     num_parts: int,
     id_col: str = "doc_id",
+    dedup_pairs: bool = False,
 ) -> rd.Dataset:
     """Distributed hash join of pair rows with per-doc shingle lists on
     `side`, built from union + single-int-key groupby (Ray's native hash
@@ -335,6 +363,11 @@ def _attach_shingles(
         is_sh = g["doc_a"].to_numpy() < 0
         lut = dict(zip(g.loc[is_sh, "_id"], g.loc[is_sh, "_sh"]))
         m = g.loc[~is_sh]
+        if dedup_pairs:
+            # every copy of a pair shares `side`, hence this partition —
+            # the in-group distinct is global, saving a dedicated
+            # dedup exchange upstream
+            m = m.drop_duplicates(["doc_a", "doc_b"])
         att = [lut.get(i) for i in m["_id"]]
         keep = np.array([a is not None for a in att], dtype=bool)
         m = m.loc[keep]
@@ -370,10 +403,14 @@ def verify_jaccard(
     inside the shuffled blocks, never through the driver. A doc that
     matches no pair is dropped by the join's build side — the semi-join
     falls out for free. Docs too short to shingle produce no shingle row,
-    so their pairs drop at the join (same as a 0.0 Jaccard before)."""
-    pairs = pairs.materialize()  # tiny (LSH output); enables the 0-pair exit
-    if pairs.count() == 0:
-        return rd.from_arrow(_EMPTY_VERIFIED)
+    so their pairs drop at the join (same as a 0.0 Jaccard before).
+    An empty pair set flows through as typed empty blocks.
+
+    pairs is materialized first: it is tiny (the LSH output), and cutting
+    the candidate lineage (two shuffles) out of the verify execution keeps
+    each execution to at most two exchange barriers — chaining all four
+    into one streaming graph measured ~2x slower."""
+    pairs = pairs.materialize()
 
     def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
         # lists, not ndarrays: Ray's block size estimator chokes on
@@ -390,10 +427,15 @@ def verify_jaccard(
             {id_col: batch.loc[keep, id_col], "sh": sh[keep]}
         )
 
-    shingles = docs.map_batches(shingles_of, batch_format="pandas")
+    # materialize once: BOTH attach rounds consume this dataset, and an
+    # unmaterialized Dataset re-executes its whole lineage per consumer
+    # (double shingling of the corpus)
+    shingles = docs.map_batches(
+        shingles_of, batch_format="pandas"
+    ).materialize()
     j1 = _attach_shingles(
         pairs, shingles, side="doc_a", out_col="sh_a", carry=(),
-        num_parts=num_partitions, id_col=id_col,
+        num_parts=num_partitions, id_col=id_col, dedup_pairs=True,
     )
     j2 = _attach_shingles(
         j1, shingles, side="doc_b", out_col="sh_b", carry=("sh_a",),
@@ -401,15 +443,20 @@ def verify_jaccard(
     )
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ja = []
-        for sa, sb in zip(batch["sh_a"], batch["sh_b"]):
+        ja = np.empty(len(batch), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
             sa = np.asarray(sa, dtype=np.int64)
             sb = np.asarray(sb, dtype=np.int64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            ja.append(inter / (sa.size + sb.size - inter))
-        batch = batch[["doc_a", "doc_b"]].copy()
-        batch["jaccard"] = ja
-        return batch[batch["jaccard"] >= threshold]
+            ja[i] = inter / (sa.size + sb.size - inter)
+        out = pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].to_numpy(),
+                "doc_b": batch["doc_b"].to_numpy(),
+                "jaccard": ja,  # typed even for empty blocks
+            }
+        )
+        return out[out["jaccard"] >= threshold]
 
     return j2.map_batches(score, batch_format="pandas")
 
@@ -417,8 +464,10 @@ def verify_jaccard(
 def minhash_dedup_pairs(
     docs: rd.Dataset, threshold: float = 0.5, k: int = 3, **kw
 ) -> rd.Dataset:
-    """End-to-end near-dup pairs: LSH candidates -> exact-Jaccard verify."""
-    cands = minhash_lsh_candidates(docs, k=k, **kw)
+    """End-to-end near-dup pairs: LSH candidates -> exact-Jaccard verify.
+    Candidates skip their dedup exchange — verify's first attach dedups
+    in the same shuffle it needs anyway."""
+    cands = minhash_lsh_candidates(docs, k=k, distinct=False, **kw)
     return verify_jaccard(cands, docs, threshold, k=k)
 
 
