@@ -52,9 +52,11 @@ def main(argv: list[str] | None = None) -> int:
             for kv in args.set:
                 k, _, v = kv.partition("=")
                 overrides[k] = json.loads(v)
-            cp.set_strategy_mode(args.mode or "run", overrides)
-            out = {"strategy_mode": args.mode or "run",
-                   "overrides": overrides}
+            # --set without --mode must not silently un-pause the job:
+            # keep whatever mode the control file already holds
+            mode = args.mode or cp.read_control()["strategy_mode"]
+            cp.set_strategy_mode(mode, overrides)
+            out = {"strategy_mode": mode, "overrides": overrides}
         else:
             out = cp.get_status() or {"status": "no status written yet"}
             if args.format == "prom":

@@ -85,6 +85,9 @@ class ControlPlane:
     # --- tail-loop side ------------------------------------------------------
 
     def read_control(self) -> dict:
+        """Malformed control input must never kill the tail daemon —
+        anything that isn't a well-formed {strategy_mode, config: dict}
+        degrades to run-with-no-overrides."""
         if not os.path.exists(self.control_path):
             return {"strategy_mode": "run", "config": {}}
         try:
@@ -92,21 +95,65 @@ class ControlPlane:
                 d = json.load(f)
         except (json.JSONDecodeError, OSError):
             return {"strategy_mode": "run", "config": {}}
+        if not isinstance(d, dict):
+            return {"strategy_mode": "run", "config": {}}
         if d.get("strategy_mode") not in STRATEGY_MODES:
             d["strategy_mode"] = "run"
-        d.setdefault("config", {})
+        if not isinstance(d.get("config"), dict):
+            d["config"] = {}
         return d
+
+    @staticmethod
+    def _valid_override(key: str, value) -> bool:
+        """Type/value gate so a mistyped override is REJECTED here instead
+        of crashing the next replay round deep inside map_batches."""
+        checks = {
+            "include_tables": lambda v: isinstance(v, (list, tuple))
+            and all(isinstance(x, str) for x in v),
+            "exclude_tables": lambda v: isinstance(v, (list, tuple))
+            and all(isinstance(x, str) for x in v),
+            "filter_cols": lambda v: isinstance(v, dict)
+            and all(
+                isinstance(k, str) and isinstance(c, (list, tuple))
+                for k, c in v.items()
+            ),
+            "exchange_mode": lambda v: v in ("spill", "sort"),
+            "spill_groups": lambda v: isinstance(v, int)
+            and not isinstance(v, bool) and v >= 1,
+            "apply_mode": lambda v: v in ("tasks", "actors"),
+            "apply_concurrency": lambda v: (
+                isinstance(v, int) and not isinstance(v, bool) and v >= 1
+            )
+            or (
+                isinstance(v, (list, tuple))
+                and len(v) == 2
+                and all(isinstance(x, int) and x >= 1 for x in v)
+            ),
+            "batch_size": lambda v: isinstance(v, int)
+            and not isinstance(v, bool) and v >= 1,
+            "fold_chunk_rows": lambda v: isinstance(v, int)
+            and not isinstance(v, bool) and v >= 1,
+            "hot_key_threshold": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool) and 0 <= v <= 1,
+            "inspect_alarm_count": lambda v: isinstance(v, int)
+            and not isinstance(v, bool) and v >= 1,
+            "schema_policy": lambda v: v in ("unify", "conform"),
+        }
+        check = checks.get(key)
+        return bool(check and check(value))
 
     @staticmethod
     def apply_overrides(
         cfg: SyncConfig, overrides: dict
     ) -> tuple[SyncConfig, list[str], list[str]]:
         """The Reload analog: return (new config, applied, rejected).
-        Unknown and immutable fields are rejected, never applied."""
+        Unknown, immutable, and ill-typed fields are rejected, never
+        applied — validation happens before the config swap, like any
+        reload path worth the name."""
         applied, rejected = [], []
         d = dataclasses.asdict(cfg)
         for k, v in overrides.items():
-            if k in MUTABLE_FIELDS:
+            if k in MUTABLE_FIELDS and ControlPlane._valid_override(k, v):
                 d[k] = v
                 applied.append(k)
             else:

@@ -168,6 +168,12 @@ def _block_pair_scores(
     """Exact cosine pairs >= threshold between two corpus blocks (blocks
     arrive by object ref — shared-memory reads, shipped at most once per
     consumer node)."""
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    if ta.num_rows == 0 or (not same and tb.num_rows == 0):
+        return empty  # repartition can hand out empty blocks
     A = _stack(ta.column("embedding").to_pylist())
     ids_a = ta.column("vec_id").to_numpy()
     if same:
@@ -249,19 +255,28 @@ def cosine_near_dup_pairs(
 def cosine_near_dup_pairs_lsh(
     emb: rd.Dataset,
     threshold: float = 0.9,
-    n_planes: int = 2,
+    n_planes: int = 8,
     n_bands: int = 16,
     seed: int = 5,
     num_parts: int = 16,
+    max_bucket: int = 2000,
 ) -> rd.Dataset:
     """Approximate near-dup pairs — the 100 TB scale path for HIGH
     thresholds. n_bands independent hyperplane signatures bucket the
     corpus; only same-(band, bucket) vectors are compared (exact cosine
     verify inside the bucket task, so false candidates never surface).
     Per-pair miss probability is (1 - (1-theta/pi)^n_planes)^n_bands —
-    negligible for near-duplicate angles, unbounded for wide angles
+    ~0.4% at cosine 0.9 with the defaults, unbounded for wide angles
     (use the exact sweep there). One shuffle on a small int partition of
     buckets; embeddings travel n_bands times.
+
+    Cost note: expected per-band bucket size is n/2^n_planes, so total
+    comparisons ~ n_bands * n^2 / 2^n_planes — the defaults (8 planes,
+    16 bands) are ~8x cheaper than the exact sweep; FEWER planes raise
+    recall for wide angles but can cost MORE than exact (2 planes = 4
+    buckets/band). Buckets beyond max_bucket are truncated (sorted by
+    vec_id, deterministic) — a degenerate bucket must not do unbounded
+    O(n^2) work in one task.
     """
     empty_routed = pa.schema(
         [("band", pa.int64()), ("bucket", pa.int64()),
@@ -306,6 +321,8 @@ def cosine_near_dup_pairs_lsh(
         for _, sub in g.groupby(["band", "bucket"], sort=False):
             if len(sub) < 2:
                 continue
+            if len(sub) > max_bucket:
+                sub = sub.sort_values("vec_id").head(max_bucket)
             ids = sub["vec_id"].to_numpy()
             E = np.vstack([np.asarray(v) for v in sub["embedding"]])
             S = E @ E.T

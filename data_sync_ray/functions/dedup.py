@@ -329,6 +329,7 @@ def _attach_shingles(
                 t.column(side).to_numpy() % num_parts, pa.int64()
             ),
             "_id": t.column(side).combine_chunks().cast(pa.int64()),
+            "_is_sh": pa.array(np.zeros(n, dtype=np.int8)),
             "doc_a": t.column("doc_a").combine_chunks().cast(pa.int64()),
             "doc_b": t.column("doc_b").combine_chunks().cast(pa.int64()),
             "_sh": pa.nulls(n, _SH_TYPE),
@@ -344,8 +345,11 @@ def _attach_shingles(
                 t.column(id_col).to_numpy() % num_parts, pa.int64()
             ),
             "_id": t.column(id_col).combine_chunks().cast(pa.int64()),
-            "doc_a": pa.array(np.full(n, -1, dtype=np.int64)),
-            "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            # explicit side marker — an in-band doc_a=-1 sentinel would
+            # misclassify pairs over a legal negative id space
+            "_is_sh": pa.array(np.ones(n, dtype=np.int8)),
+            "doc_a": pa.array(np.zeros(n, dtype=np.int64)),
+            "doc_b": pa.array(np.zeros(n, dtype=np.int64)),
             "_sh": t.column("sh").combine_chunks().cast(_SH_TYPE),
         }
         for c in carry:
@@ -360,7 +364,7 @@ def _attach_shingles(
         # output is explicitly-typed Arrow: a pandas list column would be
         # re-inferred as Ray's variable-shaped-tensor extension type, which
         # the next round's cast to list<int64> rejects
-        is_sh = g["doc_a"].to_numpy() < 0
+        is_sh = g["_is_sh"].to_numpy() == 1
         lut = dict(zip(g.loc[is_sh, "_id"], g.loc[is_sh, "_sh"]))
         m = g.loc[~is_sh]
         if dedup_pairs:
@@ -519,9 +523,9 @@ class SimHasher:
     """64-bit SimHash over word hashes (count-weighted sign sum).
 
     Batch-vectorized: all docs' words flatten to one hash array (per-word
-    blake2b memoized across batches in actor/task state — the natural-text
-    vocabulary is tiny relative to the token stream), the ±1 bit
-    contributions expand once, and per-doc sums come from one
+    blake2b memoized in the shared process-level _WORD_CACHE — the
+    natural-text vocabulary is tiny relative to the token stream), the ±1
+    bit contributions expand once, and per-doc sums come from one
     np.add.reduceat over doc boundaries. Count-weighting falls out of
     summing every occurrence. Identical signatures to the original
     per-doc implementation (pinned by the sf0.01 fixture oracle)."""
@@ -530,21 +534,8 @@ class SimHasher:
     #: stays ~tens of MB regardless of batch shape
     _CHUNK_WORDS = 1 << 20
 
-    def __init__(self):
-        self._cache: dict[str, int] = {}
-
     def _word_hashes(self, words: list[str]) -> np.ndarray:
-        c = self._cache
-        out = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            h = c.get(w)
-            if h is None:
-                h = _hash64(w)
-                c[w] = h
-            out[i] = h
-        if len(c) > 2_000_000:  # bound actor memory on adversarial input
-            self._cache = {}
-        return out
+        return _word_hash_arr(words)  # shared memo with the shingle path
 
     def _pack(self, vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
         """(flat word hashes, words-per-doc) -> per-doc simhash uint64.

@@ -431,6 +431,10 @@ class ReplayJob:
                     self.cfg = new_cfg
                     self._cfg_json = new_cfg.to_json()
             if mode == "stop":
+                # final status so a scrape sees the stop, not stale 'run'
+                self._write_tail_status(
+                    cp, mode, totals, applied_overrides, rejected_overrides
+                )
                 break
             if mode != "pause":
                 s = self.replay(events_root, bootstrap=boot)
@@ -440,31 +444,38 @@ class ReplayJob:
                 totals["events_applied"] += s["events_applied"]
                 if inspect_every and totals["rounds"] % inspect_every == 0:
                     totals["last_inspect"] = self.inspect(events_root)
-            wms = self.lake.watermarks()
-            failures = sum(
-                self.lake.read_checkpoint(p).get("failures", 0)
-                for p in self.lake.partitions()
-            )
-            cp.write_status(
-                {
-                    "strategy_mode": mode,
-                    "config": json.loads(self._cfg_json),
-                    "rounds": totals["rounds"],
-                    "epochs_run": totals["epochs_run"],
-                    "events_applied": totals["events_applied"],
-                    "watermark_max": max(wms.values(), default=-1),
-                    "watermark_min": min(wms.values(), default=-1),
-                    "partitions": len(wms),
-                    "failures": failures,
-                    "applied_overrides": applied_overrides,
-                    "rejected_overrides": rejected_overrides,
-                }
+            self._write_tail_status(
+                cp, mode, totals, applied_overrides, rejected_overrides
             )
             rounds += 1
             if max_rounds is None or rounds < max_rounds:
                 time.sleep(poll_interval)
         totals["strategy_mode"] = mode
         return totals
+
+    def _write_tail_status(
+        self, cp, mode, totals, applied_overrides, rejected_overrides
+    ) -> None:
+        wms = self.lake.watermarks()
+        failures = sum(
+            self.lake.read_checkpoint(p).get("failures", 0)
+            for p in self.lake.partitions()
+        )
+        cp.write_status(
+            {
+                "strategy_mode": mode,
+                "config": json.loads(self._cfg_json),
+                "rounds": totals["rounds"],
+                "epochs_run": totals["epochs_run"],
+                "events_applied": totals["events_applied"],
+                "watermark_max": max(wms.values(), default=-1),
+                "watermark_min": min(wms.values(), default=-1),
+                "partitions": len(wms),
+                "failures": failures,
+                "applied_overrides": applied_overrides,
+                "rejected_overrides": rejected_overrides,
+            }
+        )
 
     # --- bootstrap / repair (direct-sync analog, ref §3.2) ------------------
 
@@ -628,8 +639,13 @@ class ReplayJob:
         )
 
         def compare(g: pd.DataFrame) -> pa.Table:
-            a = g[g["side"] == 0][["doc_id", "cksum"]]
-            b = g[g["side"] == 1][["doc_id", "cksum"]]
+            a = g[g["side"] == 0][["doc_id", "cksum"]].copy()
+            b = g[g["side"] == 1][["doc_id", "cksum"]].copy()
+            # nullable Int64: a plain outer merge would coerce the int64
+            # checksums to float64 (53-bit mantissa), silently equating
+            # distinct checksums — fatal for an exact-equality audit
+            a["cksum"] = a["cksum"].astype("Int64")
+            b["cksum"] = b["cksum"].astype("Int64")
             m = a.merge(
                 b, on="doc_id", how="outer", suffixes=("_lake", "_want")
             )

@@ -28,16 +28,18 @@ from ..datamodel import CHANGE_EVENT_SCHEMA
 _OPS = {"insert", "update", "delete"}
 
 
-def parse_position(ev: dict) -> int:
-    """Total order from the event's position/xid.
+def parse_position(ev: dict) -> int | None:
+    """Total order from the event's position/xid; None = unorderable.
 
     Real Maxwell output carries `position` as a string like
     "master.000006:800911" (binlog file : byte offset — see the reference's
     embedded example, src/infrastructure/repo/format/insert.go:12-30).
     Derive a total order as (file index << 40) | offset (binlog files are
     capped at 1 GiB, far below 2^40). Integer positions pass through;
-    unparseable positions fall back to xid, then 0 — a malformed field
-    never kills the batch task.
+    an unparseable position falls back to xid. If NEITHER yields an order
+    the caller vetoes the event (counted like a missing pk) — assigning 0
+    would silently lose the event's payload to every prior writer in the
+    LWW fold, which is worse than dropping it visibly.
     """
     pos = ev.get("position")
     if pos is not None:
@@ -57,10 +59,13 @@ def parse_position(ev: dict) -> int:
                     return (idx << 40) | off
             except ValueError:
                 pass
-    try:
-        return int(ev.get("xid", 0) or 0)
-    except (TypeError, ValueError):
-        return 0
+    xid = ev.get("xid")
+    if xid is not None:
+        try:
+            return int(xid)
+        except (TypeError, ValueError):
+            return None
+    return None
 
 
 def parse_maxwell_batch(
@@ -110,9 +115,12 @@ def parse_maxwell_batch(
             if any(v is None for v in vals):
                 continue  # ref: missing pk is an error -> veto the event
             doc_id = "\x1f".join(str(v) for v in vals)
+        log_pos = parse_position(ev)
+        if log_pos is None:
+            continue  # unorderable event: veto (see parse_position)
         rows.append(
             {
-                "log_pos": parse_position(ev),
+                "log_pos": log_pos,
                 "ts": ev.get("ts"),
                 "op": op,
                 "table": ev.get("table", ""),

@@ -110,8 +110,11 @@ class Lake:
                     )
                     + " (create a new lake_root to change these)"
                 )
-        with open(cfg_path, "w") as f:
-            f.write(cfg.to_json())
+            if old == cfg:
+                return lake  # identical: no write, no crash window at all
+        # atomic replace: every ReplayJob run reopens the lake, and a torn
+        # plain write here would brick the one file that identifies it
+        atomic_write_json(cfg_path, json.loads(cfg.to_json()))
         return lake
 
     def job_lock(self):

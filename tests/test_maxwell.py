@@ -87,15 +87,17 @@ def test_binlog_string_position_total_order():
         ev(position="master.000006:800911"),
         ev(position="master.000007:12"),   # later file, smaller offset
         ev(position="not-a-position", xid=77),  # fallback to xid
-        ev(position="master.junk:5", xid=None),  # unparseable -> 0
+        ev(position="master.junk:5", xid=None),  # unorderable -> vetoed
     ]
     t = parse_maxwell_batch(lines)
     got = t.column("log_pos").to_pylist()
+    # the unorderable event is dropped, never demoted to log_pos 0 (it
+    # would silently lose LWW to every prior event for its key)
+    assert len(got) == 3
     assert got[0] == (6 << 40) | 800911
     assert got[1] == (7 << 40) | 12
     assert got[1] > got[0]  # file rollover preserves the total order
     assert got[2] == 77
-    assert got[3] == 0
 
 
 def test_composite_primary_key_normalized():
