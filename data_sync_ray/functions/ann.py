@@ -104,14 +104,27 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 5,
     concurrency: int = 4,
+    n_probes: int = 1,
 ) -> pd.DataFrame:
-    """Approximate top-k: search only the corpus bucket matching each
-    query's hyperplane signature (single-probe). Recall < 1 by design;
-    tests measure it against brute force."""
+    """Approximate top-k: search the corpus buckets matching each query's
+    hyperplane signature. n_probes=1 probes only the exact-signature
+    bucket; n_probes=P additionally probes the P-1 neighbor buckets whose
+    signatures differ in the single least-confident plane bits (standard
+    multiprobe: flipping the planes with the smallest |margin| first),
+    trading P x candidates for recall. Recall < 1 by design; tests
+    measure it against brute force."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     hasher = HyperplaneHasher(Q.shape[1], n_planes, seed)
     q_buckets = hasher.bucket_of(Q)
-    wanted = set(int(b) for b in q_buckets)
+    probe_sets: list[set[int]] = []
+    for qi in range(Q.shape[0]):
+        probes = {int(q_buckets[qi])}
+        if n_probes > 1:
+            margins = np.abs(Q[qi] @ hasher.planes.T)  # plane confidence
+            for plane in np.argsort(margins)[: n_probes - 1]:
+                probes.add(int(q_buckets[qi]) ^ (1 << int(plane)))
+        probe_sets.append(probes)
+    wanted = set().union(*probe_sets)
     q_ref = ray.put(Q)
     bucket_arr = pa.array(sorted(wanted), pa.int64())
 
@@ -132,7 +145,10 @@ def lsh_topk(
         S = E @ Qm.T
         out = []
         for qi in range(S.shape[1]):
-            mask = batch["bucket"].to_numpy() == q_buckets[qi]
+            mask = np.isin(
+                batch["bucket"].to_numpy(),
+                np.fromiter(probe_sets[qi], dtype=np.int64),
+            )
             if not mask.any():
                 continue
             scores = S[mask, qi]

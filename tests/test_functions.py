@@ -144,6 +144,9 @@ class TestAnn:
         # recall some true neighbors
         assert 3 in approx
         assert len(exact & approx) >= 2
+        # multiprobe searches a superset of buckets => recall never drops
+        multi = set(lsh_topk(ds, q, k=10, n_planes=4, n_probes=3)["vec_id"])
+        assert len(exact & multi) >= len(exact & approx)
 
     def test_block_sweep_near_dup_exact(self):
         """The distributed block-pair sweep equals numpy ground truth —
