@@ -800,9 +800,11 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(hexify, batch_format="pandas").to_pandas()
 
 
-#: pinned-fixture oracle (valid at sf0.01 ONLY — the driver's correctness
-#: scale): expected signatures computed by the independent pure-Python
-#: reference in tools/gen_fixtures.py, not by SimHasher itself
+#: pinned-fixture oracle: expected signatures computed by the independent
+#: pure-Python reference in tools/gen_fixtures.py, not by SimHasher
+#: itself. Fixtures exist for every test scale and carry a content-hash
+#: `tag` of their source corpus; the SQL recomputes the tag from the
+#: registered view and self-selects the matching fixture from the glob.
 _FIXTURE_DIR = os.path.join(
     os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -810,8 +812,13 @@ _FIXTURE_DIR = os.path.join(
     "fixtures",
 )
 SIMHASH_SQL = f"""
-SELECT doc_id, simhash_hex
-FROM read_parquet('{_FIXTURE_DIR}/simhash_sf001.parquet')
+WITH t AS (
+  SELECT md5(text) AS tag FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+)
+SELECT f.doc_id, f.simhash_hex
+FROM read_parquet('{_FIXTURE_DIR}/simhash_*.parquet') f, t
+WHERE f.tag = t.tag
 """
 
 
@@ -894,11 +901,16 @@ def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     return _round(out, {"score": 4})
 
 
-#: pinned-fixture oracle (sf0.01 only): single-probe LSH top-k recomputed
-#: from first principles in tools/gen_fixtures.py (plain numpy, no Ray)
+#: pinned-fixture oracle (per-scale, tag-gated like SIMHASH_SQL):
+#: single-probe LSH top-k recomputed from first principles in
+#: tools/gen_fixtures.py (plain numpy, no Ray)
 LSH_TOPK_SQL = f"""
-SELECT query_id, vec_id, score
-FROM read_parquet('{_FIXTURE_DIR}/lsh_topk_sf001.parquet')
+WITH t AS (
+  SELECT md5(embedding::VARCHAR) AS tag FROM embeddings WHERE vec_id = 0
+)
+SELECT f.query_id, f.vec_id, f.score
+FROM read_parquet('{_FIXTURE_DIR}/lsh_topk_*.parquet') f, t
+WHERE f.tag = t.tag
 """
 
 

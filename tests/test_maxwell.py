@@ -120,6 +120,65 @@ def test_composite_primary_key_normalized():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_maxwell_jsonl_replay_parity_with_parquet_path(tmp_path):
+    """S1 parity: the SAME logical stream delivered as Maxwell JSON lines
+    (the reference's real wire format) and as parquet epochs must produce
+    identical lakes, both equal to the sequential oracle."""
+    import os
+
+    from data_sync_ray import (
+        ReplayJob, StreamSpec, SyncConfig, gen_base_table,
+        gen_change_stream, replay_oracle, write_event_log,
+    )
+    from data_sync_ray.sources.maxwell import read_maxwell_json
+    from test_replay_e2e import assert_tables_equal
+
+    spec = StreamSpec(n_events=1200, n_docs=120, n_epochs=2, seed=77)
+    base = gen_base_table(120, seed=77)
+    epochs = gen_change_stream(spec)
+
+    # parquet path
+    ev_root = os.path.join(str(tmp_path), "events")
+    write_event_log(ev_root, epochs)
+    job_pq = ReplayJob(SyncConfig(
+        lake_root=os.path.join(str(tmp_path), "lake_pq"), num_partitions=8))
+    job_pq.replay(ev_root, bootstrap=base)
+
+    # Maxwell JSON-lines path (same events serialized to the wire format)
+    job_js = ReplayJob(SyncConfig(
+        lake_root=os.path.join(str(tmp_path), "lake_js"), num_partitions=8))
+    job_js.bootstrap(base)
+    for e, tbl in enumerate(epochs):
+        lines = []
+        for r in tbl.to_pylist():
+            ev_ = {
+                "type": r["op"],
+                "database": "iot",
+                "table": r["table"],
+                "ts": int(r["ts"].timestamp()) if r["ts"] else None,
+                "position": r["log_pos"],
+                "primary_key": [r["doc_id"]],
+                "primary_key_columns": ["doc_id"],
+                "schema_ver": r["schema_ver"],
+            }
+            if r["op"] != "delete":
+                ev_["data"] = {
+                    "doc_id": r["doc_id"], "tokens": r["tokens"],
+                    "n_tok": r["n_tok"], "source": r["source"],
+                }
+            else:
+                ev_["data"] = {"doc_id": r["doc_id"]}
+            lines.append(json.dumps(ev_))
+        p = tmp_path / f"epoch{e}.jsonl"
+        p.write_text("\n".join(lines))
+        job_js.apply_epoch(e, read_maxwell_json(str(p)))
+
+    want = replay_oracle(base, epochs)
+    assert_tables_equal(job_pq.lake.read_all(), want)
+    assert_tables_equal(job_js.lake.read_all(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_read_maxwell_json_end_to_end(tmp_path):
     from data_sync_ray.sources.maxwell import read_maxwell_json
 

@@ -65,37 +65,69 @@ def lsh_topk_ref(sf_dir: str, k: int = 10, n_planes: int = 8, seed: int = 5):
     ]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures",
-    )
-    os.makedirs(out_dir, exist_ok=True)
-    docs = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+#: Each fixture carries a constant `tag` column = a content hash of its
+#: source corpus, computed IN DuckDB so the oracle SQL can recompute the
+#: identical tag from the registered view and self-select the matching
+#: fixture via a glob — the pinned oracle is then valid at every test
+#: scale (corpus row counts collide across sf dirs; content does not).
+SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1")
+
+DOCS_TAG_SQL = """
+SELECT md5(text) FROM read_parquet('{p}')
+WHERE doc_id = (SELECT min(doc_id) FROM read_parquet('{p}'))
+"""
+EMB_TAG_SQL = """
+SELECT md5(embedding::VARCHAR) FROM read_parquet('{p}') WHERE vec_id = 0
+"""
+
+
+def gen_one(sf_dir: str, out_dir: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    doc_tag = con.execute(DOCS_TAG_SQL.format(p=doc_path)).fetchone()[0]
+    emb_tag = con.execute(EMB_TAG_SQL.format(p=emb_path)).fetchone()[0]
+
+    docs = pq.read_table(doc_path, columns=["doc_id", "text"])
     hexes = [
         f"{simhash_ref(t):016x}" for t in docs.column("text").to_pylist()
     ]
     out = pa.table(
-        {"doc_id": docs.column("doc_id"), "simhash_hex": pa.array(hexes)}
+        {
+            "tag": pa.array([doc_tag] * docs.num_rows),
+            "doc_id": docs.column("doc_id"),
+            "simhash_hex": pa.array(hexes),
+        }
     )
-    path = os.path.join(out_dir, "simhash_sf001.parquet")
+    path = os.path.join(out_dir, f"simhash_{doc_tag[:12]}.parquet")
     pq.write_table(out, path)
     print(f"wrote {path}: {out.num_rows} rows")
 
     rows = lsh_topk_ref(sf_dir)
     out2 = pa.table(
         {
+            "tag": pa.array([emb_tag] * len(rows)),
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
             "vec_id": pa.array([r[1] for r in rows], pa.int64()),
             "score": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
-    path2 = os.path.join(out_dir, "lsh_topk_sf001.parquet")
+    path2 = os.path.join(out_dir, f"lsh_topk_{emb_tag[:12]}.parquet")
     pq.write_table(out2, path2)
     print(f"wrote {path2}: {out2.num_rows} rows")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for sf_dir in SF_DIRS:
+        gen_one(sf_dir, out_dir)
 
 
 if __name__ == "__main__":
