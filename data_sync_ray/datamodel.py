@@ -73,16 +73,32 @@ SOURCES_V2 = ("web", "books", "code", "wiki", "forum")  # enum growth
 
 def _gen_token_lists(
     rng: np.random.Generator, n: int, min_tok: int = 8, max_tok: int = 512
-) -> tuple[pa.ListArray, np.ndarray]:
-    """Variable-length int32 token lists, fully vectorized."""
+) -> tuple[pa.ListArray | pa.ChunkedArray, np.ndarray]:
+    """Variable-length int32 token lists, fully vectorized.
+
+    Chunked so the cast to 32-bit-offset list<int32> never overflows —
+    one flat array over ~2^31 elements (soak-scale streams) would fail
+    `Array too large to convert to list`."""
     lens = rng.integers(min_tok, max_tok + 1, size=n, dtype=np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     flat = rng.integers(0, 50_000, size=int(offsets[-1]), dtype=np.int32)
-    arr = pa.LargeListArray.from_arrays(offsets, pa.array(flat)).cast(
-        pa.list_(pa.int32())
-    )
-    return arr, lens.astype(np.int32)
+    budget = (1 << 31) - 8
+    chunks = []
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(offsets, offsets[lo] + budget, "right")) - 1
+        hi = min(max(hi, lo + 1), n)
+        sub = offsets[lo : hi + 1] - offsets[lo]
+        chunks.append(
+            pa.LargeListArray.from_arrays(
+                sub, pa.array(flat[offsets[lo] : offsets[hi]])
+            ).cast(pa.list_(pa.int32()))
+        )
+        lo = hi
+    if len(chunks) == 1:
+        return chunks[0], lens.astype(np.int32)
+    return pa.chunked_array(chunks), lens.astype(np.int32)
 
 
 def gen_base_table(n_docs: int, seed: int = 42) -> pa.Table:
