@@ -211,7 +211,7 @@ def _block_pair_scores(
 
 
 def cosine_near_dup_pairs(
-    emb: rd.Dataset, threshold: float = 0.4, num_blocks: int = 8
+    emb: rd.Dataset, threshold: float = 0.4, num_blocks: int | None = None
 ) -> rd.Dataset:
     """All pairs (a < b) with cosine >= threshold — EXACT, distributed.
 
@@ -239,9 +239,15 @@ def cosine_near_dup_pairs(
     pre = (
         emb.select_columns(["vec_id", "embedding"])
         .map_batches(pack, batch_format="pyarrow")
-        .repartition(num_blocks)
         .materialize()
     )
+    if num_blocks is None:
+        # ~250k vectors per block: B(B+1)/2 tasks stay proportionate to
+        # the corpus, and a small corpus runs as ONE task instead of
+        # paying a repartition execution + 36 trivial tasks
+        num_blocks = max(1, min(64, -(-pre.count() // 250_000)))
+    if pre.num_blocks() != num_blocks:
+        pre = pre.repartition(num_blocks).materialize()
     refs = [
         r
         for bundle in pre.iter_internal_ref_bundles()
