@@ -253,7 +253,7 @@ def dedup_pair_rows(
         return g.drop_duplicates([ca, cb]).drop(columns=["_part"])
 
     return (
-        pairs.map_batches(route, batch_format="pandas")
+        pairs.map_batches(route, batch_format="pandas", batch_size=65536)
         .groupby("_part")
         .map_groups(uniq, batch_format="pandas")
     )
@@ -356,8 +356,12 @@ def _attach_shingles(
             cols[c] = pa.nulls(n, _SH_TYPE)
         return pa.table(cols)
 
-    unioned = pair_rows.map_batches(route_p, batch_format="pyarrow").union(
-        shingles.map_batches(route_s, batch_format="pyarrow")
+    unioned = pair_rows.map_batches(
+        route_p, batch_format="pyarrow", batch_size=65536
+    ).union(
+        shingles.map_batches(
+            route_s, batch_format="pyarrow", batch_size=65536
+        )
     )
 
     def attach(g: pd.DataFrame) -> pa.Table:
@@ -462,7 +466,7 @@ def verify_jaccard(
         )
         return out[out["jaccard"] >= threshold]
 
-    return j2.map_batches(score, batch_format="pandas")
+    return j2.map_batches(score, batch_format="pandas", batch_size=65536)
 
 
 def minhash_dedup_pairs(
@@ -644,7 +648,7 @@ def simhash_dup_pairs(
         )
 
     cand = (
-        sigs.map_batches(explode, batch_format="pandas")
+        sigs.map_batches(explode, batch_format="pandas", batch_size=65536)
         .groupby("_part")
         .map_groups(pairs, batch_format="pandas")
     )

@@ -29,9 +29,13 @@ from ..stages.merge import lww_winners
 from ..stages.transform import drop_filtered_columns, filter_tables
 
 
-def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+def _t(sf_dir: str, name: str, columns=None, num_blocks=None) -> rd.Dataset:
+    """num_blocks: split the read for CPU-heavy per-row downstreams — a
+    small table arrives as ONE block, which would serialize the whole
+    pipeline through one task."""
     return rd.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns,
+        override_num_blocks=num_blocks,
     )
 
 
@@ -692,7 +696,8 @@ def minhash_near_dup_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import minhash_dedup_pairs
 
     ds = minhash_dedup_pairs(
-        _t(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, k=3
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16),
+        threshold=0.5, k=3,
     )
     out = ds.select_columns(["doc_a", "doc_b", "jaccard"]).to_pandas()
     return _round(out, {"jaccard": 6})
@@ -737,7 +742,8 @@ def minhash_dedup_keep_first_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import minhash_dedup_keep_first
 
     ds = minhash_dedup_keep_first(
-        _t(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, k=3
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16),
+        threshold=0.5, k=3,
     )
     return ds.select_columns(["doc_id"]).to_pandas()
 
@@ -789,7 +795,7 @@ WHERE l.root IS NULL OR l.root = d.doc_id
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import SimHasher
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    ds = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=8).map_batches(
         SimHasher, batch_format="pandas", concurrency=2
     )
 
