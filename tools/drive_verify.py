@@ -1,0 +1,69 @@
+"""Round-2 verify drive: e2e replay + crash probe + torn-marker probe,
+exercising the new code paths (sort-mode catch-up single-committer,
+stale-tmp sweep, spill-clear on prepare)."""
+import os
+import sys
+
+import ray
+
+workdir = sys.argv[1]
+stop_after = int(sys.argv[2]) if len(sys.argv) > 2 else -1
+mode = sys.argv[3] if len(sys.argv) > 3 else "spill"
+
+ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+from data_sync_ray import (  # noqa: E402
+    ReplayJob, StreamSpec, SyncConfig, gen_base_table, gen_change_stream,
+    replay_oracle, write_event_log,
+)
+import pyarrow as pa  # noqa: E402
+
+spec = StreamSpec(n_events=20000, n_docs=1200, n_epochs=5, seed=777)
+base = gen_base_table(1200, seed=777)
+epochs = gen_change_stream(spec)
+ev_root = os.path.join(workdir, "events")
+if not os.path.isdir(ev_root):
+    write_event_log(ev_root, epochs)
+
+cfg = SyncConfig(lake_root=os.path.join(workdir, "lake"), num_partitions=16,
+                 exchange_mode=mode)
+job = ReplayJob(cfg)
+
+if stop_after >= 0:
+    import ray.data as rd
+    job.bootstrap(base)
+    for e in range(stop_after + 1):
+        rows = job.apply_epoch(
+            e, rd.read_parquet(os.path.join(ev_root, f"epoch={e:05d}")))
+        print(f"epoch {e}: events={sum(r['events_in'] for r in rows)}"
+              if rows else f"epoch {e}: already done, skipped")
+    print(f"CRASH after epoch {stop_after}", flush=True)
+    os._exit(137)
+
+done_before = job.lake.epochs_done()
+s = job.replay(ev_root, bootstrap=base)
+for m in []:
+    pass
+print(f"epochs_run={s['epochs_run']} events_applied={s['events_applied']} "
+      f"skipped={sorted(done_before)}")
+
+got = job.lake.read_all()
+want = replay_oracle(base, epochs)
+got = got.sort_by("doc_id")
+want = want.sort_by("doc_id")
+eq = got.num_rows == want.num_rows
+if eq:
+    got = got.select(want.column_names)
+    for name in want.column_names:
+        g, w = got.column(name), want.column(name)
+        if g.type != w.type:
+            g = g.cast(w.type)
+        g = pa.chunked_array([g.combine_chunks()])
+        w = pa.chunked_array([w.combine_chunks()])
+        if not g.equals(w):
+            eq = False
+            print(f"column {name} differs")
+print(f"exact_token_equality={eq} rows={got.num_rows}")
+ins = job.inspect(ev_root)
+print(f"inspect: status {ins['status']}, lag {ins['lag']}")
+ray.shutdown()
