@@ -27,6 +27,9 @@ from ..datamodel import CHANGE_EVENT_SCHEMA
 
 _OPS = {"insert", "update", "delete"}
 
+#: payload keys with dedicated columns in CHANGE_EVENT_SCHEMA
+_CANONICAL_KEYS = {"doc_id", "tokens", "n_tok", "source"}
+
 
 def parse_position(ev: dict) -> int | None:
     """Total order from the event's position/xid; None = unorderable.
@@ -73,13 +76,21 @@ def parse_maxwell_batch(
     update_semantics: str = "new",
     key_column: str = "doc_id",
 ) -> pa.Table:
-    """One batch of raw JSON strings -> CHANGE_EVENT_SCHEMA table.
+    """One batch of raw JSON strings -> CHANGE_EVENT_SCHEMA table
+    (+ evolved payload columns).
 
     Row-wise by necessity (each line is an independent JSON document); runs
     inside map_batches so the loop is per-batch in a worker, never on the
     driver.
+
+    Schema evolution: payload keys beyond the canonical schema (e.g. a
+    `quality` column added upstream) become EXTRA typed columns — the
+    JSON-lines path then evolves the lake exactly like the parquet path
+    (schema_policy="unify"), instead of the reference's drop-unknown rule
+    (mysql_filter_service.go:37-41, kept as schema_policy="conform").
     """
     rows = []
+    extra_keys: set[str] = set()
     for line in lines:
         if not line or not line.strip():
             continue
@@ -87,11 +98,15 @@ def parse_maxwell_batch(
             ev = json.loads(line)
         except json.JSONDecodeError:
             continue  # ref: malformed messages only log+skip
+        if not isinstance(ev, dict):
+            continue  # valid JSON but not an event object
         op = ev.get("type")
-        if op not in _OPS:
+        if not isinstance(op, str) or op not in _OPS:
             continue  # ref: unknown types silently ignored
-        data = ev.get("data") or {}
-        old = ev.get("old") or {}
+        data = ev.get("data")
+        old = ev.get("old")
+        data = data if isinstance(data, dict) else {}
+        old = old if isinstance(old, dict) else {}
         if op == "update" and update_semantics == "old_quirk":
             # ref quirk: SET list from the pre-image of changed columns
             payload = {**data, **old}
@@ -103,7 +118,9 @@ def parse_maxwell_batch(
         # reference's WHERE pk1=? AND pk2=? zip
         # (src/service/mysql_filter_service.go:90-93); "\x1f" (unit
         # separator) joins parts so ("a","b:c") != ("a:b","c").
-        pk_cols = ev.get("primary_key_columns") or [key_column]
+        pk_cols = ev.get("primary_key_columns")
+        if not isinstance(pk_cols, list) or not pk_cols:
+            pk_cols = [key_column]
         pk_vals = ev.get("primary_key")
         if pk_vals is not None:
             if isinstance(pk_vals, list):
@@ -118,25 +135,81 @@ def parse_maxwell_batch(
         log_pos = parse_position(ev)
         if log_pos is None:
             continue  # unorderable event: veto (see parse_position)
-        rows.append(
-            {
-                "log_pos": log_pos,
-                "ts": ev.get("ts"),
-                "op": op,
-                "table": ev.get("table", ""),
-                "doc_id": doc_id,
-                "tokens": None if op == "delete" else payload.get("tokens"),
-                "n_tok": None if op == "delete" else payload.get("n_tok"),
-                "source": None if op == "delete" else payload.get("source"),
-                "schema_ver": int(ev.get("schema_ver", 1)),
-            }
-        )
+        ts = ev.get("ts")
+        if (
+            not isinstance(ts, (int, float))
+            or isinstance(ts, bool)
+            or not (0 <= ts < 4e12)  # epoch-seconds; fits timestamp[us]
+        ):
+            ts = None
+        sv = ev.get("schema_ver", 1)
+        try:
+            sv = int(sv)
+            if not (-(2**31) <= sv < 2**31):
+                sv = 1
+        except (TypeError, ValueError):
+            sv = 1
+        tokens = None if op == "delete" else payload.get("tokens")
+        if tokens is not None and not (
+            isinstance(tokens, list)
+            and all(
+                isinstance(x, int) and not isinstance(x, bool)
+                and -(2**31) <= x < 2**31
+                for x in tokens
+            )
+        ):
+            tokens = None
+        n_tok = None if op == "delete" else payload.get("n_tok")
+        if (
+            isinstance(n_tok, bool)
+            or not isinstance(n_tok, (int, float))
+            or not (-(2**31) <= n_tok < 2**31)
+        ):
+            n_tok = None
+        else:
+            n_tok = int(n_tok)
+        source = None if op == "delete" else payload.get("source")
+        if source is not None and not isinstance(source, str):
+            source = None
+        table = ev.get("table", "")
+        row = {
+            "log_pos": log_pos,
+            "ts": ts,
+            "op": op,
+            "table": table if isinstance(table, str) else "",
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": source,
+            "schema_ver": sv,
+        }
+        if op != "delete":
+            for k, v in payload.items():
+                if k not in _CANONICAL_KEYS:
+                    row[k] = v
+                    extra_keys.add(k)
+        rows.append(row)
     if not rows:
         return CHANGE_EVENT_SCHEMA.empty_table()
     for r in rows:
         if r["ts"] is not None:
             r["ts"] = int(r["ts"]) * 1_000_000  # Maxwell ts is epoch-seconds
-    return pa.Table.from_pylist(rows, schema=CHANGE_EVENT_SCHEMA)
+    schema = CHANGE_EVENT_SCHEMA
+    if extra_keys:
+        for r in rows:
+            for k in extra_keys:
+                r.setdefault(k, None)
+        for k in sorted(extra_keys):
+            try:
+                # typed inference per batch; unify widens downstream
+                inferred = pa.array([r[k] for r in rows]).type
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # untypable (mixed-type garbage across rows): drop the key
+                for r in rows:
+                    r.pop(k, None)
+                continue
+            schema = schema.append(pa.field(k, inferred))
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def read_maxwell_json(

@@ -119,6 +119,83 @@ def test_composite_primary_key_normalized():
     assert parse_maxwell_batch([json.dumps(d2)]).num_rows == 0
 
 
+def test_evolved_payload_columns_survive_parse():
+    """Payload keys beyond the canonical schema become typed extra
+    columns (the JSON-lines analog of parquet-path schema evolution);
+    rows without the key are null-filled."""
+    lines = [
+        ev(position=1),
+        ev(position=2, data={"doc_id": "doc2", "tokens": [4], "n_tok": 1,
+                             "source": "wiki", "quality": 0.75}),
+    ]
+    t = parse_maxwell_batch(lines)
+    assert "quality" in t.column_names
+    import pyarrow as pa_
+
+    assert pa_.types.is_floating(t.schema.field("quality").type)
+    assert t.column("quality").to_pylist() == [None, 0.75]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_evolved_jsonl_column_reaches_lake(tmp_path):
+    """An upstream-added payload column delivered via JSON lines evolves
+    the lake schema (unify policy), matching the parquet path's
+    column-add semantics."""
+    from data_sync_ray import ReplayJob, SyncConfig
+    from data_sync_ray.sources.maxwell import read_maxwell_json
+
+    lines = [
+        ev(position=1),
+        ev(position=2, primary_key=["doc9"],
+           data={"doc_id": "doc9", "tokens": [7, 8], "n_tok": 2,
+                 "source": "wiki", "quality": 0.9}),
+    ]
+    p = tmp_path / "ev.jsonl"
+    p.write_text("\n".join(lines))
+    job = ReplayJob(SyncConfig(lake_root=str(tmp_path / "lake"),
+                               num_partitions=4))
+    job.apply_epoch(0, read_maxwell_json(str(p)))
+    state = job.lake.read_all()
+    assert "quality" in state.column_names
+    by_id = dict(zip(state.column("doc_id").to_pylist(),
+                     state.column("quality").to_pylist()))
+    assert by_id["doc9"] == pytest.approx(0.9)
+    assert by_id["doc1"] is None  # null-filled for pre-evolution rows
+
+
+def test_parser_never_raises_on_garbage():
+    """Fuzz: arbitrary malformed events are skipped, never crash the
+    batch task (the reference logs+skips, mysql_handler.go:123-158)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    json_scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
+        st.text(max_size=20),
+    )
+    event = st.dictionaries(
+        st.sampled_from(
+            ["type", "table", "ts", "position", "xid", "primary_key",
+             "primary_key_columns", "data", "old", "schema_ver", "junk"]
+        ),
+        st.one_of(
+            json_scalars,
+            st.lists(json_scalars, max_size=3),
+            st.dictionaries(st.text(max_size=8), json_scalars, max_size=4),
+        ),
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.one_of(event.map(json.dumps), st.text(max_size=30)),
+                    max_size=6))
+    def run(lines):
+        t = parse_maxwell_batch(lines)
+        assert t.num_rows >= 0  # never raises
+
+    run()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_maxwell_jsonl_replay_parity_with_parquet_path(tmp_path):
     """S1 parity: the SAME logical stream delivered as Maxwell JSON lines
