@@ -22,6 +22,7 @@ from .datamodel import (
 )
 from .pipelines.multi import MultiTableReplay
 from .pipelines.replay import ReplayJob, export_lake, read_lake
+from .sources.producer import EventLogProducer
 from .stages.merge import events_to_delta, fold_state, lww_winners, unify_concat
 from .stages.transform import (
     assign_partition,
@@ -34,6 +35,7 @@ from .state.lake import Lake
 
 __all__ = [
     "CHANGE_EVENT_SCHEMA",
+    "EventLogProducer",
     "LAKE_SCHEMA",
     "Lake",
     "MultiTableReplay",
