@@ -109,3 +109,57 @@ def test_winners_idempotent_and_fold_associative(events):
     nested = fold_to_state([fold_state([x for x in [a] if x.num_rows] or [a]), b])
     flat = fold_to_state([a, b])
     assert nested == flat
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.tuples(st.integers(0, 10**6), st.integers(0, (1 << 40) - 1)),
+    b=st.tuples(st.integers(0, 10**6), st.integers(0, (1 << 40) - 1)),
+)
+def test_binlog_position_total_order_preserved(a, b):
+    """parse_position's (file_idx << 40) | offset encoding preserves the
+    lexicographic (file, offset) order of binlog positions — the property
+    LWW correctness rests on for "file:offset" streams."""
+    from data_sync_ray.sources.maxwell import parse_position
+
+    def pos(t):
+        return parse_position(
+            {"position": f"master.{t[0]:06d}:{t[1]}"}
+        )
+
+    pa_, pb_ = pos(a), pos(b)
+    assert (a < b) == (pa_ < pb_)
+    assert (a == b) == (pa_ == pb_)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    overrides=st.dictionaries(
+        st.one_of(
+            st.sampled_from(
+                ["batch_size", "spill_groups", "exchange_mode", "apply_mode",
+                 "include_tables", "num_partitions", "key_column", "junk"]
+            ),
+            st.text(max_size=12),
+        ),
+        st.one_of(
+            st.none(), st.booleans(), st.integers(-5, 10**7),
+            st.floats(allow_nan=False), st.text(max_size=8),
+            st.lists(st.text(max_size=5), max_size=3),
+        ),
+        max_size=6,
+    )
+)
+def test_control_overrides_never_crash_and_never_touch_identity(overrides):
+    """Reload analog safety: arbitrary override dicts never raise, never
+    change lake-identity fields, and every key is either applied or
+    rejected (no silent drops)."""
+    from data_sync_ray import SyncConfig
+    from data_sync_ray.control import ControlPlane
+
+    cfg = SyncConfig()
+    new_cfg, applied, rejected = ControlPlane.apply_overrides(cfg, overrides)
+    assert set(applied) | set(rejected) == set(overrides)
+    for f in ("num_partitions", "key_column", "order_column", "lake_root"):
+        assert getattr(new_cfg, f) == getattr(cfg, f)
+    new_cfg.to_json()  # still serializable for status.json
