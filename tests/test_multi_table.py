@@ -42,6 +42,46 @@ def test_two_tables_routed_to_own_lakes(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_single_pass_equals_per_table_replay(tmp_path):
+    """replay_single_pass (one read of the shared log for all tables)
+    produces lakes identical to the per-table-pass mode and the oracle,
+    and a second invocation is a no-op (per-lake resume)."""
+    spec = StreamSpec(n_events=1800, n_docs=150, n_epochs=3, seed=29,
+                      decoy_table_frac=0.25)
+    base = gen_base_table(150, seed=29)
+    epochs = gen_change_stream(spec)
+    ev_root = os.path.join(str(tmp_path), "events")
+    write_event_log(ev_root, epochs)
+
+    multi1 = MultiTableReplay(
+        SyncConfig(lake_root=os.path.join(str(tmp_path), "lakes_sp"),
+                   num_partitions=4),
+        ["docs", "ignored_tbl"],
+    )
+    out = multi1.replay_single_pass(ev_root, bootstraps={"docs": base})
+    assert out["docs"]["epochs_run"] == 3
+
+    multi2 = MultiTableReplay(
+        SyncConfig(lake_root=os.path.join(str(tmp_path), "lakes_pp"),
+                   num_partitions=4),
+        ["docs", "ignored_tbl"],
+    )
+    multi2.replay(ev_root, bootstraps={"docs": base})
+
+    for t in ("docs", "ignored_tbl"):
+        a = multi1.read_table(t).sort_by("doc_id")
+        b = multi2.read_table(t).sort_by("doc_id")
+        assert a.equals(b.select(a.column_names)), f"table {t} differs"
+    want = replay_oracle(base, epochs, include_tables=("docs",))
+    assert multi1.read_table("docs").num_rows == want.num_rows
+
+    # resume: everything already done -> no epochs run, state unchanged
+    out2 = multi1.replay_single_pass(ev_root)
+    assert out2["docs"]["epochs_run"] == 0
+    assert multi1.read_table("docs").num_rows == want.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_metrics_dataset(tmp_path):
     from data_sync_ray.pipelines.replay import ReplayJob
 
