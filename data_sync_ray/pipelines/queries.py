@@ -50,36 +50,56 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style grouped aggregate with a computed column; combiner
-    (per-block partial aggregation) is built into Ray's hash aggregate."""
+    (per-block partial aggregation) is built into Ray's hash aggregate.
+    Summands pre-round to integer cents (identical floor(x*100+0.5) on
+    the SQL side) so the hashed result is order-of-addition-proof."""
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
              "l_discount"])
 
-    def disc(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "disc_price",
-            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+    def cents(t: pa.Table) -> pa.Table:
+        def c(arr) -> pa.Array:
+            return pa.array(
+                np.floor(arr.to_numpy() * 100.0 + 0.5).astype(np.int64)
+            )
+
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).combine_chunks()
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": c(t["l_quantity"].combine_chunks()),
+                "base_c": c(t["l_extendedprice"].combine_chunks()),
+                "disc_c": c(disc),
+            }
         )
 
     out = (
-        ds.map_batches(disc, batch_format="pyarrow")
+        ds.map_batches(cents, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("qty_c", alias_name="sum_qty"),
+            Sum("base_c", alias_name="sum_base_price"),
+            Sum("disc_c", alias_name="sum_disc_price"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[col] = out[col] / 100.0
+    return out
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0                       AS sum_disc_price,
        count(*)                                           AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -148,7 +168,11 @@ def mktsegment_order_stats(sf_dir: str) -> pd.DataFrame:
     def seg(batch: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(lut_ref)
         batch["c_mktsegment"] = batch["o_custkey"].map(lut)
-        return batch[["c_mktsegment", "o_totalprice"]]
+        # integer cents: order-insensitive sum (matches the SQL side)
+        batch["price_c"] = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return batch[["c_mktsegment", "price_c"]]
 
     out = (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -156,16 +180,18 @@ def mktsegment_order_stats(sf_dir: str) -> pd.DataFrame:
         .groupby("c_mktsegment")
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_totalprice"),
+            Sum("price_c", alias_name="sum_totalprice"),
         )
         .to_pandas()
     )
-    return _round(out, {"sum_totalprice": 2})
+    out["sum_totalprice"] = out["sum_totalprice"] / 100.0
+    return out
 
 
 MKTSEG_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_totalprice
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -174,7 +200,11 @@ GROUP BY c_mktsegment
 def revenue_by_month(sf_dir: str) -> pd.DataFrame:
     def month(batch: pd.DataFrame) -> pd.DataFrame:
         batch["month"] = batch["o_orderdate"].dt.strftime("%Y-%m")
-        return batch[["month", "o_totalprice"]]
+        # integer cents: order-insensitive sum (matches the SQL side)
+        batch["price_c"] = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return batch[["month", "price_c"]]
 
     out = (
         _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
@@ -182,16 +212,18 @@ def revenue_by_month(sf_dir: str) -> pd.DataFrame:
         .groupby("month")
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="revenue"),
+            Sum("price_c", alias_name="revenue"),
         )
         .to_pandas()
     )
-    return _round(out, {"revenue": 2})
+    out["revenue"] = out["revenue"] / 100.0
+    return out
 
 
 REVENUE_MONTH_SQL = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS revenue
 FROM orders GROUP BY 1
 """
 
