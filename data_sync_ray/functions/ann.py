@@ -116,15 +116,20 @@ def lsh_topk(
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     hasher = HyperplaneHasher(Q.shape[1], n_planes, seed)
     q_buckets = hasher.bucket_of(Q)
-    probe_sets: list[set[int]] = []
+    # plane confidence = DISTANCE to the hyperplane = |dot| / plane norm
+    # (planes are unnormalized gaussians; raw |dot| would bias probing
+    # toward low-norm planes regardless of the query's true margin)
+    plane_norms = np.linalg.norm(hasher.planes, axis=1)
+    probe_arrs: list[np.ndarray] = []
     for qi in range(Q.shape[0]):
         probes = {int(q_buckets[qi])}
         if n_probes > 1:
-            margins = np.abs(Q[qi] @ hasher.planes.T)  # plane confidence
+            margins = np.abs(Q[qi] @ hasher.planes.T) / plane_norms
             for plane in np.argsort(margins)[: n_probes - 1]:
                 probes.add(int(q_buckets[qi]) ^ (1 << int(plane)))
-        probe_sets.append(probes)
-    wanted = set().union(*probe_sets)
+        # materialize once per query, not per batch in the score loop
+        probe_arrs.append(np.fromiter(probes, dtype=np.int64))
+    wanted = {int(b) for arr in probe_arrs for b in arr}
     q_ref = ray.put(Q)
     bucket_arr = pa.array(sorted(wanted), pa.int64())
 
@@ -145,10 +150,7 @@ def lsh_topk(
         S = E @ Qm.T
         out = []
         for qi in range(S.shape[1]):
-            mask = np.isin(
-                batch["bucket"].to_numpy(),
-                np.fromiter(probe_sets[qi], dtype=np.int64),
-            )
+            mask = np.isin(batch["bucket"].to_numpy(), probe_arrs[qi])
             if not mask.any():
                 continue
             scores = S[mask, qi]

@@ -36,7 +36,7 @@ from ..stages.exchange import (
     make_spill_stage,
     prepare_spill_dirs,
 )
-from .replay import ReplayJob, _table_to_blocks, as_insert_events
+from .replay import ReplayJob
 
 
 class MultiTableReplay:
@@ -90,30 +90,20 @@ class MultiTableReplay:
             all_epochs = list_epoch_dirs(events_root)
             pending: dict[str, list[int]] = {}
             boot_spilled: dict[str, bool] = {}
+            committed: dict[str, dict] = {}
             for t, job in self.jobs.items():
                 job.lake.sweep_stale_tmp()
                 done = job.lake.epochs_done()
                 if done:
                     cleanup_spill(job.cfg.lake_root, sorted(done))
                 pending[t] = [e for e, _ in all_epochs if e not in done]
+                # once per table: the spill phase never commits, so the
+                # committed map cannot change between bootstrap and stream
+                committed[t] = job.committed_map()
                 boot = (bootstraps or {}).get(t)
                 boot_spilled[t] = False
                 if boot is not None and BOOTSTRAP_EPOCH not in done:
-                    # bootstrap per table in its own small execution
-                    # (union would block read->spill fusion of the stream)
-                    bs = (
-                        _table_to_blocks(boot)
-                        if isinstance(boot, pa.Table)
-                        else boot
-                    )
-                    bs = bs.map_batches(
-                        lambda tb, name=t: as_insert_events(tb, name),
-                        batch_format="pyarrow",
-                    )
-                    job._spill_phase(
-                        bs, [BOOTSTRAP_EPOCH], BOOTSTRAP_EPOCH,
-                        self._committed(job) or None,
-                    )
+                    job.spill_bootstrap(boot, committed[t] or None, table=t)
                     boot_spilled[t] = True
             # ONE pass: each table's spill closure over the same stream
             spill_fns = []
@@ -125,8 +115,7 @@ class MultiTableReplay:
                 )
                 spill_fns.append(
                     make_spill_stage(
-                        job.cfg, None, self._committed(job) or None,
-                        pending[t],
+                        job.cfg, None, committed[t] or None, pending[t]
                     )
                 )
             if spill_fns:
@@ -161,18 +150,10 @@ class MultiTableReplay:
                 out[t] = {
                     "epochs_run": len(pending[t]),
                     "events_applied": events,
+                    "sec": time.perf_counter() - t0,
                     "metrics": rows,
                 }
-            out["_sec"] = time.perf_counter() - t0
             return out
-
-    @staticmethod
-    def _committed(job: ReplayJob) -> dict[int, set[int]]:
-        committed: dict[int, set[int]] = {}
-        for p in job.lake.partitions():
-            for e in job.lake.read_checkpoint(p)["applied_epochs"]:
-                committed.setdefault(e, set()).add(p)
-        return committed
 
     def read_table(self, table: str) -> pa.Table:
         return self.jobs[table].lake.read_all()

@@ -170,6 +170,30 @@ class ReplayJob:
             .take_all()
         )
 
+    def committed_map(self) -> dict[int, set[int]]:
+        """epoch -> partitions whose commit log already holds it (the
+        crash-resume prune input for the spill phase)."""
+        committed: dict[int, set[int]] = {}
+        for p in self.lake.partitions():
+            for e in self.lake.read_checkpoint(p)["applied_epochs"]:
+                committed.setdefault(e, set()).add(p)
+        return committed
+
+    def spill_bootstrap(
+        self,
+        boot: rd.Dataset | pa.Table,
+        committed: dict[int, set[int]] | None = None,
+        table: str = "docs",
+    ) -> None:
+        """Spill the bootstrap snapshot as epoch -1 in its OWN small
+        execution: a union branch would block read->spill operator fusion
+        for the whole stream and cost far more than it saves."""
+        bs = _table_to_blocks(boot) if isinstance(boot, pa.Table) else boot
+        bs = bs.map_batches(
+            lambda t: as_insert_events(t, table), batch_format="pyarrow"
+        )
+        self._spill_phase(bs, [BOOTSTRAP_EPOCH], BOOTSTRAP_EPOCH, committed)
+
     def _run_spill_exchange(
         self,
         ds: rd.Dataset,
@@ -277,27 +301,11 @@ class ReplayJob:
             ).filter(pc.is_in(e, value_set=want))
 
         # already-committed (partition, epoch) pairs (crash resume)
-        committed: dict[int, set[int]] = {}
-        for p in self.lake.partitions():
-            for e in self.lake.read_checkpoint(p)["applied_epochs"]:
-                committed.setdefault(e, set()).add(p)
+        committed = self.committed_map()
         if cfg.exchange_mode == "spill":
             all_epochs = list(pending)
             if bootstrap is not None:
-                # bootstrap spills in its OWN small execution: a union
-                # branch would block read->spill operator fusion for the
-                # whole stream and cost far more than it saves
-                bs = (
-                    _table_to_blocks(bootstrap)
-                    if isinstance(bootstrap, pa.Table)
-                    else bootstrap
-                )
-                bs = bs.map_batches(
-                    lambda t: as_insert_events(t), batch_format="pyarrow"
-                )
-                self._spill_phase(
-                    bs, [BOOTSTRAP_EPOCH], BOOTSTRAP_EPOCH, committed or None
-                )
+                self.spill_bootstrap(bootstrap, committed or None)
                 all_epochs = pending + [BOOTSTRAP_EPOCH]
             self._spill_phase(
                 ds.map_batches(keep_pending, batch_format="pyarrow"),

@@ -27,8 +27,11 @@ from ..datamodel import CHANGE_EVENT_SCHEMA
 
 _OPS = {"insert", "update", "delete"}
 
-#: payload keys with dedicated columns in CHANGE_EVENT_SCHEMA
-_CANONICAL_KEYS = {"doc_id", "tokens", "n_tok", "source"}
+#: every column of the output schema — a payload key colliding with ANY of
+#: these must not become an "extra" column (it would shadow the envelope
+#: field, e.g. a payload `log_pos` overwriting the event's real position,
+#: or append a duplicate schema field)
+_CANONICAL_KEYS = frozenset(CHANGE_EVENT_SCHEMA.names)
 
 
 def parse_position(ev: dict) -> int | None:
@@ -119,7 +122,11 @@ def parse_maxwell_batch(
         # (src/service/mysql_filter_service.go:90-93); "\x1f" (unit
         # separator) joins parts so ("a","b:c") != ("a:b","c").
         pk_cols = ev.get("primary_key_columns")
-        if not isinstance(pk_cols, list) or not pk_cols:
+        if (
+            not isinstance(pk_cols, list)
+            or not pk_cols
+            or not all(isinstance(c, str) for c in pk_cols)
+        ):
             pk_cols = [key_column]
         pk_vals = ev.get("primary_key")
         if pk_vals is not None:
@@ -204,7 +211,10 @@ def parse_maxwell_batch(
                 # typed inference per batch; unify widens downstream
                 inferred = pa.array([r[k] for r in rows]).type
             except (pa.ArrowInvalid, pa.ArrowTypeError):
-                # untypable (mixed-type garbage across rows): drop the key
+                inferred = None  # untypable mixed-type garbage
+            if inferred is None or pa.types.is_null(inferred):
+                # all-null in this batch conveys nothing and a null-typed
+                # column would pollute downstream schema unification
                 for r in rows:
                     r.pop(k, None)
                 continue

@@ -13,12 +13,15 @@ polls, so the producer appends complete epoch directories:
 
 Epoch numbering resumes from the log itself, so independent producer
 processes can extend one log sequentially (like appending to a topic).
-Concurrent producers need external coordination, as Kafka partitions
-would — enforced here with the same flock pattern as the lake job lock.
+flush() holds an flock on `<events_root>/.PRODUCER_LOCK` while it
+allocates the next epoch number and renames the dir into place, so
+concurrent producers on a shared POSIX filesystem serialize instead of
+colliding (on object stores use an external lease, like the lake lock).
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
 import uuid
 
@@ -50,7 +53,11 @@ class EventLogProducer:
     def flush(self) -> str | None:
         """Publish the buffer as the next epoch dir (atomic rename); a
         tailing ReplayJob picks it up on its next poll. Returns the epoch
-        dir path, or None when the buffer is empty."""
+        dir path, or None when the buffer is empty.
+
+        The buffer is cleared only AFTER the rename succeeds — a failed
+        flush (disk error, lost epoch race) keeps the events buffered so
+        the caller can retry; the tmp dir is cleaned up on failure."""
         if not self._buffer:
             return None
         t = (
@@ -58,16 +65,35 @@ class EventLogProducer:
             if len(self._buffer) > 1
             else self._buffer[0]
         )
-        self._buffer = []
-        final = os.path.join(self.root, f"epoch={self.next_epoch:05d}")
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex[:12]}")
-        os.makedirs(tmp, exist_ok=True)
-        k = max(1, min(self.files_per_epoch, t.num_rows))
-        step = (t.num_rows + k - 1) // k
-        for j in range(k):
-            chunk = t.slice(j * step, step)
-            if chunk.num_rows:
-                pq.write_table(chunk, os.path.join(tmp, f"part-{j:04d}.parquet"))
-        os.rename(tmp, final)  # atomic publish
+        try:
+            os.makedirs(tmp, exist_ok=True)
+            k = max(1, min(self.files_per_epoch, t.num_rows))
+            step = (t.num_rows + k - 1) // k
+            for j in range(k):
+                chunk = t.slice(j * step, step)
+                if chunk.num_rows:
+                    pq.write_table(
+                        chunk, os.path.join(tmp, f"part-{j:04d}.parquet")
+                    )
+            with open(os.path.join(self.root, ".PRODUCER_LOCK"), "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                # re-derive the epoch under the lock: another producer may
+                # have published since this instance last looked
+                existing = list_epoch_dirs(self.root)
+                self.next_epoch = max(
+                    self.next_epoch, (existing[-1][0] + 1) if existing else 0
+                )
+                final = os.path.join(
+                    self.root, f"epoch={self.next_epoch:05d}"
+                )
+                os.rename(tmp, final)  # atomic publish
+                fcntl.flock(lf, fcntl.LOCK_UN)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise  # events remain buffered; flush() is retryable
+        self._buffer = []
         self.next_epoch += 1
         return final

@@ -163,6 +163,25 @@ def test_evolved_jsonl_column_reaches_lake(tmp_path):
     assert by_id["doc1"] is None  # null-filled for pre-evolution rows
 
 
+def test_payload_keys_cannot_shadow_envelope_fields():
+    """A payload key named like a canonical column (ts, log_pos, op, ...)
+    must neither overwrite the envelope value nor append a duplicate
+    schema field — a payload `log_pos` overwriting the event's real
+    position would silently corrupt LWW ordering."""
+    lines = [
+        ev(position=999,
+           data={"doc_id": "d1", "tokens": [1], "n_tok": 1, "source": "web",
+                 "log_pos": 1, "ts": "not-a-ts", "op": "delete",
+                 "table": "evil", "schema_ver": 77}),
+    ]
+    t = parse_maxwell_batch(lines)
+    assert t.num_rows == 1
+    assert t.column_names.count("ts") == 1          # no duplicate fields
+    assert t.column("log_pos").to_pylist() == [999]  # envelope wins
+    assert t.column("op").to_pylist() == ["insert"]
+    assert t.column("table").to_pylist() == ["docs"]
+
+
 def test_parser_never_raises_on_garbage():
     """Fuzz: arbitrary malformed events are skipped, never crash the
     batch task (the reference logs+skips, mysql_handler.go:123-158)."""
@@ -181,7 +200,19 @@ def test_parser_never_raises_on_garbage():
         st.one_of(
             json_scalars,
             st.lists(json_scalars, max_size=3),
-            st.dictionaries(st.text(max_size=8), json_scalars, max_size=4),
+            st.lists(st.lists(json_scalars, max_size=2), max_size=2),
+            st.dictionaries(
+                st.one_of(
+                    st.text(max_size=8),
+                    # canonical-name payload keys (shadowing attempts)
+                    st.sampled_from(
+                        ["ts", "log_pos", "op", "table", "schema_ver",
+                         "doc_id", "tokens", "n_tok", "source"]
+                    ),
+                ),
+                st.one_of(json_scalars, st.lists(json_scalars, max_size=2)),
+                max_size=4,
+            ),
         ),
         max_size=8,
     )

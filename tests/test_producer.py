@@ -60,6 +60,25 @@ def test_epoch_numbering_resumes_and_tmp_never_visible(tmp_path):
     assert EventLogProducer(ev_root).next_epoch == 3
 
 
+def test_concurrent_producers_serialize_epoch_numbers(tmp_path):
+    """Two producers that both saw the same log state must publish
+    SEQUENTIAL epochs (the flush lock re-derives the number), and a
+    failed flush keeps the buffer so it can be retried."""
+    root = str(tmp_path / "ev")
+    p1, p2 = EventLogProducer(root), EventLogProducer(root)
+    assert p1.next_epoch == p2.next_epoch == 0
+    row = {"doc_id": "a", "log_pos": 1, "op": "insert", "table": "docs"}
+    p1.produce(dict(row))
+    p2.produce(dict(row, log_pos=2))
+    d1 = p1.flush()
+    d2 = p2.flush()  # re-derives under the lock: no collision
+    assert d1.endswith("epoch=00000")
+    assert d2.endswith("epoch=00001")
+    assert len(list_epoch_dirs(root)) == 2
+    # no orphaned tmp dirs after successful flushes
+    assert not [n for n in os.listdir(root) if n.startswith(".tmp-")]
+
+
 def test_produce_accepts_row_dicts(tmp_path):
     prod = EventLogProducer(str(tmp_path / "ev"))
     n = prod.produce({"doc_id": "x", "log_pos": 1, "op": "insert",

@@ -42,8 +42,6 @@ if stop_after >= 0:
 
 done_before = job.lake.epochs_done()
 s = job.replay(ev_root, bootstrap=base)
-for m in []:
-    pass
 print(f"epochs_run={s['epochs_run']} events_applied={s['events_applied']} "
       f"skipped={sorted(done_before)}")
 

@@ -6,9 +6,11 @@ The simhash fixture is computed by a PURE-PYTHON reference implementation
 ``SimHasher``), so the CORRECTNESS comparison is a genuine cross-check of
 the numpy bit-packing path, not a self-comparison.
 
-Usage: python tools/gen_fixtures.py [sf_dir] [out_dir]
-Defaults: /root/testdata/sf0.01 -> fixtures/ (committed; the driver's
-correctness gate runs at sf0.01).
+Usage: python tools/gen_fixtures.py [out_dir]
+Generates fixtures for EVERY scale in SF_DIRS (sf0.001/0.01/0.1) into
+out_dir (default: fixtures/, committed). Each fixture carries a
+content-hash tag of its source corpus so the static oracle SQL
+self-selects the right one at query time.
 """
 
 import hashlib
