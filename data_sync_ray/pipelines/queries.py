@@ -952,6 +952,80 @@ WHERE f.tag = t.tag
 """
 
 
+def range_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Range join: for each event, COUNT the user's orders in the
+    trailing 30-day window [ts - 30d, ts].
+
+    Expressed as TWO as-of joins over per-key cumulative order ranks:
+    count = rank_at(ts) - rank_at(ts - 30d - 1us). Both lookups are
+    vectorized pd.merge_asof against the broadcast (small) orders side;
+    at scale bucket both sides by the key first — the two-as-of
+    composition is unchanged per bucket (SURVEY §2 custom-operator
+    rule a)."""
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).to_pandas()
+    # ns units on both sides: merge_asof requires identical datetime dtypes
+    # (events' ts arrives as datetime64[us] from Arrow)
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"]).astype(
+        "datetime64[ns]"
+    )
+    orders = orders.sort_values(
+        ["o_custkey", "o_orderdate"], kind="stable"
+    ).reset_index(drop=True)
+    orders["rank"] = orders.groupby("o_custkey").cumcount() + 1
+    od = orders.sort_values("o_orderdate", kind="stable").reset_index(
+        drop=True
+    )
+    o_ref = ray.put(od)
+
+    def count30(batch: pd.DataFrame) -> pd.DataFrame:
+        od_ = ray.get(o_ref)
+
+        def rank_at(ts_col: pd.Series) -> pd.Series:
+            probe = pd.DataFrame(
+                {"event_id": batch["event_id"], "user_id": batch["user_id"],
+                 "_ts": ts_col.astype("datetime64[ns]")}
+            ).sort_values("_ts", kind="stable")
+            m = pd.merge_asof(
+                probe, od_, left_on="_ts", right_on="o_orderdate",
+                left_by="user_id", right_by="o_custkey",
+                direction="backward",
+            )
+            return pd.Series(
+                m["rank"].fillna(0).to_numpy(),
+                index=m["event_id"].to_numpy(),
+            )
+
+        hi = rank_at(batch["ts"])
+        lo = rank_at(
+            batch["ts"] - pd.Timedelta(days=30) - pd.Timedelta(microseconds=1)
+        )
+        ids = batch["event_id"].to_numpy()
+        n = (hi.loc[ids].to_numpy() - lo.loc[ids].to_numpy()).astype(
+            np.int64
+        )
+        return pd.DataFrame({"event_id": ids, "n_orders_30d": n})
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(count30, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, count(o.o_orderkey) AS n_orders_30d
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate::TIMESTAMP
+     BETWEEN e.ts - INTERVAL 30 DAY AND e.ts
+GROUP BY e.event_id
+"""
+
+
 # --- windowed aggregate -----------------------------------------------------
 
 
@@ -1058,6 +1132,7 @@ QUERIES: dict[str, tuple] = {
     "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
+    "range_join_orders": (range_join_orders, RANGE_JOIN_SQL),
     "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
     "distinct_user_count": (distinct_user_count, DISTINCT_COUNT_SQL),
     "systematic_sample": (systematic_sample, SAMPLE_SQL),
