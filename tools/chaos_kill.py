@@ -1,0 +1,32 @@
+"""Crash-anywhere chaos: run a full replay in a subprocess, SIGKILL it at a
+random offset, rerun to completion, demand exact oracle equality."""
+import os, random, shutil, signal, subprocess, sys, time
+
+random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 7)
+DRIVE = "/root/repo/tools/drive_verify.py"
+fails = 0
+for trial in range(5):
+    wd = f"/tmp/chaos/{trial}"
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd, exist_ok=True)
+    delay = random.uniform(6.0, 20.0)  # ray.init ~5s; kill mid-replay
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    p = subprocess.Popen(["python", DRIVE, wd], env=env,
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(delay)
+    if p.poll() is None:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+        killed = True
+    else:
+        killed = False
+    # resume in a fresh process; must complete exactly
+    out = subprocess.run(["python", DRIVE, wd], env=env,
+                         capture_output=True, text=True, timeout=600)
+    ok = "exact_token_equality=True" in out.stdout
+    print(f"trial {trial}: killed_after={delay:.1f}s killed={killed} exact={ok}")
+    if not ok:
+        fails += 1
+        print(out.stdout[-2000:])
+    shutil.rmtree(wd, ignore_errors=True)
+print(f"CHAOS done: {fails} failures")
