@@ -45,6 +45,10 @@ QUERY_SAMPLE = [
     "token_counts_docs",
     "sessionize_events",
     "orders_customer_hash_join",
+    "range_join_orders",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "simhash_docs",
 ]
 
 
