@@ -971,13 +971,13 @@ def range_join_orders(sf_dir: str) -> pd.DataFrame:
     orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"]).astype(
         "datetime64[ns]"
     )
-    orders = orders.sort_values(
-        ["o_custkey", "o_orderdate"], kind="stable"
-    ).reset_index(drop=True)
-    orders["rank"] = orders.groupby("o_custkey").cumcount() + 1
+    # ONE stable sort by date serves both needs: per-key dates are then
+    # ascending (cumcount ranks correctly) and merge_asof's global
+    # on-key order holds
     od = orders.sort_values("o_orderdate", kind="stable").reset_index(
         drop=True
     )
+    od["rank"] = od.groupby("o_custkey").cumcount() + 1
     o_ref = ray.put(od)
 
     def count30(batch: pd.DataFrame) -> pd.DataFrame:

@@ -39,24 +39,42 @@ _OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
 _FILE_IDX_RE = re.compile(r"(\d+)$")
 
 
+def _as_int(v) -> int | None:
+    """Lenient int coercion: accepts int/float/numeric-string, rejects
+    bool, NaN/Infinity (json.loads admits them), and garbage."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        import math
+
+        return int(v) if math.isfinite(v) else None
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            return None
+    return None
+
+
 def _debezium_position(src: dict) -> int | None:
-    """Total order from the Debezium source block; None = unorderable."""
+    """Total order from the Debezium source block; None = unorderable.
+    Precedence: MySQL (file index << 40) | pos, then lsn, then sequence —
+    a bare `pos` without its file is NOT usable (it resets per binlog
+    file, so treating it as a global order would collapse files)."""
     if not isinstance(src, dict):
         return None
-    fname, pos = src.get("file"), src.get("pos")
-    if isinstance(fname, str) and isinstance(pos, (int, float)) and not isinstance(pos, bool):
+    fname = src.get("file")
+    pos = _as_int(src.get("pos"))
+    if isinstance(fname, str) and pos is not None and 0 <= pos < (1 << 40):
         m = _FILE_IDX_RE.search(fname.rsplit(".", 1)[-1])
-        if m and 0 <= pos < (1 << 40):
-            return (int(m.group(1)) << 40) | int(pos)
-    for k in ("lsn", "sequence", "pos"):
-        v = src.get(k)
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
-            return int(v)
-        if isinstance(v, str):
-            try:
-                return int(v)
-            except ValueError:
-                continue
+        if m:
+            return (int(m.group(1)) << 40) | pos
+    for k in ("lsn", "sequence"):
+        v = _as_int(src.get(k))
+        if v is not None:
+            return v
     return None
 
 
@@ -68,7 +86,10 @@ def debezium_to_maxwell(ev: dict) -> dict | None:
     payload = ev.get("payload", ev)
     if not isinstance(payload, dict):
         return None
-    op = _OP_MAP.get(payload.get("op"))
+    raw_op = payload.get("op")
+    if not isinstance(raw_op, str):
+        return None  # unhashable/garbage op must skip, never raise
+    op = _OP_MAP.get(raw_op)
     if op is None:
         return None
     src = payload.get("source")
@@ -87,10 +108,13 @@ def debezium_to_maxwell(ev: dict) -> dict | None:
         "table": src.get("table", ""),
         "position": pos,
         "data": image,
-        "schema_ver": src.get("version", 1),
+        # NOTE: source.version is the CONNECTOR version string in real
+        # Debezium envelopes, not a schema version — never map it
     }
     if isinstance(ts_ms, (int, float)) and not isinstance(ts_ms, bool):
-        out["ts"] = int(ts_ms) // 1000  # Maxwell ts is epoch-seconds
+        # fractional epoch-seconds: the Maxwell shape carries them through
+        # to timestamp[us] without losing the wire format's milliseconds
+        out["ts"] = ts_ms / 1000.0
     return out
 
 
@@ -123,6 +147,8 @@ def read_debezium_json(
     ds = rd.read_text(paths)
 
     def parse(t: pa.Table) -> pa.Table:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)  # worker-side stage: one Arrow thread
         return parse_debezium_batch(
             t.column("text").to_pylist(), key_column=key_column
         )

@@ -200,7 +200,9 @@ def parse_maxwell_batch(
         return CHANGE_EVENT_SCHEMA.empty_table()
     for r in rows:
         if r["ts"] is not None:
-            r["ts"] = int(r["ts"]) * 1_000_000  # Maxwell ts is epoch-seconds
+            # Maxwell ts is epoch-seconds; fractional seconds (e.g. from
+            # the Debezium ms adapter) carry through to timestamp[us]
+            r["ts"] = int(round(r["ts"] * 1_000_000))
     schema = CHANGE_EVENT_SCHEMA
     if extra_keys:
         for r in rows:
@@ -231,6 +233,8 @@ def read_maxwell_json(
     ds = rd.read_text(paths)
 
     def parse(t: pa.Table) -> pa.Table:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)  # worker-side stage: one Arrow thread
         return parse_maxwell_batch(
             t.column("text").to_pylist(), update_semantics=update_semantics
         )

@@ -53,8 +53,34 @@ def test_ops_and_ordering():
     assert got[2] == 33239706              # lsn passthrough
     assert got[3] == 777                   # sequence fallback (string int)
     assert t.column("table").to_pylist() == ["docs"] * 4
-    # ts_ms (milliseconds) -> epoch-seconds -> timestamp[us]
-    assert t.column("ts").to_pylist()[0].timestamp() == 1700000000
+    # ts_ms milliseconds carry through to timestamp[us] (not truncated
+    # to whole seconds by the Maxwell epoch-seconds round trip)
+    assert t.column("ts").to_pylist()[0].timestamp() == 1700000000.123
+
+
+def test_malformed_envelopes_skip_never_raise():
+    """Unhashable ops, NaN/Infinity positions (json.loads admits them),
+    and string MySQL pos values must skip or coerce, never raise."""
+    lines = [
+        json.dumps({"payload": {"op": ["c"], "after": {"doc_id": "x"},
+                                "source": {"lsn": 1}}}),
+        '{"payload": {"op": "c", "after": {"doc_id": "x"},'
+        ' "source": {"lsn": NaN}}}',
+        '{"payload": {"op": "c", "after": {"doc_id": "x"},'
+        ' "source": {"lsn": Infinity}}}',
+    ]
+    assert parse_debezium_batch(lines).num_rows == 0
+    # string-encoded MySQL pos must use the file:pos encoding, not fall
+    # through to a bare int that loses LWW across binlog files
+    t = parse_debezium_batch([
+        dbz(op="c", src={"table": "docs", "file": "mysql-bin.000004",
+                         "pos": "10"}),
+    ])
+    assert t.column("log_pos").to_pylist() == [(4 << 40) | 10]
+    # a bare pos WITHOUT its file is not a global order -> vetoed
+    assert parse_debezium_batch([
+        dbz(op="c", src={"table": "docs", "pos": 10}),
+    ]).num_rows == 0
 
 
 def test_delete_uses_before_image_key():

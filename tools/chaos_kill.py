@@ -11,22 +11,34 @@ for trial in range(5):
     os.makedirs(wd, exist_ok=True)
     delay = random.uniform(6.0, 20.0)  # ray.init ~5s; kill mid-replay
     env = dict(os.environ, PYTHONPATH="/root/repo")
+    # new session => SIGKILL the whole process GROUP, or the driver's
+    # Ray head/worker children survive as orphans holding /dev/shm and
+    # distort the conditions the next trials measure
     p = subprocess.Popen(["python", DRIVE, wd], env=env,
-                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL,
+                         start_new_session=True)
     time.sleep(delay)
     if p.poll() is None:
-        p.send_signal(signal.SIGKILL)
+        os.killpg(p.pid, signal.SIGKILL)
         p.wait()
         killed = True
     else:
         killed = False
-    # resume in a fresh process; must complete exactly
-    out = subprocess.run(["python", DRIVE, wd], env=env,
-                         capture_output=True, text=True, timeout=600)
-    ok = "exact_token_equality=True" in out.stdout
+    # resume in a fresh process; must complete exactly. A hang past the
+    # timeout is exactly the torn-state bug this harness hunts: count it
+    # as a failed trial, keep going.
+    try:
+        out = subprocess.run(["python", DRIVE, wd], env=env,
+                             capture_output=True, text=True, timeout=600)
+        ok = "exact_token_equality=True" in out.stdout
+        tail = out.stdout[-2000:]
+    except subprocess.TimeoutExpired:
+        ok, tail = False, "<resume timed out after 600s>"
     print(f"trial {trial}: killed_after={delay:.1f}s killed={killed} exact={ok}")
     if not ok:
         fails += 1
-        print(out.stdout[-2000:])
+        print(tail)
     shutil.rmtree(wd, ignore_errors=True)
 print(f"CHAOS done: {fails} failures")
+sys.exit(1 if fails else 0)

@@ -11,6 +11,7 @@ from data_sync_ray import (ReplayJob, StreamSpec, SyncConfig, gen_base_table,
 def equal(got, want):
     got = got.sort_by("doc_id"); want = want.sort_by("doc_id")
     if got.num_rows != want.num_rows: return False
+    if set(got.column_names) != set(want.column_names): return False
     got = got.select(want.column_names)
     for c in want.column_names:
         g = got.column(c); w = want.column(c)
@@ -58,3 +59,4 @@ for i, c in enumerate(cases):
     shutil.rmtree(wd, ignore_errors=True)
 print(f"SWEEP done: {len(cases)} cases, {fails} failures")
 ray.shutdown()
+sys.exit(1 if fails else 0)
