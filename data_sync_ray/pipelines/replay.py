@@ -403,6 +403,7 @@ class ReplayJob:
         max_rounds: int | None = None,
         bootstrap: rd.Dataset | pa.Table | None = None,
         inspect_every: int = 0,
+        compact_over_fragments: int = 0,
     ) -> dict:
         """Continuous tailing loop — the reference's daemon mode (60s
         direct-sync ticker + 30s inspector, conf/iot.sync.toml:28-33) as a
@@ -452,6 +453,12 @@ class ReplayJob:
                 totals["events_applied"] += s["events_applied"]
                 if inspect_every and totals["rounds"] % inspect_every == 0:
                     totals["last_inspect"] = self.inspect(events_root)
+                if compact_over_fragments > 0:
+                    # bound merge-on-read cost for long-lived tails:
+                    # compact any partition past the fragment budget
+                    totals["compactions"] = totals.get(
+                        "compactions", 0
+                    ) + self.compact_if_needed(compact_over_fragments)
             self._write_tail_status(
                 cp, mode, totals, applied_overrides, rejected_overrides
             )
@@ -689,10 +696,13 @@ class ReplayJob:
 
     # --- compaction ---------------------------------------------------------
 
-    def compact(self) -> list[dict]:
-        """Compact every partition in parallel (one task per partition)."""
+    def compact(self, partitions: list[int] | None = None) -> list[dict]:
+        """Compact partitions in parallel (one task per partition);
+        default all."""
         root = self.cfg.lake_root
-        parts = self.lake.partitions()
+        parts = (
+            self.lake.partitions() if partitions is None else partitions
+        )
         if not parts:
             return []
         ds = rd.from_items([{"partition": p} for p in parts])
@@ -711,19 +721,39 @@ class ReplayJob:
         self.lake.publish_manifest(note="compaction")
         return rows
 
+    def compact_if_needed(self, max_fragments: int) -> int:
+        """Compact only partitions whose live fragment count exceeds
+        max_fragments (merge-on-read fold cost grows with fragments; a
+        long-running tail job must bound it). Returns partitions
+        compacted."""
+        over = [
+            p
+            for p in self.lake.partitions()
+            if len(self.lake.read_checkpoint(p)["files"]) > max_fragments
+        ]
+        if over:
+            self.compact(partitions=over)
+        return len(over)
+
 
 class _FoldPartition:
     """Actor for the distributed merge-on-read: fold one partition per batch
     and pad to the unified (evolved) lake schema."""
 
-    def __init__(self, lake_root: str, schema: pa.Schema | None):
+    def __init__(
+        self,
+        lake_root: str,
+        schema: pa.Schema | None,
+        columns: list[str] | None = None,
+    ):
         self.lake = Lake(lake_root)
         self.schema = schema
+        self.columns = columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch.column("partition").to_pylist():
-            t = self.lake.read_partition(p)
+            t = self.lake.read_partition(p, columns=self.columns)
             if t is not None and t.num_rows:
                 tables.append(t)
         if not tables:
@@ -749,12 +779,27 @@ def export_lake(
     read_lake(lake_root, concurrency=concurrency).write_parquet(out_dir)
 
 
-def read_lake(lake_root: str, concurrency: int | None = None) -> rd.Dataset:
+def read_lake(
+    lake_root: str,
+    concurrency: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
     """Current lake state as a streaming Dataset: one fold task per hash
-    partition, no global shuffle (fragments are already co-partitioned)."""
+    partition, no global shuffle (fragments are already co-partitioned).
+
+    columns: projection pushdown — only the requested columns (plus the
+    fold's key/order/tombstone needs, internally) are decoded from the
+    parquet fragments; a 2-column scan of a wide lake never reads the
+    rest (the "prune at the read" rule applied to the lake itself).
+    Unknown names raise KeyError up front."""
     lake = Lake(lake_root)
     parts = lake.partitions()
     schema = lake.union_schema()
+    if schema is not None and columns is not None:
+        unknown = [c for c in columns if c not in schema.names]
+        if unknown:
+            raise KeyError(f"columns not in lake schema: {unknown}")
+        schema = pa.schema([schema.field(c) for c in columns])
     if not parts or schema is None:
         from ..datamodel import LAKE_SCHEMA
 
@@ -762,7 +807,7 @@ def read_lake(lake_root: str, concurrency: int | None = None) -> rd.Dataset:
     ds = rd.from_items([{"partition": p} for p in parts])
     return ds.map_batches(
         _FoldPartition,
-        fn_constructor_args=(lake_root, schema),
+        fn_constructor_args=(lake_root, schema, columns),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency or min(8, len(parts)),

@@ -327,22 +327,52 @@ class Lake:
         )
 
     def read_partition(
-        self, partition: int, drop_tombstones: bool = True
+        self,
+        partition: int,
+        drop_tombstones: bool = True,
+        columns: list[str] | None = None,
     ) -> pa.Table:
         """Fold one partition's fragments into its current state (LWW,
         tombstones dropped). Fragment read order is irrelevant.
-        drop_tombstones=False is the compaction path — see fold_state."""
+        drop_tombstones=False is the compaction path — see fold_state.
+
+        columns: projection pushdown — only the requested columns (plus
+        the key/order/tombstone columns the fold itself needs, dropped
+        again afterward) are READ from each parquet fragment, so a
+        2-column scan of a wide lake never decodes the other columns."""
         ckpt = self.read_checkpoint(partition)
+        needed = None
+        key = order = None
+        if columns is not None:
+            cfg = self.config()
+            key, order = cfg.key_column, cfg.order_column
+            from ..stages.merge import DELETED_COL
+
+            needed = set(columns) | {key, order, DELETED_COL}
         frags = []
         for rel in ckpt["files"]:
             p = os.path.join(self.data_dir, rel)
-            if os.path.exists(p):
+            if not os.path.exists(p):
+                continue
+            if needed is None:
                 frags.append(pq.read_table(p))
+            else:
+                present = [
+                    c for c in pq.read_schema(p).names if c in needed
+                ]
+                frags.append(pq.read_table(p, columns=present))
         if not frags:
             return None
-        t = fold_state(frags, drop_tombstones=drop_tombstones)
+        if columns is not None:
+            t = fold_state(
+                frags, key=key, order=order, drop_tombstones=drop_tombstones
+            )
+        else:
+            t = fold_state(frags, drop_tombstones=drop_tombstones)
         if drop_tombstones and "partition" in t.column_names:
             t = t.drop_columns(["partition"])
+        if columns is not None:
+            t = t.select([c for c in columns if c in t.column_names])
         return t
 
     def read_all(self) -> pa.Table:

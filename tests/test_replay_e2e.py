@@ -199,6 +199,53 @@ def test_skewed_stream_converges(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_read_lake_column_pushdown(tmp_path):
+    """read_lake(columns=...) projects at the fragment read (the fold's
+    key/order/tombstone internals never surface) and matches the full
+    read's values; unknown columns raise up front."""
+    spec = StreamSpec(n_events=1200, n_docs=100, n_epochs=2, seed=37)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=100,
+                                          seed=37)
+    job = make_job(str(tmp_path))
+    job.replay(ev_root, bootstrap=base)
+    from data_sync_ray import read_lake
+
+    full = job.lake.read_all()
+    got = pa.concat_tables(
+        list(read_lake(job.cfg.lake_root,
+                       columns=["doc_id", "n_tok"]).iter_batches(
+            batch_format="pyarrow")),
+        promote_options="permissive",
+    ).sort_by("doc_id")
+    assert got.column_names == ["doc_id", "n_tok"]
+    assert got.column("doc_id").equals(
+        full.sort_by("doc_id").column("doc_id")
+    )
+    assert got.column("n_tok").to_pylist() == full.sort_by(
+        "doc_id"
+    ).column("n_tok").to_pylist()
+    with pytest.raises(KeyError):
+        read_lake(job.cfg.lake_root, columns=["nope"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_auto_compaction_bounds_fragments(tmp_path):
+    """tail(compact_over_fragments=K) keeps every partition's live
+    fragment count bounded while state stays exact."""
+    spec = StreamSpec(n_events=2400, n_docs=60, n_epochs=6, seed=41)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=60,
+                                          seed=41)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.bootstrap(base)
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=1,
+                      compact_over_fragments=2)
+    assert totals.get("compactions", 0) > 0
+    for p in job.lake.partitions():
+        assert len(job.lake.read_checkpoint(p)["files"]) <= 2 + 1
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_compaction_preserves_state(tmp_path):
     spec = StreamSpec(n_events=1200, n_docs=100, n_epochs=3, seed=31)
     base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=100, seed=31)
