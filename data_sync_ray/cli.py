@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="strategy mode (control)")
     p.add_argument("--format", choices=["json", "prom"], default="json",
                    help="status output format (prom = Prometheus text)")
+    p.add_argument("--compact-over", type=int, default=0,
+                   help="tail: compact partitions exceeding this many "
+                        "live fragments between rounds (0 = off)")
     p.add_argument("--set", action="append", default=[],
                    metavar="KEY=JSON",
                    help="mutable config override for a running tail job")
@@ -89,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         out.pop("metrics", None)
     elif args.command == "tail":
         out = job.tail(args.events, poll_interval=args.poll_interval,
-                       max_rounds=args.max_rounds, inspect_every=1)
+                       max_rounds=args.max_rounds, inspect_every=1,
+                       compact_over_fragments=args.compact_over)
     elif args.command == "bootstrap":
         out = {"partitions": len(job.bootstrap(rd.read_parquet(args.snapshot)))}
     elif args.command == "repair":

@@ -771,12 +771,18 @@ class _FoldPartition:
 
 
 def export_lake(
-    lake_root: str, out_dir: str, concurrency: int | None = None
+    lake_root: str,
+    out_dir: str,
+    concurrency: int | None = None,
+    columns: list[str] | None = None,
 ) -> None:
     """Materialize the current lake state as plain partitioned Parquet (one
     part-file set per hash partition, never one giant file) — the full-table
-    sink for consumers that want a snapshot rather than merge-on-read."""
-    read_lake(lake_root, concurrency=concurrency).write_parquet(out_dir)
+    sink for consumers that want a snapshot rather than merge-on-read.
+    columns: projection pushdown (see read_lake)."""
+    read_lake(
+        lake_root, concurrency=concurrency, columns=columns
+    ).write_parquet(out_dir)
 
 
 def read_lake(
