@@ -176,6 +176,110 @@ def lsh_topk(
     )
 
 
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded lightweight k-means on normalized vectors (cosine ≙ L2 on
+    the unit sphere). Deterministic; empty clusters re-seed from the
+    farthest points."""
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(sample.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        S = sample @ C.T
+        assign = S.argmax(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+            else:  # empty cluster: grab the worst-served point
+                C[j] = sample[S.max(axis=1).argmin()]
+    return C
+
+
+def ivf_topk(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    train_sample: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """IVF approximate top-k — the coarse-quantizer scale path the LSH
+    variant trades against (data-adaptive cells vs oblivious hyperplanes).
+
+    Train: seeded k-means over a bounded corpus sample (driver-side —
+    train_sample rows, never the corpus). Assign: per-batch argmax against
+    the broadcast centroids. Search: each query probes its n_probe nearest
+    cells; only member vectors score. Recall < 1 by design (tests measure
+    vs brute force); raise n_probe toward n_lists for exact."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample_tbl = emb.limit(train_sample).to_pandas()  # bounded, not corpus
+    sample = _normalize(_stack(sample_tbl["embedding"]))
+    n_lists = min(n_lists, sample.shape[0])
+    C = _kmeans(sample, n_lists, kmeans_iters, seed)
+    c_ref = ray.put(C)
+    q_ref = ray.put(Q)
+    # each query's probe cells
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, : max(1, n_probe)]
+    wanted = pa.array(sorted({int(c) for row in probes for c in row}),
+                      pa.int64())
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        E = _normalize(_stack(batch["embedding"]))
+        batch = batch[["vec_id", "embedding"]].copy()
+        batch["cell"] = (E @ Cm.T).argmax(axis=1).astype(np.int64)
+        return batch
+
+    member = emb.map_batches(assign, batch_format="pandas").map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t.column("cell"), value_set=wanted)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        E = _normalize(_stack(batch["embedding"]))
+        S = E @ Qm.T
+        cells = batch["cell"].to_numpy()
+        ids = batch["vec_id"].to_numpy()
+        out = []
+        for qi in range(S.shape[1]):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            scores = S[mask, qi]
+            kk = min(k, scores.size)
+            idx = np.argpartition(-scores, kk - 1)[:kk]
+            out.extend(
+                (qi, int(ids[mask][i]), float(scores[i])) for i in idx
+            )
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+
+    local = member.map_batches(score, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        local.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
 # --- embedding near-dup -----------------------------------------------------
 
 

@@ -893,6 +893,22 @@ LIMIT 10
 """
 
 
+def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF top-k probed at n_probe = n_lists (all cells): the coarse
+    quantizer then prunes nothing, so the result is EXACT and the same
+    all-pairs SQL oracle applies — a correctness check of the train/
+    assign/score machinery; the recall of partial probing is pinned by
+    tests/test_functions.py instead."""
+    from ..functions.ann import ivf_topk
+
+    q = _query_vec(sf_dir)[None, :]
+    out = ivf_topk(_t(sf_dir, "embeddings"), q, k=10, n_lists=16,
+                   n_probe=16)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return _round(out, {"score": 4})
+
+
 def embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import cosine_near_dup_pairs
 
@@ -1153,6 +1169,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_dedup_keep_first": (minhash_dedup_keep_first_docs, KEEP_FIRST_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
+    "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),

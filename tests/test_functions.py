@@ -148,6 +148,26 @@ class TestAnn:
         multi = set(lsh_topk(ds, q, k=10, n_planes=4, n_probes=3)["vec_id"])
         assert len(exact & multi) >= len(exact & approx)
 
+    def test_ivf_topk_recall_and_full_probe_exact(self):
+        from data_sync_ray.functions.ann import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(6)
+        M = rng.standard_normal((400, 32))
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": range(400), "embedding": [v.tolist() for v in M]}
+            )
+        )
+        q = M[12][None, :]
+        exact = brute_force_topk(ds, q, k=10)
+        # full probe (n_probe = n_lists) prunes nothing => exact
+        full = ivf_topk(ds, q, k=10, n_lists=8, n_probe=8)
+        assert list(full["vec_id"]) == list(exact["vec_id"])
+        # partial probe: self must survive, recall reasonable
+        approx = ivf_topk(ds, q, k=10, n_lists=8, n_probe=2)
+        assert 12 in set(approx["vec_id"])
+        assert len(set(exact["vec_id"]) & set(approx["vec_id"])) >= 3
+
     def test_block_sweep_near_dup_exact(self):
         """The distributed block-pair sweep equals numpy ground truth —
         every pair, every block split, including cross-block pairs."""
