@@ -520,6 +520,144 @@ def minhash_dedup_keep_first(
     return docs.map_batches(keep, batch_format="pandas")
 
 
+# --- exact n-gram Jaccard (inverted index, no sketch) -----------------------
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.3,
+    k: int = 3,
+    num_parts: int = 16,
+    pair_parts: int = 16,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """EXACT all-pairs word-k-gram Jaccard >= threshold — no sketching.
+
+    The complete-recall complement to MinHash-LSH: LSH can miss a pair
+    (probabilistically); this cannot. Classic inverted-index all-pairs
+    shape (reference's scan-everything consistency pass is the analog,
+    src/service/check_service.go; here it is three bounded exchanges):
+
+      1. shingle per batch (vectorized, memoized word hashes) and explode
+         to (shingle, doc, n_shingles) postings, routed by
+         shingle % num_parts — each distinct shingle lands in exactly ONE
+         partition, so per-partition co-occurrence counts sum to the
+         exact intersection size;
+      2. one task per shingle-partition: drop df==1 postings (most of
+         the index; they cannot produce a pair), emit per-shingle pairs
+         (triu of the posting list), pre-combine locally to
+         (doc_a, doc_b, i_partial, na, nb);
+      3. route partials by pair-hash % pair_parts, sum i, and score
+         jaccard = i / (na + nb - i) — na/nb ride the postings so no
+         fourth exchange is needed to attach sizes.
+
+    Cost is sum(df^2) over shingles — exact by construction, quadratic
+    in a shingle's document frequency. `max_df` (default None = exact)
+    drops postings of shingles with df > max_df inside a partition:
+    standard stop-shingle pruning for web-scale corpora where a boilerplate
+    shingle would otherwise emit billions of pairs; it only LOWERS
+    intersection counts (never invents a pair), so precision survives.
+    Docs shorter than k words have no shingles and never pair (same
+    convention as MinHash and the SQL oracles)."""
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        shs = batch["text"].map(
+            lambda t: (_shingle_hashes(t, k) >> np.uint64(1)).astype(
+                np.int64
+            )
+        )
+        lens = shs.map(len).to_numpy(dtype=np.int64)
+        keep = lens > 0
+        shs, lens = shs[keep], lens[keep]
+        ids = batch.loc[keep, id_col].to_numpy(dtype=np.int64)
+        if lens.size == 0:
+            return pd.DataFrame(
+                {"shingle": pd.Series([], dtype="int64"),
+                 "doc": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+        flat = np.concatenate(list(shs))
+        return pd.DataFrame(
+            {
+                "shingle": flat,
+                "doc": np.repeat(ids, lens),
+                "n": np.repeat(lens, lens),
+                "_part": (
+                    flat.astype(np.uint64) % np.uint64(num_parts)
+                ).astype(np.int64),
+            }
+        )
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "i": pd.Series([], dtype="int64"),
+             "na": pd.Series([], dtype="int64"),
+             "nb": pd.Series([], dtype="int64"),
+             "_ppart": pd.Series([], dtype="int64")}
+        )
+        # df==1 shingles (the long tail of the index) cannot form a pair
+        df = g.groupby("shingle")["doc"].transform("size")
+        g = g[df >= 2]
+        if max_df is not None:
+            g = g[df[g.index] <= max_df]
+        if g.empty:
+            return empty
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for _, sub in g.groupby("shingle", sort=False):
+            # a doc lists each distinct shingle once (np.unique upstream)
+            d = sub["doc"].to_numpy()
+            order = np.argsort(d, kind="stable")
+            d, nn = d[order], sub["n"].to_numpy()[order]
+            ia, ib = np.triu_indices(d.size, k=1)
+            out_a.append(d[ia])
+            out_b.append(d[ib])
+            out_na.append(nn[ia])
+            out_nb.append(nn[ib])
+        p = pd.DataFrame(
+            {"doc_a": np.concatenate(out_a),
+             "doc_b": np.concatenate(out_b),
+             "na": np.concatenate(out_na),
+             "nb": np.concatenate(out_nb)}
+        )
+        # local pre-combine: one (pair, i_partial) row per pair per
+        # partition — the cross-partition exchange moves combined rows,
+        # not one row per co-occurring shingle
+        p = (
+            p.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(i=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        h = pd.util.hash_pandas_object(p[["doc_a", "doc_b"]], index=False)
+        p["_ppart"] = (h.to_numpy() % pair_parts).astype(np.int64)
+        return p
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(i=("i", "sum"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        ja = s["i"] / (s["na"] + s["nb"] - s["i"])
+        out = pd.DataFrame(
+            {"doc_a": s["doc_a"].astype("int64"),
+             "doc_b": s["doc_b"].astype("int64"),
+             "jaccard": ja.astype("float64")}
+        )
+        return out[out["jaccard"] >= threshold]
+
+    return (
+        docs.map_batches(postings, batch_format="pandas", batch_size=4096)
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
+        .groupby("_ppart")
+        .map_groups(score, batch_format="pandas")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

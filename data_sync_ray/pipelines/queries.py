@@ -770,6 +770,53 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
 """
 
 
+def ngram_jaccard_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16),
+        threshold=0.3, k=3,
+    )
+    out = ds.select_columns(["doc_a", "doc_b", "jaccard"]).to_pandas()
+    return _round(out, {"jaccard": 6})
+
+
+# exact all-pairs 3-gram Jaccard >= 0.3 — unlike MINHASH_SQL (which proves
+# the LSH path loses nothing at 0.5), this oracle checks the sketch-free
+# inverted-index operator at a threshold LSH banding could not guarantee
+NGRAM_JACCARD_SQL = r"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM wl
+  WHERE len(ws) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+           AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+),
+ss AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN ss sa ON sa.doc_id = doc_a
+JOIN ss sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+"""
+
+
 def minhash_dedup_keep_first_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import minhash_dedup_keep_first
 
@@ -1166,6 +1213,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_docs, NGRAM_JACCARD_SQL),
     "minhash_dedup_keep_first": (minhash_dedup_keep_first_docs, KEEP_FIRST_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),

@@ -89,6 +89,68 @@ class TestDedup:
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
 
+    def test_ngram_jaccard_exact_vs_brute_force(self):
+        from data_sync_ray.functions.dedup import ngram_jaccard_pairs
+
+        # mutated copies of base docs => a real spectrum of Jaccard values
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(8):
+            base = list(rng.choice(vocab, size=25))
+            rows.append({"doc_id": 10 * i, "text": " ".join(base)})
+            for v in range(1, int(rng.integers(2, 5))):
+                mut = list(base)
+                for _ in range(int(rng.integers(1, 8))):
+                    mut[int(rng.integers(len(mut)))] = str(
+                        rng.choice(vocab)
+                    )
+                rows.append({"doc_id": 10 * i + v, "text": " ".join(mut)})
+        rows.append({"doc_id": 100, "text": "too short"})  # < k words
+        ds = _docs(rows)
+        out = ngram_jaccard_pairs(ds, threshold=0.2, k=3).to_pandas()
+        got = {
+            (a, b): round(j, 9)
+            for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])
+        }
+
+        def shingles(t):
+            w = t.split()
+            return {
+                " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+            } if len(w) >= 3 else set()
+
+        want = {}
+        sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+        ids = sorted(sh)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if not sh[a] or not sh[b]:
+                    continue
+                i = len(sh[a] & sh[b])
+                u = len(sh[a] | sh[b])
+                if u and i / u >= 0.2:
+                    want[(a, b)] = round(i / u, 9)
+        assert want  # the corpus actually exercises the operator
+        assert got == want
+        assert all(100 not in p for p in got)  # short doc never pairs
+
+    def test_ngram_jaccard_max_df_only_prunes(self):
+        from data_sync_ray.functions.dedup import ngram_jaccard_pairs
+
+        words = [f"w{i}" for i in range(30)]
+        rows = [
+            {"doc_id": i, "text": " ".join(words)} for i in range(6)
+        ]  # every shingle has df=6 > max_df
+        ds = _docs(rows)
+        exact = ngram_jaccard_pairs(ds, threshold=0.5, k=3).to_pandas()
+        assert len(exact) == 15  # all identical pairs at jaccard 1.0
+        pruned = ngram_jaccard_pairs(
+            ds, threshold=0.5, k=3, max_df=2
+        ).to_pandas()
+        assert len(pruned) == 0  # pruning removes, never invents, pairs
+
     def test_simhash_near_dup(self):
         from data_sync_ray.functions.dedup import simhash_dup_pairs
 
