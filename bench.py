@@ -49,6 +49,7 @@ QUERY_SAMPLE = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "simhash_docs",
+    "ngram_jaccard_pairs",
 ]
 
 

@@ -1146,6 +1146,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def event_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type value percentiles via distributed histogram merge —
+    never materializes a group's raw values in one task (see
+    functions/agg.py for the scale argument)."""
+    from ..functions.agg import grouped_exact_percentiles
+
+    out = grouped_exact_percentiles(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        key="event_type", value="value", percents=(50, 90, 99),
+    ).to_pandas()
+    for c in ("n", "p50_cents", "p90_cents", "p99_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# rank semantics stated explicitly (1-indexed ceil(P*n/100) via integer
+# arithmetic) instead of quantile_disc, whose edge conventions and
+# decimal-vs-double ceil could silently differ from the engine's
+PERCENTILES_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, max(n) AS n,
+  max(CASE WHEN rn = GREATEST(1, (50 * n + 99) // 100)
+      THEN cents END) AS p50_cents,
+  max(CASE WHEN rn = GREATEST(1, (90 * n + 99) // 100)
+      THEN cents END) AS p90_cents,
+  max(CASE WHEN rn = GREATEST(1, (99 * n + 99) // 100)
+      THEN cents END) AS p99_cents
+FROM r GROUP BY event_type
+"""
+
+
 # --- the engine itself as a query (rows-only check) -------------------------
 
 
@@ -1222,6 +1263,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
+    "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
     "cdc_replay_lake": (cdc_replay_lake, None),
 }
 

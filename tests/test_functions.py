@@ -168,6 +168,41 @@ class TestDedup:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestAgg:
+    def test_grouped_percentiles_match_naive_rank(self):
+        from data_sync_ray.functions.agg import grouped_exact_percentiles
+
+        rng = np.random.default_rng(5)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], size=n),
+                "v": np.round(rng.normal(50, 20, size=n), 3),
+            }
+        )
+        # deliberately awkward batch boundaries: the histogram reduce
+        # must be batching-invariant
+        ds = rd.from_pandas([df.iloc[i:i + 701] for i in range(0, n, 701)])
+        out = (
+            grouped_exact_percentiles(ds, "k", "v", batch_size=337)
+            .to_pandas()
+            .set_index("k")
+            .sort_index()
+        )
+
+        for k, sub in df.groupby("k"):
+            cents = np.sort(
+                np.floor(sub["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+            )
+            m = len(cents)
+            assert out.loc[k, "n"] == m
+            for p, col in ((50, "p50_cents"), (90, "p90_cents"),
+                           (99, "p99_cents")):
+                rank = max(1, (p * m + 99) // 100)
+                assert out.loc[k, col] == cents[rank - 1], (k, col)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestAnn:
     def test_brute_force_topk_exact(self):
         from data_sync_ray.functions.ann import brute_force_topk
