@@ -485,3 +485,31 @@ def cosine_near_dup_pairs_lsh(
     from .dedup import dedup_pair_rows
 
     return dedup_pair_rows(cand, cols=("vec_a", "vec_b"))
+
+
+def cosine_dedup_keep_first(
+    emb: rd.Dataset,
+    threshold: float = 0.4,
+    use_lsh: bool = False,
+    **kw,
+) -> rd.Dataset:
+    """Embedding near-dup REMOVAL: cosine pairs -> connected components
+    -> keep each component's min vec_id, drop the rest (the embedding
+    analog of minhash_dedup_keep_first; same union-find-on-driver
+    justification — the pair set is bounded by real dup density, tiny
+    relative to the corpus). use_lsh selects the linear-cost bucketed
+    pair path for high thresholds; default is the exact block sweep."""
+    from .dedup import connected_components
+
+    pair_fn = cosine_near_dup_pairs_lsh if use_lsh else cosine_near_dup_pairs
+    pairs = pair_fn(emb, threshold=threshold, **kw).to_pandas()
+    roots = connected_components(
+        pairs.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    )
+    drop = {d for d, r in roots.items() if r != d}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch["vec_id"].isin(ray.get(drop_ref))]
+
+    return emb.map_batches(keep, batch_format="pandas")

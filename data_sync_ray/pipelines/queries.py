@@ -992,6 +992,40 @@ def embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
     return _round(out, {"cosine": 4})
 
 
+def embedding_dedup_keep_first(sf_dir: str) -> pd.DataFrame:
+    from ..functions.ann import cosine_dedup_keep_first
+
+    ds = cosine_dedup_keep_first(_t(sf_dir, "embeddings"), threshold=0.4)
+    out = ds.select_columns(["vec_id"]).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+# keep-first over cosine near-dup components: transitive closure of the
+# exact >=0.4-cosine pair graph (recursive CTE), keep each component's
+# min vec_id — the embedding analog of KEEP_FIRST_SQL
+EMB_KEEP_FIRST_SQL = """
+WITH RECURSIVE dup_pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.4
+),
+edges AS (
+  SELECT u, v FROM dup_pairs UNION SELECT v, u FROM dup_pairs
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.b FROM edges e JOIN reach r ON e.v = r.a
+),
+label AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a)
+SELECT e.vec_id
+FROM embeddings e LEFT JOIN label l ON e.vec_id = l.vec_id
+WHERE l.root IS NULL OR l.root = e.vec_id
+"""
+
+
 def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import lsh_topk
 
@@ -1261,6 +1295,8 @@ QUERIES: dict[str, tuple] = {
     "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
+    "embedding_dedup_keep_first": (embedding_dedup_keep_first,
+                                   EMB_KEEP_FIRST_SQL),
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),

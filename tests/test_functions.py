@@ -316,6 +316,29 @@ class TestAnn:
         assert got == want
 
 
+    def test_cosine_dedup_keep_first(self):
+        from data_sync_ray.functions.ann import cosine_dedup_keep_first
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(10, 16))
+        rows = []
+        vid = 0
+        for i in range(10):
+            for _ in range(3 if i < 2 else 1):  # vecs 0-1 have 2 dups each
+                v = base[i] + rng.normal(scale=1e-4, size=16)
+                rows.append({"vec_id": vid, "embedding": v.tolist()})
+                vid += 1
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        out = cosine_dedup_keep_first(ds, threshold=0.99).to_pandas()
+        kept = sorted(out["vec_id"])
+        # components {0,1,2} and {3,4,5} collapse to their min ids
+        assert kept == [0, 3] + list(range(6, vid))
+        out_lsh = cosine_dedup_keep_first(
+            ds, threshold=0.99, use_lsh=True, n_planes=4, n_bands=16
+        ).to_pandas()
+        assert sorted(out_lsh["vec_id"]) == kept
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
     def test_decode_requires_fake_flag(self):
