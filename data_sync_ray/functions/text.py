@@ -160,3 +160,63 @@ def with_fingerprints(ds, concurrency: int = 4, batch_size: int = 2048):
         Fingerprinter, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def top_tokens(
+    docs, k: int = 50, num_parts: int = 32, batch_size: int = 4096
+):
+    """Exact global top-k most frequent whitespace tokens.
+
+    Heavy-hitters at scale without a vocabulary-sized sort: per-batch
+    token counts (the combiner — rows out are bounded by the batch's
+    DISTINCT tokens), one exchange on token-hash % num_parts, per-part
+    final sums. A token lives in exactly one partition, so each part's
+    top-k candidate list is globally complete for its tokens and the
+    union of candidates (<= num_parts * k tiny rows) provably contains
+    the global top-k; the final merge-sort of that bounded set runs on
+    the driver. Ties break (count DESC, token ASC) — stated identically
+    in the SQL oracle so result hashes match bitwise.
+
+    Returns a pandas DataFrame (token, cnt) — already a top-k, i.e. a
+    small result by contract."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in batch["text"] for w in t.split()]
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(toks, dtype="object").value_counts()
+        out = pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object),
+             "cnt": vc.to_numpy(dtype=np.int64)}
+        )
+        h = pd.util.hash_pandas_object(out["token"], index=False)
+        out["_part"] = (h.to_numpy() % num_parts).astype(np.int64)
+        return out
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby("token", sort=False)["cnt"].sum()
+            .reset_index()
+            .sort_values(["cnt", "token"], ascending=[False, True])
+            .head(k)
+        )
+        s["cnt"] = s["cnt"].astype("int64")
+        return s
+
+    cand = (
+        docs.map_batches(
+            partial, batch_format="pandas", batch_size=batch_size
+        )
+        .groupby("_part")
+        .map_groups(part_top, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["cnt", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

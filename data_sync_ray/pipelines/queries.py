@@ -385,6 +385,79 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def user_rolling_window(sf_dir: str) -> pd.DataFrame:
+    """Per-user trailing-3-row running sum (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — the bounded sliding window the reference's range scan
+    + ORDER BY would feed. Routes users into a fixed int partition
+    (never one Ray group per user — many-tiny-group pitfall) and runs
+    one vectorized pandas grouped-rolling per partition; per-user
+    history fitting one task is the same partitioning assumption as
+    sessionize. Integer cents throughout — hash-exact across engines."""
+    num_parts = 32
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_c"] = np.floor(
+            batch["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        batch["_part"] = (
+            batch["user_id"].to_numpy().astype(np.int64) % num_parts
+        )
+        return batch[["user_id", "event_id", "ts", "value_c", "_part"]]
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        r = (
+            g.groupby("user_id", sort=False)["value_c"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "event_id": g["event_id"].astype("int64"),
+                "w3_sum_cents": r.astype("int64"),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(route, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+ROLLING_SQL = """
+SELECT user_id, event_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_sum_cents
+FROM events
+"""
+
+
+def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import top_tokens
+
+    return top_tokens(
+        _t(sf_dir, "documents", ["text"], num_blocks=16), k=50
+    )
+
+
+# ties break (cnt DESC, token ASC) — stated identically in the engine
+TOP_TOKENS_SQL = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS cnt FROM w GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT 50
+"""
+
+
 def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each event, the most recent order of the same key
     with o_orderdate <= ts. Ray path: broadcast the (small) orders side
@@ -1269,6 +1342,7 @@ QUERIES: dict[str, tuple] = {
     "orders_customer_hash_join": (orders_customer_hash_join, HASH_JOIN_SQL),
     "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
     "range_join_orders": (range_join_orders, RANGE_JOIN_SQL),
     "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
@@ -1283,6 +1357,7 @@ QUERIES: dict[str, tuple] = {
     "table_filter_exclude": (table_filter_exclude, FILTER_EXCLUDE_SQL),
     "column_projection": (column_projection, PROJECTION_SQL),
     "token_counts_docs": (token_counts_docs, TOKEN_COUNT_SQL),
+    "top_tokens_docs": (top_tokens_docs, TOP_TOKENS_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),

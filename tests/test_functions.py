@@ -58,6 +58,23 @@ class TestText:
         assert b1["fp_rolling"][0] != b1["fp_rolling"][1]
 
 
+    def test_top_tokens_exact_with_ties(self):
+        from data_sync_ray.functions.text import top_tokens
+
+        docs = [
+            "b b b a a c",      # b:3 a:2 c:1
+            "a c d d",          # ties: a vs d at 3 after both docs
+            "e",
+        ]
+        ds = rd.from_pandas(
+            pd.DataFrame({"text": docs, "doc_id": range(len(docs))})
+        )
+        out = top_tokens(ds, k=3, num_parts=4, batch_size=1)
+        # counts: a=3 b=3 c=2 d=2 e=1; ties break (cnt DESC, token ASC)
+        assert list(out["token"]) == ["a", "b", "c"]
+        assert list(out["cnt"]) == [3, 3, 2]
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestDedup:
     def test_exact_dedup(self):
