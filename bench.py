@@ -85,14 +85,30 @@ def fixture_dir(sf_name: str, n_docs: int, n_events: int, n_epochs: int) -> str:
 
 
 def warm_up_workers(num_cpus: int) -> None:
-    """Spawn Ray's worker processes before timing — cluster startup is not
-    part of the measured workload (it would bias against the higher CPU
-    count, whose pool is larger)."""
+    """Spawn Ray's worker processes AND pre-fault their heaps + the plasma
+    object-store mmap before timing — cluster startup and first-touch page
+    faults are not part of the measured workload. The second matters on
+    ballooned VMs: this sandbox's host serves a fresh process's first
+    ~200 MB of page faults at up to ~100 us/page (measured; ~0.7 us once
+    broken in), which can double an exchange-heavy replay's wall time
+    while leaving warm-heap query benchmarks untouched."""
+    import numpy as np
+    import ray
     import ray.data as rd
 
+    def touch(b):
+        a = np.empty(8_000_000)  # ~64 MB heap first-touch per task
+        a[::512] = 1.0
+        return b
+
     rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        touch, batch_format="pyarrow"
     ).count()
+    # break in the shared object-store mapping (~1 GB through plasma)
+    refs = [ray.put(np.ones(16_000_000)) for _ in range(8)]
+    for r in refs:
+        ray.get(r)
+    del refs
 
 
 def run_replay(sf_name: str, num_cpus: int) -> dict:
