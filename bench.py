@@ -50,6 +50,7 @@ QUERY_SAMPLE = [
     "embedding_near_dup_lsh",
     "simhash_docs",
     "ngram_jaccard_pairs",
+    "corpus_prep_stats",
 ]
 
 

@@ -781,6 +781,107 @@ FROM h
 """
 
 
+def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
+    """Flagship LLM-corpus prep composition: integer-predicate quality
+    gate (n_words >= 10 AND stopword ratio >= 5%, stated as
+    n_stop*20 >= n_words so no float compare can diverge) -> exact
+    dedup keep-first -> language ID -> per-language corpus stats.
+    Every stage is an already-oracle-green operator; this query checks
+    their COMPOSITION end-to-end."""
+    import re as _re
+
+    from ..functions.dedup import exact_dedup
+    from ..functions.text import STOPWORDS, LangId
+
+    word_re = _re.compile(r"[A-Za-z]+")
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.findall(word_re)
+        n_words = words.map(len)
+        n_stop = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+        )
+        keep = (n_words >= 10) & (n_stop * 20 >= n_words)
+        out = batch.loc[keep, ["doc_id", "text"]].copy()
+        out["n_words"] = n_words[keep].astype("int64")
+        return out
+
+    kept = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gate, batch_format="pandas"
+    )
+    deduped = exact_dedup(kept)
+    langed = deduped.map_batches(LangId, batch_format="pandas",
+                                 concurrency=4)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agg = batch.groupby("pred_lang").agg(
+            n_docs=("doc_id", "size"), total_words=("n_words", "sum")
+        ).reset_index()
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pred_lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_words=("total_words", "sum")
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_words"] = out["total_words"].astype("int64")
+        return out
+
+    # handful of language groups: a direct tiny groupby is fine
+    return (
+        langed.map_batches(partial, batch_format="pandas")
+        .groupby("pred_lang")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _stop_in() -> str:
+    from ..functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+CORPUS_PREP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+                         x -> lower(x) IN ({_stop_in()}))) AS n_stop
+  FROM documents
+),
+kept AS (
+  SELECT * FROM g WHERE n_words >= 10 AND n_stop * 20 >= n_words
+),
+ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+k2 AS (SELECT kept.* FROM kept JOIN ded USING (doc_id)),
+w AS (
+  SELECT doc_id, n_words,
+         regexp_extract_all(text, '[a-zA-ZÀ-ÿäöüßñ]+') AS ws,
+         regexp_matches(text, '[一-鿿]') AS cjk
+  FROM k2
+),
+h AS (
+  SELECT doc_id, n_words, cjk,
+         {_profile_hits("en")} AS e, {_profile_hits("fr")} AS f,
+         {_profile_hits("de")} AS d, {_profile_hits("es")} AS s
+  FROM w
+),
+lang AS (
+  SELECT doc_id, n_words,
+       CASE WHEN cjk THEN 'zh'
+            WHEN greatest(e, f, d, s) = 0 THEN 'unknown'
+            WHEN e = greatest(e, f, d, s) THEN 'en'
+            WHEN f = greatest(e, f, d, s) THEN 'fr'
+            WHEN d = greatest(e, f, d, s) THEN 'de'
+            ELSE 'es' END AS pred_lang
+  FROM h
+)
+SELECT pred_lang, count(*) AS n_docs, sum(n_words) AS total_words
+FROM lang GROUP BY pred_lang
+"""
+
+
 # --- dedup ------------------------------------------------------------------
 
 
@@ -1361,6 +1462,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
+    "corpus_prep_stats": (corpus_prep_stats, CORPUS_PREP_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_docs, NGRAM_JACCARD_SQL),
