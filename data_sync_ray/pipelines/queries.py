@@ -781,6 +781,61 @@ FROM h
 """
 
 
+def rebalance_sample(sf_dir: str) -> pd.DataFrame:
+    """Class-rebalancing deterministic downsample: undersample each
+    event_type toward the minority class with a per-type systematic
+    stride k_t = max(1, cnt_t // min_cnt), keeping event_id % k_t == 0.
+
+    Two-pass: (1) tiny per-batch count combiners -> driver holds one row
+    per class (bounded by class cardinality, not data size); (2) strides
+    broadcast via ray.put, stateless mod-filter per batch — no shuffle
+    at all. Deterministic by construction (id-keyed, not RNG), so
+    resumable shards sample identically. The reference's page-limit
+    scan (config.go page_size) is the ancestor; this is its
+    class-balanced analog for training-data curation."""
+    import ray as _ray
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def pcount(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["event_type"].value_counts()
+        return pd.DataFrame(
+            {"event_type": vc.index.to_numpy(dtype=object),
+             "cnt": vc.to_numpy(dtype=np.int64)}
+        )
+
+    counts = (
+        ev.map_batches(pcount, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("event_type")["cnt"].sum()
+    )
+    mn = int(counts.min())
+    strides = {t: max(1, int(c) // mn) for t, c in counts.items()}
+    s_ref = _ray.put(strides)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        st = _ray.get(s_ref)
+        k = batch["event_type"].map(st).to_numpy(dtype=np.int64)
+        return batch[batch["event_id"].to_numpy() % k == 0]
+
+    out = ev.map_batches(
+        keep, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["event_id", "event_type", "user_id"]]
+
+
+REBALANCE_SQL = """
+WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+m AS (SELECT min(cnt) AS mn FROM c),
+k AS (SELECT event_type, greatest(1, cnt // mn) AS k FROM c, m)
+SELECT e.event_id, e.event_type, e.user_id
+FROM events e JOIN k USING (event_type)
+WHERE e.event_id % k.k = 0
+"""
+
+
 def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
     """Flagship LLM-corpus prep composition: integer-predicate quality
     gate (n_words >= 10 AND stopword ratio >= 5%, stated as
@@ -1449,6 +1504,7 @@ QUERIES: dict[str, tuple] = {
     "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
     "distinct_user_count": (distinct_user_count, DISTINCT_COUNT_SQL),
     "systematic_sample": (systematic_sample, SAMPLE_SQL),
+    "rebalance_sample": (rebalance_sample, REBALANCE_SQL),
     "events_sorted_head": (events_sorted_head, SORT_HEAD_SQL),
     "cdc_lww_latest": (cdc_lww_latest, LWW_SQL),
     "cdc_apply_final": (cdc_apply_final, APPLY_SQL),
