@@ -502,15 +502,166 @@ def connected_components(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def connected_components_distributed(
+    pairs: rd.Dataset,
+    num_parts: int = 16,
+    max_rounds: int = 25,
+) -> rd.Dataset:
+    """Min-label propagation over the pair graph — the DISTRIBUTED
+    complement of `connected_components` for dup densities where even
+    the pair set outgrows driver memory. Returns (doc_id, root) rows
+    for every node that appears in a pair.
+
+    Each round: co-partition (edge, label) rows on node % num_parts,
+    one group task per part emits each neighbor's label as a candidate,
+    then a min-combine per node. Labels are monotone non-increasing and
+    bounded below by the component min, so sum(label) is a loop-safe
+    convergence probe (one tiny aggregate per round). Rounds needed =
+    graph diameter — near-dup components are shallow (near-cliques), so
+    this converges in a handful of rounds; max_rounds guards degenerate
+    chain graphs. Per-round state lives in the object store
+    (materialize), never on the driver."""
+
+    def sym(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["doc_a"].to_numpy(dtype=np.int64)
+        v = batch["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pandas")
+
+    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(batch["u"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"node": n, "label": n})
+
+    # dedup initial labels through the same min-combine used per round
+    labels = edges.map_batches(init_labels, batch_format="pandas")
+
+    def route_e(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_part": (
+                    batch["u"].to_numpy(dtype=np.int64) % num_parts
+                ),
+                "node": batch["u"].to_numpy(dtype=np.int64),
+                "peer": batch["v"].to_numpy(dtype=np.int64),
+                "label": np.full(len(batch), -1, dtype=np.int64),
+            }
+        )
+
+    def route_l(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_part": (
+                    batch["node"].to_numpy(dtype=np.int64) % num_parts
+                ),
+                "node": batch["node"].to_numpy(dtype=np.int64),
+                "peer": np.full(len(batch), -1, dtype=np.int64),
+                "label": batch["label"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["label"].to_numpy() >= 0
+        lab = (
+            g.loc[is_l].groupby("node")["label"].min()
+        )  # a node's own current label
+        e = g.loc[~is_l]
+        cand_peer = pd.DataFrame(
+            {
+                "node": e["peer"].to_numpy(),
+                "label": lab.reindex(e["node"]).to_numpy(),
+            }
+        ).dropna()
+        mine = lab.reset_index()
+        out = pd.concat([mine, cand_peer], ignore_index=True)
+        out = out.groupby("node", as_index=False)["label"].min()
+        return pd.DataFrame(
+            {
+                "node": out["node"].astype("int64"),
+                "label": out["label"].astype("int64"),
+            }
+        )
+
+    def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["label"].min()
+        out["node"] = out["node"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    edges_routed = edges.map_batches(
+        route_e, batch_format="pandas"
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        cand = (
+            edges_routed.union(
+                labels.map_batches(route_l, batch_format="pandas")
+            )
+            .groupby("_part")
+            .map_groups(propagate, batch_format="pandas")
+        )
+
+        def route_n(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["_part"] = (
+                batch["node"].to_numpy(dtype=np.int64) % num_parts
+            )
+            return batch
+
+        labels = (
+            cand.map_batches(route_n, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(min_combine, batch_format="pandas")
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["node"], "root": batch["label"]}
+        )
+
+    return labels.map_batches(rename, batch_format="pandas")
+
+
 def minhash_dedup_keep_first(
-    docs: rd.Dataset, threshold: float = 0.5, k: int = 3, **kw
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    k: int = 3,
+    distributed_cc: bool = False,
+    **kw,
 ) -> rd.Dataset:
     """End-to-end near-dup REMOVAL: LSH candidates -> exact-Jaccard verify
     -> connected components -> keep the min-doc_id member of each dup
-    group, drop the rest. Returns the surviving docs Dataset."""
-    pairs = minhash_dedup_pairs(docs, threshold=threshold, k=k, **kw).to_pandas()
-    roots = connected_components(pairs)
-    drop = {d for d, r in roots.items() if r != d}
+    group, drop the rest. Returns the surviving docs Dataset.
+
+    distributed_cc=True runs min-label propagation in the cluster instead
+    of driver union-find — for dup densities where even the verified pair
+    set is too large to gather."""
+    pairs_ds = minhash_dedup_pairs(docs, threshold=threshold, k=k, **kw)
+    if distributed_cc:
+        roots_ds = connected_components_distributed(pairs_ds)
+
+        def non_roots(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["doc_id"] != batch["root"]]
+            return pd.DataFrame({"doc_id": b["doc_id"].astype("int64")})
+
+        drop = set(
+            roots_ds.map_batches(non_roots, batch_format="pandas")
+            .to_pandas()["doc_id"]
+        )
+        # NOTE: the drop set is (dup members - roots), bounded by real
+        # dup density like the pairs; broadcast once. A corpus where even
+        # THIS exceeds memory wants an anti-join on doc_id instead.
+    else:
+        pairs = pairs_ds.to_pandas()
+        roots = connected_components(pairs)
+        drop = {d for d, r in roots.items() if r != d}
     drop_ref = ray.put(drop)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:

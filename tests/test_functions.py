@@ -168,6 +168,56 @@ class TestDedup:
         ).to_pandas()
         assert len(pruned) == 0  # pruning removes, never invents, pairs
 
+    def test_distributed_cc_matches_union_find(self):
+        from data_sync_ray.functions.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        rng = np.random.default_rng(17)
+        # several clusters + a long chain (worst case for propagation)
+        edges = []
+        for c in range(6):
+            nodes = rng.choice(np.arange(c * 100, c * 100 + 40),
+                               size=25, replace=False)
+            for i in range(len(nodes) - 1):
+                edges.append((int(nodes[i]), int(nodes[i + 1])))
+        chain = list(range(1000, 1012))
+        edges += list(zip(chain[:-1], chain[1:]))
+        pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        want = connected_components(pairs)
+        got = (
+            connected_components_distributed(
+                rd.from_pandas(pairs), num_parts=4
+            )
+            .to_pandas()
+            .set_index("doc_id")["root"]
+            .to_dict()
+        )
+        assert got == {int(k): int(v) for k, v in want.items()}
+
+    def test_keep_first_distributed_cc_parity(self):
+        from data_sync_ray.functions.dedup import minhash_dedup_keep_first
+
+        words = [f"w{i}" for i in range(50)]
+        docs = [
+            {"doc_id": 1, "text": " ".join(words)},
+            {"doc_id": 2, "text": " ".join(words[:48] + ["x", "y"])},
+            {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(50))},
+            {"doc_id": 4, "text": " ".join(words[:47] + ["p", "q", "r"])},
+        ]
+        ds = _docs(docs)
+        a = sorted(
+            minhash_dedup_keep_first(ds, threshold=0.5)
+            .to_pandas()["doc_id"]
+        )
+        b = sorted(
+            minhash_dedup_keep_first(ds, threshold=0.5,
+                                     distributed_cc=True)
+            .to_pandas()["doc_id"]
+        )
+        assert a == b == [1, 3]
+
     def test_simhash_near_dup(self):
         from data_sync_ray.functions.dedup import simhash_dup_pairs
 

@@ -3,13 +3,17 @@ random offset, rerun to completion, demand exact oracle equality."""
 import os, random, shutil, signal, subprocess, sys, time
 
 random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 7)
+# kill window (s): ray.init ~5s; default spans mid-replay. Tune down if
+# the drive completes before the kill fires (killed=False trials).
+LO = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
+HI = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
 DRIVE = "/root/repo/tools/drive_verify.py"
 fails = 0
 for trial in range(5):
     wd = f"/tmp/chaos/{trial}"
     shutil.rmtree(wd, ignore_errors=True)
     os.makedirs(wd, exist_ok=True)
-    delay = random.uniform(6.0, 20.0)  # ray.init ~5s; kill mid-replay
+    delay = random.uniform(LO, HI)
     env = dict(os.environ, PYTHONPATH="/root/repo")
     # new session => SIGKILL the whole process GROUP, or the driver's
     # Ray head/worker children survive as orphans holding /dev/shm and
