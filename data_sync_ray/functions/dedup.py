@@ -804,6 +804,10 @@ def ngram_jaccard_pairs(
         docs.map_batches(postings, batch_format="pandas", batch_size=4096)
         .groupby("_part")
         .map_groups(part_pairs, batch_format="pandas")
+        # coalesce the shuffle's ~200 mostly-empty output blocks before
+        # the second exchange (each block otherwise costs one Sort task —
+        # the measured pitfall in BASELINE.md; same fix as MinHash)
+        .map_batches(lambda b: b, batch_format="pyarrow", batch_size=65536)
         .groupby("_ppart")
         .map_groups(score, batch_format="pandas")
     )
