@@ -190,6 +190,12 @@ def status_to_prometheus(status: dict) -> str:
         "data_sync_watermark_min": status.get("watermark_min", -1),
         "data_sync_partitions": status.get("partitions", 0),
         "data_sync_paused": 1 if status.get("strategy_mode") == "pause" else 0,
+        "data_sync_rate_window_events_per_sec": status.get(
+            "rate_window_events_per_sec", 0.0
+        ),
+        "data_sync_rate_last_round_events_per_sec": status.get(
+            "rate_last_round_events_per_sec", 0.0
+        ),
     }
     lines = []
     for name, val in gauges.items():

@@ -423,6 +423,12 @@ class ReplayJob:
         cp = ControlPlane(self.cfg.lake_root)
         rounds = 0
         totals = {"rounds": 0, "epochs_run": 0, "events_applied": 0}
+        # streaming windowed throughput: (wall clock, cumulative events)
+        # snapshots of the last rate_window rounds — the consume-rate
+        # gauge of the reference's monitor loop (monitor.go:44-108),
+        # computed over a sliding window instead of process lifetime
+        rate_window = 10
+        rate_samples: list[tuple[float, int]] = [(time.time(), 0)]
         boot = bootstrap
         mode = "run"
         applied_overrides: list[str] = []
@@ -459,6 +465,21 @@ class ReplayJob:
                     totals["compactions"] = totals.get(
                         "compactions", 0
                     ) + self.compact_if_needed(compact_over_fragments)
+                rate_samples.append(
+                    (time.time(), totals["events_applied"])
+                )
+                rate_samples = rate_samples[-(rate_window + 1):]
+                t0, e0 = rate_samples[0]
+                t1, e1 = rate_samples[-1]
+                totals["rate_window_events_per_sec"] = round(
+                    (e1 - e0) / max(t1 - t0, 1e-9), 1
+                )
+                tp, ep = rate_samples[-2] if len(rate_samples) >= 2 else (
+                    t0, e0
+                )
+                totals["rate_last_round_events_per_sec"] = round(
+                    (e1 - ep) / max(t1 - tp, 1e-9), 1
+                )
             self._write_tail_status(
                 cp, mode, totals, applied_overrides, rejected_overrides
             )
@@ -487,6 +508,12 @@ class ReplayJob:
                 "watermark_min": min(wms.values(), default=-1),
                 "partitions": len(wms),
                 "failures": failures,
+                "rate_window_events_per_sec": totals.get(
+                    "rate_window_events_per_sec", 0.0
+                ),
+                "rate_last_round_events_per_sec": totals.get(
+                    "rate_last_round_events_per_sec", 0.0
+                ),
                 "applied_overrides": applied_overrides,
                 "rejected_overrides": rejected_overrides,
             }

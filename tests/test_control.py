@@ -50,6 +50,10 @@ def test_tail_writes_status_and_hot_applies_overrides(tmp_path):
     assert st["events_applied"] > 0
     assert st["watermark_max"] >= 0
     assert st["failures"] == 0
+    # streaming windowed throughput gauges: events were applied in round
+    # 1, so both the window and last-round rates must be positive
+    assert st["rate_window_events_per_sec"] > 0
+    assert st["rate_last_round_events_per_sec"] >= 0
     assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
 
 
@@ -80,9 +84,11 @@ def test_prometheus_text_export():
     from data_sync_ray.control import status_to_prometheus
 
     text = status_to_prometheus(
-        {"events_applied": 42, "strategy_mode": "pause", "failures": 1}
+        {"events_applied": 42, "strategy_mode": "pause", "failures": 1,
+         "rate_window_events_per_sec": 123.4}
     )
     assert "data_sync_events_applied_total 42" in text
     assert "data_sync_failures_total 1" in text
     assert "data_sync_paused 1" in text
+    assert "data_sync_rate_window_events_per_sec 123.4" in text
     assert text.endswith("\n")
