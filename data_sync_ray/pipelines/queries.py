@@ -310,6 +310,142 @@ GROUP BY c_nationkey
 """
 
 
+def top_customer_revenue(sf_dir: str) -> pd.DataFrame:
+    """Three-way join (lineitem ⋈ orders ⋈ customer) a la TPC-H Q3:
+    top-10 BUILDING-segment customers by lineitem revenue. Shapes by
+    side size: lineitem pre-aggregates per order INSIDE map_batches (the
+    combiner — the biggest table never shuffles raw), orders⋈partials is
+    the one shuffle join, customer segment membership broadcasts as a
+    key set, and top-k reduces per-partition before a bounded driver
+    merge. Revenue in integer cents (identical expression in the SQL
+    oracle) so the hash is order-insensitive."""
+    import ray as _ray
+
+    num_parts = 16
+    building = set(
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.loc[b["c_mktsegment"] == "BUILDING",
+                            ["c_custkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["c_custkey"]
+    )
+    b_ref = _ray.put(building)
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = (
+            batch.assign(rev_c=cents)
+            .groupby("l_orderkey", sort=False)["rev_c"].sum()
+            .reset_index()
+        )
+        out["rev_c"] = out["rev_c"].astype("int64")
+        return out
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=65536)
+
+    # li ⋈ orders by co-partitioning both on orderkey % P through ONE
+    # union + groupby (the repo's manual hash-join shape) — Dataset.join
+    # pays Ray's sort-shuffle barrier (~3s fixed at any scale here,
+    # BASELINE.md); this path measured ~2x faster for the same answer
+    def route_li(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["l_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"_part": k % num_parts, "okey": k,
+             "custkey": np.full(len(batch), -1, dtype=np.int64),
+             "rev_c": batch["rev_c"].to_numpy(dtype=np.int64)}
+        )
+
+    def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = _ray.get(b_ref)
+        batch = batch[batch["o_custkey"].isin(bs)]
+        k = batch["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"_part": k % num_parts, "okey": k,
+             "custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "rev_c": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        route_orders, batch_format="pandas"
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_o = g["custkey"].to_numpy() >= 0
+        lut = dict(zip(g.loc[is_o, "okey"], g.loc[is_o, "custkey"]))
+        li_rows = g.loc[~is_o]
+        ck = li_rows["okey"].map(lut)
+        keep = ck.notna()
+        out = pd.DataFrame(
+            {"o_custkey": ck[keep].astype("int64"),
+             "rev_c": li_rows.loc[keep, "rev_c"]}
+        )
+        out = out.groupby("o_custkey", as_index=False)["rev_c"].sum()
+        out["_ppart"] = (
+            out["o_custkey"].to_numpy(dtype=np.int64) % num_parts
+        )
+        return out
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby("o_custkey", as_index=False)["rev_c"].sum()
+            .sort_values(["rev_c", "o_custkey"],
+                         ascending=[False, True])
+            .head(10)
+            .drop(columns=["_ppart"], errors="ignore")
+        )
+        return s[["o_custkey", "rev_c"]]
+
+    cand = (
+        li.map_batches(route_li, batch_format="pandas",
+                       batch_size=65536)
+        .union(orders)
+        .groupby("_part")
+        .map_groups(attach, batch_format="pandas")
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=65536)  # coalesce pre-exchange blocks
+        .groupby("_ppart")
+        .map_groups(part_top, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["rev_c", "o_custkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "o_custkey": out["o_custkey"].astype("int64"),
+            "revenue_cents": out["rev_c"].astype("int64"),
+        }
+    )
+
+
+TOP_REVENUE_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+)
+SELECT o_custkey, sum(rev_c) AS revenue_cents
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+ORDER BY revenue_cents DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
 def semi_anti_join_orders(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi/anti filter: customers with vs without orders
     (ref J1's existence-check semi-join, broadcast key set)."""
@@ -1497,6 +1633,7 @@ QUERIES: dict[str, tuple] = {
     "orderkeys_union": (orderkeys_union, UNION_SQL),
     "orders_customer_hash_join": (orders_customer_hash_join, HASH_JOIN_SQL),
     "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
+    "top_customer_revenue": (top_customer_revenue, TOP_REVENUE_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
