@@ -1545,6 +1545,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: pivot column set — pinned (a data-driven column set would make the
+#: result schema depend on which types appear, breaking schema compare)
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Reshape: long event rows -> one row per day with per-type count
+    columns (conditional aggregation). Per-batch (day, type) count
+    combiners, one tiny exchange on day-hash, pivot inside the final
+    group task — the wide result never exists as long rows again."""
+    num_parts = 16
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["ts"].dt.strftime("%Y-%m-%d")
+        agg = (
+            pd.DataFrame({"day": day, "event_type": batch["event_type"]})
+            .groupby(["day", "event_type"], sort=False)
+            .size().rename("cnt").reset_index()
+        )
+        agg["cnt"] = agg["cnt"].astype("int64")
+        h = pd.util.hash_pandas_object(agg["day"], index=False)
+        agg["_part"] = (h.to_numpy() % num_parts).astype(np.int64)
+        return agg
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["day", "event_type"])["cnt"].sum().unstack(
+                fill_value=0
+            )
+        )
+        out = pd.DataFrame({"day": s.index})
+        for t in _PIVOT_TYPES:
+            out[f"n_{t}"] = (
+                s[t].to_numpy() if t in s.columns
+                else np.zeros(len(s), dtype=np.int64)
+            ).astype(np.int64)
+        return out
+
+    return (
+        _t(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(pivot, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def event_value_percentiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type value percentiles via distributed histogram merge —
     never materializes a group's raw values in one task (see
@@ -1670,6 +1728,7 @@ QUERIES: dict[str, tuple] = {
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
+    "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
     "cdc_replay_lake": (cdc_replay_lake, None),
 }
 
