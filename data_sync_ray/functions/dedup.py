@@ -252,6 +252,9 @@ def dedup_pair_rows(
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([ca, cb]).drop(columns=["_part"])
 
+    # batch_size on route also COALESCES upstream blocks: pair producers
+    # are usually groupby outputs (~200 mostly-empty blocks, the measured
+    # Sort-task-per-block pitfall in BASELINE.md)
     return (
         pairs.map_batches(route, batch_format="pandas", batch_size=65536)
         .groupby("_part")

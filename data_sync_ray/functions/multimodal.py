@@ -143,3 +143,41 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_near_dup(
+    media: rd.Dataset,
+    threshold: float = 0.999,
+    feature_dim: int = 16,
+    **decode_kw,
+) -> rd.Dataset:
+    """Composition: media payloads -> decode to feature vectors (actor
+    pool) -> exact cosine near-dup pairs. The full multimodal dedup path
+    a training-data pipeline runs — identical payloads decode to
+    identical features and surface at cosine ~1.0. vec ids are the
+    digits of media_id (gen_fake_media's mNNNNNN convention); a real
+    deployment would carry its own integer key."""
+    from .ann import cosine_near_dup_pairs
+
+    feats = decode_features(media, feature_dim=feature_dim, **decode_kw)
+
+    def to_vec(t: pa.Table) -> pa.Table:
+        ids = [
+            int("".join(ch for ch in m if ch.isdigit()) or "0")
+            for m in t.column("media_id").to_pylist()
+        ]
+        emb = pa.array(
+            [
+                [float(x) for x in v]
+                for v in t.column("features").to_pylist()
+            ],
+            pa.list_(pa.float64()),
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "embedding": emb}
+        )
+
+    return cosine_near_dup_pairs(
+        feats.map_batches(to_vec, batch_format="pyarrow"),
+        threshold=threshold,
+    )

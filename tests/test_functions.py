@@ -430,6 +430,29 @@ class TestMultimodal:
         b = np.vstack(out2.sort_values("media_id")["features"].to_numpy())
         assert np.array_equal(a, b)
 
+    def test_media_decode_to_near_dup_pipeline(self):
+        from data_sync_ray.functions.multimodal import (
+            gen_fake_media,
+            media_near_dup,
+        )
+
+        t = gen_fake_media(30, seed=1)
+        pay = t.column("payload").to_pylist()
+        pay[1] = pay[0]  # plant payload dups: 0 == 1 == 2
+        pay[2] = pay[0]
+        t = t.set_column(
+            t.schema.get_field_index("payload"), "payload",
+            pa.array(pay, pa.binary()),
+        )
+        pairs = media_near_dup(
+            rd.from_arrow(t), threshold=0.999
+        ).to_pandas()
+        ps = set(zip(pairs["vec_a"], pairs["vec_b"]))
+        assert {(0, 1), (0, 2), (1, 2)} <= ps
+        # distinct random payloads decode to uncorrelated vectors: no
+        # false pair should reach ~1.0 cosine
+        assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in ps)
+
     def test_frame_sampler(self):
         from data_sync_ray.functions.multimodal import gen_fake_media, sample_frames
 

@@ -21,15 +21,17 @@ def equal(got, want):
     return True
 
 fails = 0
+# optional seed offset: each sweep invocation can explore fresh space
+OFF = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 cases = []
-for seed in range(100, 110):
+for seed in range(100 + OFF, 110 + OFF):
     cases.append(dict(seed=seed, mode="spill", catch=True))
-for seed in range(200, 205):
+for seed in range(200 + OFF, 205 + OFF):
     cases.append(dict(seed=seed, mode="sort", catch=True))
-for seed in range(300, 305):
+for seed in range(300 + OFF, 305 + OFF):
     cases.append(dict(seed=seed, mode="spill", catch=False))
 import numpy as np
-rng = np.random.default_rng(9)
+rng = np.random.default_rng(9 + OFF)
 for i, c in enumerate(cases):
     wd = f"/tmp/sweep/{i}"
     shutil.rmtree(wd, ignore_errors=True)
