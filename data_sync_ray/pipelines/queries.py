@@ -1670,12 +1670,41 @@ def cdc_replay_lake(sf_dir: str) -> pa.Table:
     job.replay(ev_root)
     out = job.lake.read_all()
     # token arrays don't hash portably through every converter; project the
-    # verifiable scalar shape (tokens equality is pinned by pytest)
-    out = out.select(["doc_id", "n_tok", "source", "log_pos"])
+    # verifiable scalar shape (tokens equality is pinned by pytest) and
+    # cast to the canonical fixture schema
+    out = out.select(["doc_id", "n_tok", "source", "log_pos"]).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("n_tok", pa.int64()),
+             ("source", pa.string()), ("log_pos", pa.int64())]
+        )
+    )
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+#: the fixture spec's hash — recomputed here from the SAME constants the
+#: query uses, so editing the spec without rerunning gen_fixtures.py
+#: turns this oracle red instead of silently passing a stale fixture
+def _cdc_replay_tag() -> str:
+    import hashlib as _hl
+
+    from ..datamodel import StreamSpec as _SS
+
+    spec = _SS(n_events=5000, n_docs=500, n_epochs=3, seed=42,
+               evolve_from_epoch=2)
+    return _hl.md5(repr(spec).encode()).hexdigest()
+
+
+# pinned-fixture oracle: expected final lake state computed by the
+# SEQUENTIAL replay_oracle reference (tools/gen_fixtures.py) — converts
+# the engine's end-to-end query from rows-only to a full hash check
+CDC_REPLAY_SQL = f"""
+SELECT doc_id, n_tok, source, log_pos
+FROM read_parquet('{_FIXTURE_DIR}/cdc_replay_*.parquet')
+WHERE tag = '{_cdc_replay_tag()}'
+"""
 
 
 # --- registry ---------------------------------------------------------------
@@ -1729,7 +1758,7 @@ QUERIES: dict[str, tuple] = {
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
     "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
-    "cdc_replay_lake": (cdc_replay_lake, None),
+    "cdc_replay_lake": (cdc_replay_lake, CDC_REPLAY_SQL),
 }
 
 

@@ -122,6 +122,37 @@ def gen_one(sf_dir: str, out_dir: str) -> None:
     print(f"wrote {path2}: {out2.num_rows} rows")
 
 
+def gen_cdc_replay(out_dir: str) -> None:
+    """Pinned expected final lake state for the `cdc_replay_lake` query:
+    computed by `replay_oracle` — the SEQUENTIAL single-process reference
+    (an in-order dict fold, datamodel.py) that shares none of the
+    distributed spill/fold/commit machinery it checks. The query's
+    fixture spec is constant (sf-independent), so one fixture file
+    serves every scale; the tag pins the spec so a spec change without
+    `gen_fixtures.py` rerun turns the oracle red instead of silently
+    passing."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from data_sync_ray import (
+        StreamSpec, gen_base_table, gen_change_stream, replay_oracle,
+    )
+
+    spec = StreamSpec(n_events=5000, n_docs=500, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    tag = hashlib.md5(repr(spec).encode()).hexdigest()
+    base = gen_base_table(500, seed=42)
+    want = replay_oracle(base, gen_change_stream(spec))
+    out = want.select(["doc_id", "n_tok", "source", "log_pos"]).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("n_tok", pa.int64()),
+             ("source", pa.string()), ("log_pos", pa.int64())]
+        )
+    )
+    out = out.append_column("tag", pa.array([tag] * out.num_rows))
+    path = os.path.join(out_dir, f"cdc_replay_{tag[:12]}.parquet")
+    pq.write_table(out, path)
+    print(f"wrote {path}: {out.num_rows} rows")
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -130,6 +161,7 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     for sf_dir in SF_DIRS:
         gen_one(sf_dir, out_dir)
+    gen_cdc_replay(out_dir)
 
 
 if __name__ == "__main__":
