@@ -51,6 +51,9 @@ QUERY_SAMPLE = [
     "simhash_docs",
     "ngram_jaccard_pairs",
     "corpus_prep_stats",
+    "top_customer_revenue",
+    "event_value_percentiles",
+    "daily_type_pivot",
 ]
 
 
