@@ -23,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("command",
                    choices=["replay", "tail", "bootstrap", "repair",
                             "inspect", "compact", "export", "control",
-                            "status"])
+                            "status", "ingest"])
     p.add_argument("--config", required=True, help="TOML job config")
     p.add_argument("--events", help="event-log root (epoch=K dirs)")
     p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--set", action="append", default=[],
                    metavar="KEY=JSON",
                    help="mutable config override for a running tail job")
+    p.add_argument("--epoch", type=int, default=0,
+                   help="ingest: epoch number to commit the batch under")
+    p.add_argument("--source-format", default="maxwell",
+                   choices=["maxwell", "debezium", "canal"],
+                   help="ingest: CDC envelope of the JSON-lines input")
     args = p.parse_args(argv)
 
     if args.command in ("control", "status"):
@@ -102,6 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         out = job.inspect(args.events)
     elif args.command == "compact":
         out = {"compacted": sum(r["compacted"] for r in job.compact())}
+    elif args.command == "ingest":
+        # one JSON-lines CDC batch (any supported envelope) -> one epoch
+        from .sources.canal import read_canal_json
+        from .sources.debezium import read_debezium_json
+        from .sources.maxwell import read_maxwell_json
+
+        reader = {"maxwell": read_maxwell_json,
+                  "debezium": read_debezium_json,
+                  "canal": read_canal_json}[args.source_format]
+        rows = job.apply_epoch(args.epoch, reader(args.events))
+        out = {"epoch": args.epoch, "format": args.source_format,
+               "events_applied": sum(r.get("events_in", 0) for r in rows),
+               "partitions_committed": len(rows)}
     else:  # export
         export_lake(cfg.lake_root, args.out)
         out = {"exported_to": args.out}

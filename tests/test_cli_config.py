@@ -56,3 +56,37 @@ def test_export_and_skew_metrics(tmp_path):
         for f in files
     )
     assert total == job.lake.read_all().num_rows
+
+
+def test_cli_ingest_subprocess(tmp_path):
+    """CLI ingest: one canal-envelope JSON-lines batch -> one committed
+    epoch, via the real `python -m data_sync_ray.cli` entry (subprocess:
+    the CLI owns its own Ray session and shuts it down on exit, which
+    must not touch this test session's Ray)."""
+    import subprocess
+    import sys
+
+    cfg_path = tmp_path / "job.toml"
+    cfg_path.write_text(TOML.format(lake=str(tmp_path / "lake")))
+    lines = [
+        json.dumps({
+            "type": "INSERT", "table": "docs", "isDdl": False,
+            "id": i + 1, "es": 1700000000000,
+            "data": [{"doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                      "source": "cli"}],
+        })
+        for i in range(5)
+    ]
+    ev = tmp_path / "batch.jsonl"
+    ev.write_text("\n".join(lines))
+    r = subprocess.run(
+        [sys.executable, "-m", "data_sync_ray.cli", "ingest",
+         "--config", str(cfg_path), "--events", str(ev),
+         "--epoch", "0", "--source-format", "canal", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["events_applied"] == 5
+    assert out["format"] == "canal"
