@@ -132,6 +132,30 @@ def test_binlog_position_total_order_preserved(a, b):
     assert (a == b) == (pa_ == pb_)
 
 
+@given(
+    a=st.tuples(st.integers(0, 10**9), st.integers(0, (1 << 16) - 1)),
+    b=st.tuples(st.integers(0, 10**9), st.integers(0, (1 << 16) - 1)),
+)
+def test_canal_position_total_order_preserved(a, b):
+    """The Canal source's (id << 16) | row_idx encoding preserves the
+    lexicographic (batch id, row index) delivery order — together with
+    the oversized-message veto this is what makes it a valid LWW total
+    order."""
+    from data_sync_ray.sources.canal import canal_to_maxwell
+
+    def pos(t):
+        mid, idx = t
+        evs = canal_to_maxwell(
+            {"type": "INSERT", "table": "t", "id": mid, "isDdl": False,
+             "data": [{"doc_id": "x"}] * (idx + 1)}
+        )
+        return evs[idx]["position"]
+
+    pa_, pb_ = pos(a), pos(b)
+    assert (a < b) == (pa_ < pb_)
+    assert (a == b) == (pa_ == pb_)
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     overrides=st.dictionaries(
