@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="ingest: CDC envelope of the JSON-lines input")
     args = p.parse_args(argv)
 
+    # fail fast on missing per-command inputs — before paying ray.init
+    required = {"replay": "events", "tail": "events", "inspect": "events",
+                "ingest": "events", "bootstrap": "snapshot",
+                "repair": "snapshot", "export": "out"}
+    need = required.get(args.command)
+    if need and not getattr(args, need):
+        p.error(f"{args.command} requires --{need}")
+
     if args.command in ("control", "status"):
         # control-plane file ops need no Ray session (server.go analog)
         from .config import SyncConfig

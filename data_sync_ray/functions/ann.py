@@ -499,17 +499,11 @@ def cosine_dedup_keep_first(
     justification — the pair set is bounded by real dup density, tiny
     relative to the corpus). use_lsh selects the linear-cost bucketed
     pair path for high thresholds; default is the exact block sweep."""
-    from .dedup import connected_components
+    from .dedup import drop_non_roots, drop_set_from_pairs
 
     pair_fn = cosine_near_dup_pairs_lsh if use_lsh else cosine_near_dup_pairs
     pairs = pair_fn(emb, threshold=threshold, **kw).to_pandas()
-    roots = connected_components(
+    drop = drop_set_from_pairs(
         pairs.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
     )
-    drop = {d for d, r in roots.items() if r != d}
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[~batch["vec_id"].isin(ray.get(drop_ref))]
-
-    return emb.map_batches(keep, batch_format="pandas")
+    return drop_non_roots(emb, drop, id_col="vec_id")

@@ -549,7 +549,11 @@ def connected_components_distributed(
                 ),
                 "node": batch["u"].to_numpy(dtype=np.int64),
                 "peer": batch["v"].to_numpy(dtype=np.int64),
-                "label": np.full(len(batch), -1, dtype=np.int64),
+                "label": np.zeros(len(batch), dtype=np.int64),
+                # explicit side marker — a label>=0 sentinel would
+                # misclassify rows over a legal negative id space (same
+                # rule as _attach_shingles' _is_sh)
+                "_is_lab": np.zeros(len(batch), dtype=np.int8),
             }
         )
 
@@ -560,13 +564,14 @@ def connected_components_distributed(
                     batch["node"].to_numpy(dtype=np.int64) % num_parts
                 ),
                 "node": batch["node"].to_numpy(dtype=np.int64),
-                "peer": np.full(len(batch), -1, dtype=np.int64),
+                "peer": np.zeros(len(batch), dtype=np.int64),
                 "label": batch["label"].to_numpy(dtype=np.int64),
+                "_is_lab": np.ones(len(batch), dtype=np.int8),
             }
         )
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        is_l = g["label"].to_numpy() >= 0
+        is_l = g["_is_lab"].to_numpy() == 1
         lab = (
             g.loc[is_l].groupby("node")["label"].min()
         )  # a node's own current label
@@ -597,6 +602,7 @@ def connected_components_distributed(
         route_e, batch_format="pandas"
     ).materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         cand = (
             edges_routed.union(
@@ -621,8 +627,20 @@ def connected_components_distributed(
         )
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        import warnings
+
+        # an unconverged run keeps >1 label inside one component — the
+        # caller would keep extra dup members thinking they are roots
+        warnings.warn(
+            f"connected_components_distributed: not converged after "
+            f"{max_rounds} rounds (graph diameter exceeds max_rounds); "
+            f"labels may split components — raise max_rounds",
+            RuntimeWarning,
+        )
 
     def rename(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -630,6 +648,36 @@ def connected_components_distributed(
         )
 
     return labels.map_batches(rename, batch_format="pandas")
+
+
+def drop_non_roots(
+    ds: rd.Dataset, drop: set, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Filter out the non-root members of dup components: broadcast the
+    drop set once (bounded by real dup density), stateless isin filter.
+    The shared tail of every keep-first dedup (MinHash, cosine). An
+    empty drop set returns the input unchanged — a dup-free corpus is
+    the common case, not an error."""
+    if not drop:
+        return ds
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ds_ = ray.get(drop_ref)
+        return batch[~batch[id_col].isin(ds_)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def drop_set_from_pairs(pairs: pd.DataFrame) -> set:
+    """Union-find over a (doc_a, doc_b) pair frame -> the ids to drop
+    (every component member except its min). A zero-pair frame — which
+    Ray's to_pandas() may hand back WITHOUT columns — yields an empty
+    set rather than a KeyError."""
+    if pairs.empty or "doc_a" not in pairs.columns:
+        return set()
+    roots = connected_components(pairs)
+    return {d for d, r in roots.items() if r != d}
 
 
 def minhash_dedup_keep_first(
@@ -654,24 +702,18 @@ def minhash_dedup_keep_first(
             b = batch[batch["doc_id"] != batch["root"]]
             return pd.DataFrame({"doc_id": b["doc_id"].astype("int64")})
 
-        drop = set(
-            roots_ds.map_batches(non_roots, batch_format="pandas")
-            .to_pandas()["doc_id"]
-        )
+        roots_df = roots_ds.map_batches(
+            non_roots, batch_format="pandas"
+        ).to_pandas()
+        # zero components => column-less frame from Ray's to_pandas()
+        drop = (set() if roots_df.empty or "doc_id" not in roots_df.columns
+                else set(roots_df["doc_id"]))
         # NOTE: the drop set is (dup members - roots), bounded by real
         # dup density like the pairs; broadcast once. A corpus where even
         # THIS exceeds memory wants an anti-join on doc_id instead.
     else:
-        pairs = pairs_ds.to_pandas()
-        roots = connected_components(pairs)
-        drop = {d for d, r in roots.items() if r != d}
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        ds_ = ray.get(drop_ref)
-        return batch[~batch["doc_id"].isin(ds_)]
-
-    return docs.map_batches(keep, batch_format="pandas")
+        drop = drop_set_from_pairs(pairs_ds.to_pandas())
+    return drop_non_roots(docs, drop, id_col="doc_id")
 
 
 # --- exact n-gram Jaccard (inverted index, no sketch) -----------------------

@@ -465,21 +465,23 @@ class ReplayJob:
                     totals["compactions"] = totals.get(
                         "compactions", 0
                     ) + self.compact_if_needed(compact_over_fragments)
-                rate_samples.append(
-                    (time.time(), totals["events_applied"])
-                )
-                rate_samples = rate_samples[-(rate_window + 1):]
-                t0, e0 = rate_samples[0]
-                t1, e1 = rate_samples[-1]
-                totals["rate_window_events_per_sec"] = round(
-                    (e1 - e0) / max(t1 - t0, 1e-9), 1
-                )
-                tp, ep = rate_samples[-2] if len(rate_samples) >= 2 else (
-                    t0, e0
-                )
-                totals["rate_last_round_events_per_sec"] = round(
-                    (e1 - ep) / max(t1 - tp, 1e-9), 1
-                )
+            # sample EVERY round (pause included): a paused tail's rate
+            # must decay to 0 for consume-rate alerting, not freeze at
+            # its last running value — and the window must not span the
+            # pause on resume
+            rate_samples.append((time.time(), totals["events_applied"]))
+            rate_samples = rate_samples[-(rate_window + 1):]
+            t0, e0 = rate_samples[0]
+            t1, e1 = rate_samples[-1]
+            totals["rate_window_events_per_sec"] = round(
+                (e1 - e0) / max(t1 - t0, 1e-9), 1
+            )
+            tp, ep = rate_samples[-2] if len(rate_samples) >= 2 else (
+                t0, e0
+            )
+            totals["rate_last_round_events_per_sec"] = round(
+                (e1 - ep) / max(t1 - tp, 1e-9), 1
+            )
             self._write_tail_status(
                 cp, mode, totals, applied_overrides, rejected_overrides
             )

@@ -62,6 +62,17 @@ def canal_to_maxwell(msg) -> list[dict]:
     table = msg.get("table")
     table = table if isinstance(table, str) else ""
     es = msg.get("es", msg.get("ts"))
+    # flat messages name their own key columns; forward them so the
+    # Maxwell parser's composite-PK normalization ("\x1f"-joined canonical
+    # key, mysql_filter_service.go:90-93 analog) applies — without this a
+    # non-doc_id-keyed stream would be silently vetoed row by row
+    pk_names = msg.get("pkNames")
+    if not (
+        isinstance(pk_names, list)
+        and pk_names
+        and all(isinstance(c, str) for c in pk_names)
+    ):
+        pk_names = None
     out = []
     for i, row in enumerate(data):
         if not isinstance(row, dict):
@@ -72,6 +83,8 @@ def canal_to_maxwell(msg) -> list[dict]:
             "position": (mid << 16) | i,
             "data": row,
         }
+        if pk_names is not None:
+            ev["primary_key_columns"] = pk_names
         if isinstance(es, (int, float)) and not isinstance(es, bool):
             ev["ts"] = es / 1000.0  # ms -> fractional seconds
         out.append(ev)

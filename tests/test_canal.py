@@ -51,6 +51,22 @@ def test_order_veto_rules():
     assert canal_to_maxwell(big) == []             # index would collide
 
 
+def test_pk_names_forward_to_composite_key():
+    """pkNames reaches the Maxwell parser's composite-PK normalization:
+    a stream keyed on (user_id, region) — no doc_id field at all — must
+    produce the canonical \\x1f-joined key, not a silent veto."""
+    msg = cn(data=[{"user_id": 7, "region": "eu", "tokens": [1],
+                    "n_tok": 1, "source": "s"}],
+             pkNames=["user_id", "region"])
+    t = parse_canal_batch([json.dumps(msg)])
+    assert t.num_rows == 1
+    assert t.column("doc_id").to_pylist() == ["7\x1feu"]
+    # garbage pkNames falls back to the default key column (doc_id
+    # missing here => vetoed row, not a crash)
+    bad = cn(data=[{"user_id": 7}], pkNames="user_id")
+    assert parse_canal_batch([json.dumps(bad)]).num_rows == 0
+
+
 def test_malformed_messages_skip_never_raise():
     lines = [
         "", "   ", "{not json", json.dumps([1, 2, 3]),

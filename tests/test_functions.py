@@ -196,6 +196,30 @@ class TestDedup:
         )
         assert got == {int(k): int(v) for k, v in want.items()}
 
+    def test_keep_first_dup_free_corpus_is_identity(self):
+        """A corpus with NO near-dups (the common clean case) must pass
+        through unchanged — regression for a KeyError on the column-less
+        frame Ray returns for zero pairs, in all three keep-first paths."""
+        from data_sync_ray.functions.ann import cosine_dedup_keep_first
+        from data_sync_ray.functions.dedup import minhash_dedup_keep_first
+
+        docs = _docs(
+            [{"doc_id": i, "text": " ".join(f"u{i}w{j}" for j in range(30))}
+             for i in range(4)]
+        )
+        for kw in ({}, {"distributed_cc": True}):
+            out = minhash_dedup_keep_first(docs, threshold=0.5, **kw)
+            assert sorted(out.to_pandas()["doc_id"]) == [0, 1, 2, 3], kw
+
+        rng = np.random.default_rng(2)
+        emb = rd.from_pandas(pd.DataFrame(
+            {"vec_id": range(6),
+             "embedding": [rng.normal(size=16).tolist() for _ in range(6)]}
+        ))
+        for kw in ({}, {"use_lsh": True}):
+            out = cosine_dedup_keep_first(emb, threshold=0.9999, **kw)
+            assert sorted(out.to_pandas()["vec_id"]) == list(range(6)), kw
+
     def test_keep_first_distributed_cc_parity(self):
         from data_sync_ray.functions.dedup import minhash_dedup_keep_first
 
