@@ -184,6 +184,9 @@ class TestDedup:
                 edges.append((int(nodes[i]), int(nodes[i + 1])))
         chain = list(range(1000, 1012))
         edges += list(zip(chain[:-1], chain[1:]))
+        # negative ids are legal keys: the label/edge discrimination must
+        # use the explicit marker, not a label>=0 sentinel
+        edges += [(-5, -9), (-9, 2000)]
         pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
         want = connected_components(pairs)
         got = (
