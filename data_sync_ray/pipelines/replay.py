@@ -847,3 +847,64 @@ def read_lake(
         batch_size=1,
         concurrency=concurrency or min(8, len(parts)),
     )
+
+
+def lake_dedup_report(
+    lake_root: str, num_parts: int = 32, concurrency: int | None = None
+) -> "pd.DataFrame":
+    """Exact content-duplicate report over the SYNCED lake — the CDC
+    surface composed with the dedup family: groups of live doc_ids whose
+    token sequences are byte-identical (a replicated corpus accumulates
+    exact dups as upstream re-ingests content under new keys).
+
+    Streams merge-on-read winners (read_lake, tokens+doc_id projection
+    only), hashes each row's token buffer per batch (blake2b over the
+    int32 bytes — content equality, independent of doc_id/log_pos), then
+    the usual fixed-bucket exchange with per-batch pre-combine. Returns
+    (content_hash, n_docs, min_doc_id) for groups with n_docs > 1 — a
+    tiny frame by contract (bounded by real dup density)."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as pd
+
+    ds = read_lake(lake_root, columns=["doc_id", "tokens"],
+                   concurrency=concurrency)
+
+    def hash_rows(t: pa.Table) -> "pd.DataFrame":
+        toks = t.column("tokens").to_pylist()
+        hs = [
+            _hl.blake2b(
+                _np.asarray(r if r is not None else [], dtype=_np.int32)
+                .tobytes(),
+                digest_size=8,
+            ).hexdigest()
+            for r in toks
+        ]
+        df = pd.DataFrame(
+            {"doc_id": t.column("doc_id").to_pylist(), "h": hs}
+        )
+        agg = df.groupby("h").agg(
+            n=("doc_id", "size"), m=("doc_id", "min")
+        ).reset_index()
+        agg["n"] = agg["n"].astype("int64")
+        hp = pd.util.hash_pandas_object(agg["h"], index=False)
+        agg["_part"] = (hp.to_numpy() % num_parts).astype("int64")
+        return agg
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("h", as_index=False).agg(
+            n_docs=("n", "sum"), min_doc_id=("m", "min")
+        )
+        out = out[out["n_docs"] > 1].rename(columns={"h": "content_hash"})
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["content_hash", "n_docs", "min_doc_id"]]
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("content_hash")
+        .reset_index(drop=True)
+    )

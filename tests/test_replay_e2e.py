@@ -451,3 +451,25 @@ def test_randomized_spec_seeds(tmp_path, seed):
     job = make_job(str(tmp_path), num_partitions=4)
     job.replay(ev_root, bootstrap=base)
     assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lake_dedup_report(tmp_path):
+    """lake x dedup composition: exact content-dup groups over the synced
+    winners (identical token sequences under different doc_ids)."""
+    from data_sync_ray.pipelines.replay import lake_dedup_report
+
+    base = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "tokens": pa.array([[1, 2, 3], [1, 2, 3], [9], [1, 2, 3], [9, 9]],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 3, 1, 3, 2], pa.int32()),
+        "source": pa.array(["s"] * 5),
+        "log_pos": pa.array([0] * 5, pa.int64()),
+    })
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.bootstrap(base)
+    rep = lake_dedup_report(job.cfg.lake_root, num_parts=4)
+    assert len(rep) == 1          # only the [1,2,3] group has n > 1
+    assert rep.iloc[0]["n_docs"] == 3
+    assert rep.iloc[0]["min_doc_id"] == "a"

@@ -7,6 +7,7 @@ random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 7)
 # the drive completes before the kill fires (killed=False trials).
 LO = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
 HI = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
+MODE = sys.argv[4] if len(sys.argv) > 4 else "spill"
 DRIVE = "/root/repo/tools/drive_verify.py"
 fails = 0
 for trial in range(5):
@@ -18,7 +19,7 @@ for trial in range(5):
     # new session => SIGKILL the whole process GROUP, or the driver's
     # Ray head/worker children survive as orphans holding /dev/shm and
     # distort the conditions the next trials measure
-    p = subprocess.Popen(["python", DRIVE, wd], env=env,
+    p = subprocess.Popen(["python", DRIVE, wd, "-1", MODE], env=env,
                          stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL,
                          start_new_session=True)
@@ -33,7 +34,7 @@ for trial in range(5):
     # timeout is exactly the torn-state bug this harness hunts: count it
     # as a failed trial, keep going.
     try:
-        out = subprocess.run(["python", DRIVE, wd], env=env,
+        out = subprocess.run(["python", DRIVE, wd, "-1", MODE], env=env,
                              capture_output=True, text=True, timeout=600)
         ok = "exact_token_equality=True" in out.stdout
         tail = out.stdout[-2000:]
