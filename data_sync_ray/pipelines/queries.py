@@ -972,6 +972,60 @@ WHERE e.event_id % k.k = 0
 """
 
 
+def chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Sequence-prep chunking: split each doc into fixed 64-word windows
+    (the pre-packing step of an LLM data pipeline). Pure per-batch
+    expansion — np.repeat/arange vectorized, embarrassingly parallel,
+    no shuffle; output rows = sum(ceil(n_words/64))."""
+    C = 64
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            batch["text"].str.split().map(len).to_numpy(dtype=np.int64)
+        )
+        keep = n > 0
+        n = n[keep]
+        ids = batch.loc[keep, "doc_id"].to_numpy()
+        n_chunks = -(-n // C)  # ceil
+        doc_rep = np.repeat(ids, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        # per-doc chunk indices 0..n_chunks-1, flattened
+        total = int(n_chunks.sum())
+        idx = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_rep,
+                "chunk_idx": idx.astype("int64"),
+                "n_words_chunk": np.minimum(
+                    C, n_rep - idx * C
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(expand, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+
+
+CHUNK_SQL = r"""
+WITH wl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS chunk_idx,
+       least(64, n - unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) * 64)
+         AS n_words_chunk
+FROM wl WHERE n > 0
+"""
+
+
 def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
     """Flagship LLM-corpus prep composition: integer-predicate quality
     gate (n_words >= 10 AND stopword ratio >= 5%, stated as
@@ -1743,6 +1797,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "corpus_prep_stats": (corpus_prep_stats, CORPUS_PREP_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_docs, NGRAM_JACCARD_SQL),
