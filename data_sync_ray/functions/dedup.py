@@ -598,6 +598,13 @@ def connected_components_distributed(
         out["label"] = out["label"].astype("int64")
         return out
 
+    def route_n(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            batch["node"].to_numpy(dtype=np.int64) % num_parts
+        )
+        return batch
+
     edges_routed = edges.map_batches(
         route_e, batch_format="pandas"
     ).materialize()
@@ -611,14 +618,6 @@ def connected_components_distributed(
             .groupby("_part")
             .map_groups(propagate, batch_format="pandas")
         )
-
-        def route_n(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["_part"] = (
-                batch["node"].to_numpy(dtype=np.int64) % num_parts
-            )
-            return batch
-
         labels = (
             cand.map_batches(route_n, batch_format="pandas")
             .groupby("_part")

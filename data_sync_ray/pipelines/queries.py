@@ -399,7 +399,6 @@ def top_customer_revenue(sf_dir: str) -> pd.DataFrame:
             .sort_values(["rev_c", "o_custkey"],
                          ascending=[False, True])
             .head(10)
-            .drop(columns=["_ppart"], errors="ignore")
         )
         return s[["o_custkey", "rev_c"]]
 
