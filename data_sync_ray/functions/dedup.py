@@ -857,6 +857,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_dedup_keep_first(
+    docs: rd.Dataset,
+    threshold: float = 0.3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    **kw,
+) -> rd.Dataset:
+    """Near-dup REMOVAL on the exact inverted-index pair graph: complete
+    recall (no sketch), components keep-first. The guaranteed-complete
+    complement of minhash_dedup_keep_first for thresholds below LSH's
+    recall floor."""
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, k=k, id_col=id_col, **kw
+    ).to_pandas()
+    return drop_non_roots(docs, drop_set_from_pairs(pairs), id_col=id_col)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -1235,6 +1235,60 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
 """
 
 
+def ngram_dedup_keep_first_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import ngram_jaccard_dedup_keep_first
+
+    ds = ngram_jaccard_dedup_keep_first(
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16),
+        threshold=0.3, k=3,
+    )
+    return ds.select_columns(["doc_id"]).to_pandas()
+
+
+# keep-first over the EXACT >=0.3 n-gram Jaccard pair graph (complete
+# recall — no sketch); transitive closure via recursive CTE
+NGRAM_KEEP_FIRST_SQL = r"""
+WITH RECURSIVE wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM wl
+  WHERE len(ws) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+           AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER w IS NOT NULL
+),
+ss AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+dup_pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN ss sa ON sa.doc_id = a.doc_id
+  JOIN ss sb ON sb.doc_id = b.doc_id
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, sa.n, sb.n
+  HAVING count(*) * 1.0 / (sa.n + sb.n - count(*)) >= 0.3
+),
+edges AS (
+  SELECT u, v FROM dup_pairs UNION SELECT v, u FROM dup_pairs
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.b FROM edges e JOIN reach r ON e.v = r.a
+),
+label AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+SELECT d.doc_id
+FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+WHERE l.root IS NULL OR l.root = d.doc_id
+"""
+
+
 def minhash_dedup_keep_first_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import minhash_dedup_keep_first
 
@@ -1800,6 +1854,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_docs, NGRAM_JACCARD_SQL),
+    "ngram_dedup_keep_first": (ngram_dedup_keep_first_docs,
+                               NGRAM_KEEP_FIRST_SQL),
     "minhash_dedup_keep_first": (minhash_dedup_keep_first_docs, KEEP_FIRST_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
