@@ -18,7 +18,6 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd
@@ -954,11 +953,19 @@ class SimHasher:
 
 
 def simhash_dup_pairs(
-    docs: rd.Dataset, max_hamming: int = 3, concurrency: int = 4
+    docs: rd.Dataset,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    max_bucket: int | None = 2000,
 ) -> rd.Dataset:
     """Near-dup pairs by SimHash: 4x16-bit band buckets -> exact Hamming.
     Same exchange shape as MinHash-LSH: explode vectorized, route buckets
-    into a small int partition, pair up inside one task per partition."""
+    into a small int partition, pair up inside one task per partition.
+    With max_hamming <= 3 the 4-band split is COMPLETE (pigeonhole: 3
+    flipped bits leave >= 1 band untouched) — unless `max_bucket`
+    truncates a degenerate bucket (boilerplate-heavy corpora); pass
+    max_bucket=None for guaranteed-complete output (cost grows with the
+    largest bucket's pair count, vectorized xor+popcount per bucket)."""
     num_parts = 16
     sigs = docs.map_batches(
         SimHasher, batch_format="pandas", concurrency=concurrency
@@ -988,17 +995,34 @@ def simhash_dup_pairs(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
-            recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))[:200]
-            for (da, sa), (db, sb) in itertools.combinations(recs, 2):
-                ham = bin(int(sa) ^ int(sb)).count("1")
-                if ham <= max_hamming:
-                    out_a.append(da)
-                    out_b.append(db)
-                    out_h.append(ham)
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            if max_bucket is not None:
+                sub = sub.head(max_bucket)
+            n = len(sub)
+            if n < 2:
+                continue
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            sig = sub["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(n, k=1)
+            x = sig[ia] ^ sig[ib]
+            # vectorized popcount: uint64 -> 8 bytes -> unpacked bits
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(x.size, 8), axis=1
+            ).sum(axis=1)
+            keep = ham <= max_hamming
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+            out_h.append(ham[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
         return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_h, dtype="int64")}
+            {"doc_a": np.concatenate(out_a),
+             "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h).astype("int64")}
         )
 
     cand = (

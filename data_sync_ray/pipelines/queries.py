@@ -1357,17 +1357,77 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(hexify, batch_format="pandas").to_pandas()
 
 
-#: pinned-fixture oracle: expected signatures computed by the independent
-#: pure-Python reference in tools/gen_fixtures.py, not by SimHasher
-#: itself. Fixtures exist for every test scale and carry a content-hash
-#: `tag` of their source corpus; the SQL recomputes the tag from the
-#: registered view and self-selects the matching fixture from the glob.
 _FIXTURE_DIR = os.path.join(
     os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ),
     "fixtures",
 )
+
+
+def simhash_dedup_keep_first(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup REMOVAL, end-to-end verified: banded candidate
+    pairs at max_hamming=3 -> components -> keep-first. 4x16-bit banding
+    at Hamming <= 3 is COMPLETE by pigeonhole (3 flipped bits can touch
+    at most 3 of the 4 bands), so the exact SQL Hamming-closure over the
+    pinned independent-reference signatures is a valid full oracle —
+    this checks pairing, components, and the keep rule, not just
+    signatures."""
+    from ..functions.dedup import (
+        drop_non_roots,
+        drop_set_from_pairs,
+        simhash_dup_pairs,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    # max_bucket=None: no truncation — matches the oracle's exact closure
+    pairs = simhash_dup_pairs(
+        docs, max_hamming=3, max_bucket=None
+    ).to_pandas()
+    out = drop_non_roots(
+        docs, drop_set_from_pairs(pairs), id_col="doc_id"
+    )
+    return out.select_columns(["doc_id"]).to_pandas()
+
+
+# exact Hamming-<=3 closure over the pinned reference signatures
+# (simhash_int = two's-complement int64 view; xor/bit_count in SQL)
+SIMHASH_KEEP_FIRST_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT md5(text) AS tag FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+f AS (
+  SELECT doc_id, simhash_int
+  FROM read_parquet('{_FIXTURE_DIR}/simhash_*.parquet') s, t
+  WHERE s.tag = t.tag
+),
+dup_pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM f a JOIN f b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash_int, b.simhash_int)) <= 3
+),
+edges AS (
+  SELECT u, v FROM dup_pairs UNION SELECT v, u FROM dup_pairs
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.b FROM edges e JOIN reach r ON e.v = r.a
+),
+label AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+SELECT d.doc_id
+FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+WHERE l.root IS NULL OR l.root = d.doc_id
+"""
+
+
+#: pinned-fixture oracle: expected signatures computed by the independent
+#: pure-Python reference in tools/gen_fixtures.py, not by SimHasher
+#: itself. Fixtures exist for every test scale and carry a content-hash
+#: `tag` of their source corpus; the SQL recomputes the tag from the
+#: registered view and self-selects the matching fixture from the glob
+#: (_FIXTURE_DIR is defined above simhash_dedup_keep_first, its first use).
 SIMHASH_SQL = f"""
 WITH t AS (
   SELECT md5(text) AS tag FROM documents
@@ -1858,6 +1918,8 @@ QUERIES: dict[str, tuple] = {
                                NGRAM_KEEP_FIRST_SQL),
     "minhash_dedup_keep_first": (minhash_dedup_keep_first_docs, KEEP_FIRST_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_SQL),
+    "simhash_dedup_keep_first": (simhash_dedup_keep_first,
+                                 SIMHASH_KEEP_FIRST_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),

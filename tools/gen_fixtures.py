@@ -94,14 +94,18 @@ def gen_one(sf_dir: str, out_dir: str) -> None:
     emb_tag = con.execute(EMB_TAG_SQL.format(p=emb_path)).fetchone()[0]
 
     docs = pq.read_table(doc_path, columns=["doc_id", "text"])
-    hexes = [
-        f"{simhash_ref(t):016x}" for t in docs.column("text").to_pylist()
-    ]
+    sigs = [simhash_ref(t) for t in docs.column("text").to_pylist()]
     out = pa.table(
         {
             "tag": pa.array([doc_tag] * docs.num_rows),
             "doc_id": docs.column("doc_id"),
-            "simhash_hex": pa.array(hexes),
+            "simhash_hex": pa.array([f"{s:016x}" for s in sigs]),
+            # two's-complement int64 view so SQL can xor/bit_count it
+            # (the Hamming-closure oracle for simhash_dedup_keep_first)
+            "simhash_int": pa.array(
+                [s - (1 << 64) if s >= (1 << 63) else s for s in sigs],
+                pa.int64(),
+            ),
         }
     )
     path = os.path.join(out_dir, f"simhash_{doc_tag[:12]}.parquet")
