@@ -23,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("command",
                    choices=["replay", "tail", "bootstrap", "repair",
                             "inspect", "compact", "export", "control",
-                            "status", "ingest"])
+                            "status", "ingest", "view"])
     p.add_argument("--config", required=True, help="TOML job config")
     p.add_argument("--events", help="event-log root (epoch=K dirs)")
     p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-format", default="maxwell",
                    choices=["maxwell", "debezium", "canal"],
                    help="ingest: CDC envelope of the JSON-lines input")
+    p.add_argument("--name", default="source_stats",
+                   help="view: materialized-view name to refresh/print")
+    p.add_argument("--refresh-views", default="",
+                   help="tail: comma-separated view names refreshed "
+                        "incrementally after every round")
     args = p.parse_args(argv)
 
     # fail fast on missing per-command inputs — before paying ray.init
@@ -104,9 +109,11 @@ def main(argv: list[str] | None = None) -> int:
         out = job.replay(args.events, catch_up=not args.no_catch_up)
         out.pop("metrics", None)
     elif args.command == "tail":
+        views = tuple(v for v in args.refresh_views.split(",") if v)
         out = job.tail(args.events, poll_interval=args.poll_interval,
                        max_rounds=args.max_rounds, inspect_every=1,
-                       compact_over_fragments=args.compact_over)
+                       compact_over_fragments=args.compact_over,
+                       refresh_views=views)
     elif args.command == "bootstrap":
         out = {"partitions": len(job.bootstrap(rd.read_parquet(args.snapshot)))}
     elif args.command == "repair":
@@ -128,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
         out = {"epoch": args.epoch, "format": args.source_format,
                "events_applied": sum(r.get("events_in", 0) for r in rows),
                "partitions_committed": len(rows)}
+    elif args.command == "view":
+        from .state.views import REGISTRY
+
+        df, n = REGISTRY[args.name](cfg.lake_root)
+        out = {"view": args.name, "partitions_recomputed": n,
+               "rows": df.to_dict(orient="records")}
     else:  # export
         export_lake(cfg.lake_root, args.out)
         out = {"exported_to": args.out}

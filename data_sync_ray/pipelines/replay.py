@@ -404,6 +404,7 @@ class ReplayJob:
         bootstrap: rd.Dataset | pa.Table | None = None,
         inspect_every: int = 0,
         compact_over_fragments: int = 0,
+        refresh_views: tuple[str, ...] = (),
     ) -> dict:
         """Continuous tailing loop — the reference's daemon mode (60s
         direct-sync ticker + 30s inspector, conf/iot.sync.toml:28-33) as a
@@ -465,6 +466,16 @@ class ReplayJob:
                     totals["compactions"] = totals.get(
                         "compactions", 0
                     ) + self.compact_if_needed(compact_over_fragments)
+                if refresh_views:
+                    # live-maintained aggregates: each named view refreshes
+                    # incrementally (only partitions this round touched —
+                    # state/views.py), i.e. O(changed) per round
+                    from ..state.views import REGISTRY
+
+                    vr = {}
+                    for name in refresh_views:
+                        _, vr[name] = REGISTRY[name](self.cfg.lake_root)
+                    totals["views_recomputed"] = vr
             # sample EVERY round (pause included): a paused tail's rate
             # must decay to 0 for consume-rate alerting, not freeze at
             # its last running value — and the window must not span the

@@ -149,3 +149,8 @@ def source_stats_view(lake_root: str):
         columns=["source", "n_docs", "total_tokens"],
     )
     return df, n
+
+
+#: named registry for CLI / tail wiring: name -> callable(lake_root) ->
+#: (result DataFrame, n_partitions_recomputed)
+REGISTRY: dict = {"source_stats": source_stats_view}

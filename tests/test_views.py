@@ -64,3 +64,22 @@ def test_materialized_view_incremental(tmp_path):
     df3, n3 = source_stats_view(lake_root)
     assert n3 == 8
     assert as_dict(df3) == as_dict(df2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_refreshes_views_incrementally(tmp_path):
+    from data_sync_ray.state.views import source_stats_view
+
+    spec = StreamSpec(n_events=400, n_docs=80, n_epochs=2, seed=13)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=80, seed=13)
+    job = make_job(str(tmp_path), num_partitions=4)
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=2,
+                      bootstrap=base, refresh_views=("source_stats",))
+    # round 1 replays everything -> full view build; round 2 sees no new
+    # epochs -> zero partitions recomputed
+    assert totals["views_recomputed"] == {"source_stats": 0}
+    df, n = source_stats_view(job.cfg.lake_root)
+    assert n == 0  # tail left the view fully fresh
+    t = job.lake.read_all()
+    assert int(df["n_docs"].sum()) == t.num_rows
