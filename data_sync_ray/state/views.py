@@ -154,3 +154,47 @@ def source_stats_view(lake_root: str):
 #: named registry for CLI / tail wiring: name -> callable(lake_root) ->
 #: (result DataFrame, n_partitions_recomputed)
 REGISTRY: dict = {"source_stats": source_stats_view}
+
+
+def register_view(name: str, fn) -> None:
+    """User-extension surface (the custom-filter registry analog,
+    customfilter/init.go): fn(lake_root) -> (DataFrame, n_recomputed),
+    selectable from `tail(refresh_views=...)` and the CLI by name."""
+    REGISTRY[name] = fn
+
+
+def _tok_hist_partial(t: pa.Table | None) -> dict:
+    """Per-partition histogram of n_tok in power-of-two buckets."""
+    if t is None or t.num_rows == 0:
+        return {}
+    out: dict[str, int] = {}
+    for n in t.column("n_tok").to_pylist():
+        b = max(0, int(n or 0)).bit_length()  # bucket = [2^(b-1), 2^b)
+        k = str(b)
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+def token_length_histogram_view(lake_root: str):
+    """Incrementally-maintained corpus token-length distribution:
+    power-of-two buckets (bucket b holds docs with n_tok in
+    [2^(b-1), 2^b)). Returns (DataFrame(bucket_log2, n_docs),
+    n_partitions_recomputed)."""
+    import pandas as pd
+
+    view = MaterializedView(
+        lake_root, "token_length_histogram", _tok_hist_partial,
+        columns=["n_tok"],
+    )
+    partials, n = view.refresh()
+    acc: dict[int, int] = {}
+    for part in partials.values():
+        for b, c in part.items():
+            acc[int(b)] = acc.get(int(b), 0) + c
+    df = pd.DataFrame(
+        sorted(acc.items()), columns=["bucket_log2", "n_docs"]
+    )
+    return df, n
+
+
+REGISTRY["token_length_histogram"] = token_length_histogram_view

@@ -83,3 +83,38 @@ def test_tail_refreshes_views_incrementally(tmp_path):
     assert n == 0  # tail left the view fully fresh
     t = job.lake.read_all()
     assert int(df["n_docs"].sum()) == t.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_histogram_and_custom_view_registration(tmp_path):
+    from data_sync_ray.state.views import (
+        REGISTRY,
+        register_view,
+        token_length_histogram_view,
+    )
+
+    spec = StreamSpec(n_events=300, n_docs=60, n_epochs=1, seed=41)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=60, seed=41)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.replay(ev_root, bootstrap=base)
+
+    df, n = token_length_histogram_view(job.cfg.lake_root)
+    assert n == 4
+    t = job.lake.read_all()
+    assert int(df["n_docs"].sum()) == t.num_rows
+    # bucket membership: every n_tok falls in [2^(b-1), 2^b)
+    for b in df["bucket_log2"]:
+        assert b >= 1
+
+    calls = []
+
+    def my_view(lake_root):
+        calls.append(lake_root)
+        return None, 0
+
+    register_view("my_view", my_view)
+    assert REGISTRY["my_view"] is my_view
+    job.tail(ev_root, poll_interval=0.01, max_rounds=1,
+             refresh_views=("my_view",))
+    assert calls == [job.cfg.lake_root]
