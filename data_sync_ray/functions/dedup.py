@@ -1031,3 +1031,111 @@ def simhash_dup_pairs(
         .map_groups(pairs, batch_format="pandas")
     )
     return dedup_pair_rows(cand)
+
+
+def duplicated_ngram_spans(
+    docs: rd.Dataset,
+    n: int = 8,
+    k: int = 100,
+    num_parts: int = 16,
+) -> pd.DataFrame:
+    """Exact duplicated-span detection: every n-word window that occurs
+    more than once in the corpus (the question suffix-array substring
+    dedup answers — Lee et al. 2022's ExactSubstr — asked at fixed
+    window length so it distributes as a grouped count instead of a
+    global suffix sort).
+
+    Per batch: explode words, build each doc's n-word windows with ONE
+    vectorized shifted-concat over the flattened word stream (windows
+    crossing a doc boundary are masked out), then pre-combine per span.
+    Each document is exactly one input row, so its windows live in
+    exactly one batch — per-batch n_docs/first_doc partials are over
+    DISJOINT doc sets and merge by plain sum/min. Spans hash-partition
+    into num_parts int buckets (never one group per span); per-part
+    tasks sum, filter to n_occurrences > 1, and keep a local top-k, so
+    the driver merges <= num_parts*k rows. At 100 TB the span strings
+    themselves are the payload (~n x corpus inflation before the
+    combiner); production would roll 64-bit window hashes here and
+    re-verify the survivors — the exchange shape is identical.
+
+    Returns the top-k duplicated spans as a pandas DataFrame
+    (span, n_occurrences, n_docs, first_doc), ties broken
+    (n_occurrences DESC, span ASC) — stated identically in the oracle.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"span": pd.Series([], dtype="object"),
+             "n_occurrences": pd.Series([], dtype="int64"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "first_doc": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+        if not len(batch):
+            return empty
+        words = [t.split() for t in batch["text"]]
+        lens = np.array([len(w) for w in words], dtype=np.int64)
+        flat = np.array(
+            [w for lst in words for w in lst], dtype=object
+        )
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+        m = len(flat) - n + 1
+        if m <= 0:
+            return empty
+        span = flat[:m]
+        for j in range(1, n):
+            span = span + " "  # elementwise on object arrays
+            span = span + flat[j:j + m]
+        valid = doc_rep[:m] == doc_rep[n - 1:n - 1 + m]
+        df = pd.DataFrame(
+            {"span": span[valid], "doc_id": doc_rep[:m][valid]}
+        )
+        if not len(df):
+            return empty
+        g = (
+            df.groupby("span", sort=False)
+            .agg(
+                n_occurrences=("doc_id", "size"),
+                n_docs=("doc_id", "nunique"),
+                first_doc=("doc_id", "min"),
+            )
+            .reset_index()
+        )
+        for c in ("n_occurrences", "n_docs", "first_doc"):
+            g[c] = g[c].astype("int64")
+        g["_part"] = (
+            pd.util.hash_pandas_object(g["span"], index=False)
+            .to_numpy() % num_parts
+        ).astype(np.int64)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("span", sort=False)
+            .agg(
+                n_occurrences=("n_occurrences", "sum"),
+                n_docs=("n_docs", "sum"),
+                first_doc=("first_doc", "min"),
+            )
+            .reset_index()
+        )
+        out = out[out["n_occurrences"] > 1]
+        for c in ("n_occurrences", "n_docs", "first_doc"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values(
+            ["n_occurrences", "span"], ascending=[False, True]
+        ).head(k)
+
+    cand = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # <= num_parts * k rows by construction
+    )
+    return (
+        cand.sort_values(
+            ["n_occurrences", "span"], ascending=[False, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )

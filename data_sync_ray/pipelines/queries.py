@@ -1874,6 +1874,189 @@ WHERE tag = '{_cdc_replay_tag()}'
 """
 
 
+# --- sketches (functions/sketch.py) ------------------------------------------
+# Deterministic mergeable sketches whose md5-derived hash functions the
+# DuckDB oracle re-derives in SQL — the APPROXIMATE answers are
+# hash-checked bit-for-bit, not "close enough".
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    from ..functions.sketch import hll_distinct
+
+    return hll_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
+
+
+# The SQL rebuilds the identical 256-register HLL: bucket = top 8 bits
+# of the md5-64, rho = leading zeros of the low 48 bits + 1 (computed
+# via length(bin(w)) — exact string bit-length, no float log), estimate
+# from the INTEGER register sum so no float accumulation order exists.
+HLL_SQL = r"""
+WITH h AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS H
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT CAST(H >> 56 AS BIGINT) AS bucket,
+         CASE WHEN (H & ((1::UBIGINT << 48) - 1)) = 0 THEN 49
+              ELSE 49 - length(bin((H & ((1::UBIGINT << 48) - 1))::BIGINT))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY bucket),
+s AS (
+  SELECT count(*) AS nonzero,
+         sum((1::UBIGINT << (49 - m_j))::BIGINT) AS int_sum_nz
+  FROM regs
+)
+SELECT 256::BIGINT AS m,
+       CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(int_sum_nz + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT
+            AS BIGINT) AS int_sum,
+       round(
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                   * (1::UBIGINT << 49)::DOUBLE
+                   / (int_sum_nz
+                      + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+                   <= 2.5 * 256.0
+               AND nonzero < 256
+         THEN 256.0 * ln(256.0 / (256.0 - nonzero))
+         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * (1::UBIGINT << 49)::DOUBLE
+              / (int_sum_nz
+                 + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+         END, 2) AS est_distinct
+FROM s
+"""
+
+
+def cms_top_token_counts(sf_dir: str) -> pd.DataFrame:
+    from ..functions.sketch import cms_token_counts
+    from ..functions.text import top_tokens
+
+    docs = _t(sf_dir, "documents", ["text"], num_blocks=16)
+    top = top_tokens(docs, k=10)
+    return cms_token_counts(docs, top)
+
+
+# Rebuild the identical 4x1024 Count-Min table in SQL (salted md5-64
+# buckets, counts over the full token stream), probe it for the exact
+# top-10 tokens. est_cnt >= true_cnt always — the OVERCOUNT is part of
+# the checked answer.
+CMS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+top10 AS (
+  SELECT token, count(*) AS true_cnt FROM toks GROUP BY token
+  ORDER BY true_cnt DESC, token ASC LIMIT 10
+),
+salts AS (SELECT i FROM (VALUES (0), (1), (2), (3)) s(i)),
+cells AS (
+  SELECT i AS row_i,
+         CAST(('0x' || substr(md5('c' || i || ':' || token), 1, 16))::UBIGINT
+              % 1024 AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN salts
+  GROUP BY 1, 2
+)
+SELECT tt.token, tt.true_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt
+FROM top10 tt CROSS JOIN salts r
+JOIN cells c
+  ON c.row_i = r.i
+ AND c.bucket = CAST(('0x' || substr(md5('c' || r.i || ':' || tt.token),
+                                     1, 16))::UBIGINT % 1024 AS BIGINT)
+GROUP BY tt.token, tt.true_cnt
+ORDER BY tt.true_cnt DESC, tt.token ASC
+"""
+
+
+def bloom_semijoin_orders(sf_dir: str) -> pd.DataFrame:
+    from ..functions.sketch import bloom_semijoin_stats
+
+    build = _t(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
+    )
+    return bloom_semijoin_stats(
+        _t(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+        build, "c_custkey",
+    )
+
+
+# Rebuild the identical 2^16-bit bloom filter of BUILDING custkeys and
+# probe every order — the filter's exact false-positive count is part of
+# the hashed answer (a bloom pre-filter must never FALSE-NEGATIVE; the
+# oracle proves n_true_match rows all pass).
+BLOOM_SQL = r"""
+WITH bkeys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+salts AS (SELECT i FROM (VALUES (0), (1), (2)) s(i)),
+bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5('b' || i || ':' || CAST(c_custkey AS VARCHAR)),
+                         1, 16))::UBIGINT % 65536 AS BIGINT) AS pos
+  FROM bkeys CROSS JOIN salts
+),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         min(CASE WHEN CAST(('0x' || substr(md5('b' || i || ':'
+                                            || CAST(o_custkey AS VARCHAR)),
+                                            1, 16))::UBIGINT % 65536
+                       AS BIGINT) IN (SELECT pos FROM bits)
+                  THEN 1 ELSE 0 END) AS pass
+  FROM orders CROSS JOIN salts
+  GROUP BY o_orderkey, o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(pass) AS BIGINT) AS n_pass_bloom,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM bkeys)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(sum(CASE WHEN pass = 1
+                      AND o_custkey NOT IN (SELECT c_custkey FROM bkeys)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM probe
+"""
+
+
+def duplicated_spans_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16),
+        n=8, k=100,
+    )
+
+
+# exact duplicated 8-word spans (ExactSubstr-style at fixed window
+# length); ties break (n_occurrences DESC, span ASC) on both sides
+SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w
+),
+spans AS (
+  SELECT doc_id, array_to_string(ws[i:i + 7], ' ') AS span FROM pos
+)
+SELECT span,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM spans GROUP BY span HAVING count(*) > 1
+ORDER BY n_occurrences DESC, span ASC LIMIT 100
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -1931,6 +2114,10 @@ QUERIES: dict[str, tuple] = {
     "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
     "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
     "cdc_replay_lake": (cdc_replay_lake, CDC_REPLAY_SQL),
+    "hll_distinct_users": (hll_distinct_users, HLL_SQL),
+    "cms_top_token_counts": (cms_top_token_counts, CMS_SQL),
+    "bloom_semijoin_orders": (bloom_semijoin_orders, BLOOM_SQL),
+    "duplicated_spans_docs": (duplicated_spans_docs, SPANS_SQL),
 }
 
 
