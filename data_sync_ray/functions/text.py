@@ -220,3 +220,116 @@ def top_tokens(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def tfidf_top_term(docs, num_parts: int = 32, batch_size: int = 4096):
+    """Most-distinctive term per document by an integer-exact TF-IDF:
+    score = tf * 1_000_000 // df (log-free inverse-document-frequency
+    weighting, kept in integer arithmetic so both engines floor the
+    SAME division — no float log whose last ulp could flip a rank).
+
+    Two passes over the corpus:
+
+    1. DF: each document is exactly one input row, so per-batch
+       distinct-(doc, token) counts are over DISJOINT doc sets and
+       df = plain sum of partials. Partials exchange once on
+       token-hash %% num_parts (never one Ray group per token) and the
+       driver keeps only the VOCABULARY-sized (token, df) table —
+       sublinear in corpus size (Heaps' law), the standard broadcast
+       side of a TF-IDF job.
+    2. Winners: the df table is ray.put ONCE and read per task; each
+       batch builds its (doc, token, tf) long frame vectorized, maps
+       df by a single pd merge, scores, and keeps each doc's top term
+       (score DESC, term ASC) — complete within the batch because a
+       doc never spans batches. No shuffle: output is one row per doc.
+
+    Returns pandas (doc_id, term, tf, df, score), one row per doc with
+    >= 1 token, sorted by doc_id.
+    """
+    import ray as _ray
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = {
+            (int(d), w)
+            for d, t in zip(batch["doc_id"], batch["text"])
+            for w in set(t.split())
+        }
+        if not pairs:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "df": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(
+            [w for _, w in pairs], dtype="object"
+        ).value_counts()
+        out = pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object),
+             "df": vc.to_numpy(dtype=np.int64)}
+        )
+        h = pd.util.hash_pandas_object(out["token"], index=False)
+        out["_part"] = (h.to_numpy() % num_parts).astype(np.int64)
+        return out
+
+    def df_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["df"].sum().reset_index()
+        s["df"] = s["df"].astype("int64")
+        return s
+
+    df_tbl = (
+        docs.map_batches(
+            df_partial, batch_format="pandas", batch_size=batch_size
+        )
+        .groupby("_part")
+        .map_groups(df_sum, batch_format="pandas")
+        .to_pandas()  # vocabulary-sized by construction
+    )
+    df_ref = _ray.put(df_tbl)
+
+    def winners(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "term": pd.Series([], dtype="object"),
+             "tf": pd.Series([], dtype="int64"),
+             "df": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="int64")}
+        )
+        if not len(batch):
+            return empty
+        words = [t.split() for t in batch["text"]]
+        lens = np.array([len(w) for w in words], dtype=np.int64)
+        long = pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(np.int64), lens
+                ),
+                "term": np.array(
+                    [w for ws in words for w in ws], dtype=object
+                ),
+            }
+        )
+        if not len(long):
+            return empty
+        tf = (
+            long.groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        dfs = _ray.get(df_ref)
+        m = tf.merge(dfs, left_on="term", right_on="token", how="left")
+        m["tf"] = m["tf"].astype("int64")
+        m["df"] = m["df"].astype("int64")
+        m["score"] = (m["tf"] * 1_000_000 // m["df"]).astype("int64")
+        top = (
+            m.sort_values(
+                ["doc_id", "score", "term"],
+                ascending=[True, False, True],
+            )
+            .drop_duplicates("doc_id")
+        )
+        return top[["doc_id", "term", "tf", "df", "score"]]
+
+    out = docs.map_batches(
+        winners, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

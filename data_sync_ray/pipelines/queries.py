@@ -1712,6 +1712,84 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sliding_window_stats(sf_dir: str) -> pd.DataFrame:
+    """SLIDING (overlapping) event-time windows: 30-min windows sliding
+    by 10 min, so every event lands in EXACTLY 3 windows — the streaming
+    windowed-aggregate shape (tumbling is user_hourly_activity above).
+
+    The fan-out is done by arithmetic, not a join: per batch, the
+    slide-aligned base window floor(ts/slide)*slide is computed
+    vectorized and the 3 member windows are base - {0,1,2}*slide (an
+    event at t belongs to starts s with t-size < s <= t, slide-aligned —
+    with size = 3*slide that is always exactly 3). Partials pre-aggregate
+    per window inside the batch (integer-cents sums, order-insensitive),
+    then one exchange on window-hash %% num_parts — never one Ray group
+    per window, and the raw 3x row inflation exists only inside a task.
+    Window count grows with TIME RANGE only, not event volume, so the
+    final result is small at any scale."""
+
+    slide_s, n_in = 600, 3  # 10-min slide, 30-min window = 3 slides
+    num_parts = 16
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = (
+            batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        base = (secs // slide_s * slide_s).to_numpy(np.int64)
+        value_c = np.floor(
+            batch["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        ws = np.concatenate(
+            [base - i * slide_s for i in range(n_in)]
+        )
+        agg = (
+            pd.DataFrame({"ws": ws, "v": np.tile(value_c, n_in)})
+            .groupby("ws")
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .reset_index()
+        )
+        agg["_part"] = (agg["ws"] // slide_s % num_parts).astype(np.int64)
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ws", as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("s", "sum")
+        )
+        win = pd.to_datetime(out["ws"], unit="s")
+        return pd.DataFrame(
+            {
+                "window_start": win.dt.strftime("%Y-%m-%d %H:%M"),
+                "n_events": out["n_events"].astype("int64"),
+                "sum_value": out["sum_value"] / 100.0,
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+# the same exactly-3-windows fan-out stated relationally; epoch_us keeps
+# the floor division exact-integer on both sides
+SLIDING_SQL = """
+WITH w AS (
+  SELECT (epoch_us(ts) // 600000000) * 600 - i.i * 600 AS ws,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events CROSS JOIN (VALUES (0), (1), (2)) i(i)
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M')
+         AS window_start,
+       count(*) AS n_events,
+       sum(value_c) / 100.0 AS sum_value
+FROM w GROUP BY 1
+"""
+
+
 #: pivot column set — pinned (a data-driven column set would make the
 #: result schema depend on which types appear, breaking schema compare)
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -2057,6 +2135,42 @@ ORDER BY n_occurrences DESC, span ASC LIMIT 100
 """
 
 
+def tfidf_top_term_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import tfidf_top_term
+
+    return tfidf_top_term(
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    )
+
+
+# integer-exact TF-IDF: score = tf * 1000000 // df (BIGINT floor
+# division on both sides); top term per doc, ties (score DESC, term ASC)
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY 1
+)
+SELECT tf.doc_id, tf.token AS term, tf.tf, df.df,
+       tf.tf * 1000000 // df.df AS score
+FROM tf JOIN df ON tf.token = df.token
+QUALIFY row_number() OVER (
+  PARTITION BY tf.doc_id
+  ORDER BY tf.tf * 1000000 // df.df DESC, tf.token ASC
+) = 1
+ORDER BY tf.doc_id
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -2118,6 +2232,8 @@ QUERIES: dict[str, tuple] = {
     "cms_top_token_counts": (cms_top_token_counts, CMS_SQL),
     "bloom_semijoin_orders": (bloom_semijoin_orders, BLOOM_SQL),
     "duplicated_spans_docs": (duplicated_spans_docs, SPANS_SQL),
+    "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
+    "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
 }
 
 

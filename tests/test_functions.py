@@ -487,3 +487,95 @@ class TestMultimodal:
         out = sample_frames(ds, stride=2).to_pandas()
         assert (out["frame_index"] % 2 == 0).all()
         assert out["media_id"].nunique() == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidfAndWindows:
+    def test_tfidf_top_term_brute_force(self):
+        from data_sync_ray.functions.text import tfidf_top_term
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "apple banana apple cherry",
+                    "banana banana date",
+                    "cherry elder cherry elder fig",
+                    "",  # no tokens -> no output row
+                    "apple grape",
+                ],
+            }
+        )
+        # brute force: score = tf * 1_000_000 // df, top by (score desc, term asc)
+        toks = [
+            (d, w)
+            for d, t in zip(docs["doc_id"], docs["text"])
+            for w in t.split()
+        ]
+        tf = {}
+        for d, w in toks:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+        df = {}
+        for d, w in {(d, w) for d, w in toks}:
+            df[w] = df.get(w, 0) + 1
+        want = {}
+        for (d, w), f in tf.items():
+            s = f * 1_000_000 // df[w]
+            cur = want.get(d)
+            if cur is None or (-s, w) < (-cur[1], cur[0]):
+                want[d] = (w, s)
+        got = tfidf_top_term(rd.from_pandas(docs).repartition(3))
+        assert len(got) == 4  # empty doc emits nothing
+        for _, r in got.iterrows():
+            w, s = want[r["doc_id"]]
+            assert (r["term"], r["score"]) == (w, s)
+            assert r["score"] == r["tf"] * 1_000_000 // r["df"]
+
+    def test_tfidf_batching_invariant(self):
+        from data_sync_ray.functions.text import tfidf_top_term
+
+        rng = np.random.default_rng(9)
+        vocab = [f"w{i}" for i in range(60)]
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(vocab, 25)) for _ in range(40)
+                ],
+            }
+        )
+        a = tfidf_top_term(rd.from_pandas(docs))
+        b = tfidf_top_term(
+            rd.from_pandas(docs.sample(frac=1, random_state=1)).repartition(7)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_sliding_window_fanout_is_exactly_three(self):
+        from data_sync_ray.pipelines.queries import sliding_window_stats
+
+        # every event contributes to exactly 3 windows regardless of
+        # where it falls inside its slide
+        import pandas as pd_
+        import tempfile, os
+
+        rng = np.random.default_rng(4)
+        n = 500
+        ts = pd_.to_datetime("2024-03-01") + pd_.to_timedelta(
+            rng.integers(0, 86400, n), unit="s"
+        )
+        ev = pd_.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": ts,
+                "user_id": np.zeros(n, dtype=np.int64),
+                "event_type": ["view"] * n,
+                "value": rng.uniform(0, 10, n),
+                "props": ["{}"] * n,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+            out = sliding_window_stats(d)
+        assert int(out["n_events"].sum()) == 3 * n
+        cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        assert abs(out["sum_value"].sum() - 3 * cents.sum() / 100.0) < 1e-6
