@@ -54,6 +54,12 @@ QUERY_SAMPLE = [
     "top_customer_revenue",
     "event_value_percentiles",
     "daily_type_pivot",
+    "hll_distinct_users",
+    "cms_top_token_counts",
+    "bloom_semijoin_orders",
+    "duplicated_spans_docs",
+    "sliding_window_stats",
+    "tfidf_top_term_docs",
 ]
 
 

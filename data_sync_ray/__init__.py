@@ -9,6 +9,8 @@ with exactly-once commit logs, checkpoint-resumable replay, schema
 evolution by Arrow unification, and per-partition lineage metrics.
 """
 
+import logging as _logging
+
 from .config import SyncConfig, table_passes
 from .datamodel import (
     CHANGE_EVENT_SCHEMA,
@@ -32,6 +34,30 @@ from .stages.transform import (
     register_custom_filter,
 )
 from .state.lake import Lake
+
+
+class _DropSchemaHashNoise(_logging.Filter):
+    """Ray 2.49's schema-dedup fast path warns "Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'" whenever a
+    pandas block schema carries unhashable metadata, then proceeds
+    correctly down the slow unify path — pure log spam at our block
+    rates (PandasBlockSchema holds a list of dtypes — unhashable by
+    construction, so EVERY multi-block pandas pipeline trips it).
+    Installed on import; covers any process that imports this package
+    (driver, actor-pool stages, module-level callables). Task closures
+    pickled by value never import us, so their one-per-worker line
+    still reaches stdout via Ray's log forwarder — bounded by
+    RAY_DEDUP_LOGS. Everything else from that logger still passes."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return not str(record.getMessage()).startswith(
+            "Failed to hash the schemas"
+        )
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_DropSchemaHashNoise())
 
 __all__ = [
     "CHANGE_EVENT_SCHEMA",
