@@ -6,6 +6,7 @@
     python -m data_sync_ray.cli inspect --config job.toml --events DIR
     python -m data_sync_ray.cli compact --config job.toml
     python -m data_sync_ray.cli export  --config job.toml --out DIR
+    python -m data_sync_ray.cli lookup  --config job.toml --key doc00000042
 
 Owns a Ray session (guarded init; the driver contract in __ray_entry__.py
 never goes through here).
@@ -23,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("command",
                    choices=["replay", "tail", "bootstrap", "repair",
                             "inspect", "compact", "export", "control",
-                            "status", "ingest", "view"])
+                            "status", "ingest", "view", "lookup"])
     p.add_argument("--config", required=True, help="TOML job config")
     p.add_argument("--events", help="event-log root (epoch=K dirs)")
     p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
@@ -47,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-format", default="maxwell",
                    choices=["maxwell", "debezium", "canal"],
                    help="ingest: CDC envelope of the JSON-lines input")
+    p.add_argument("--key", help="lookup: primary-key value to read")
     p.add_argument("--name", default="source_stats",
                    help="view: materialized-view name to refresh/print")
     p.add_argument("--refresh-views", default="",
@@ -61,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
     need = required.get(args.command)
     if need and not getattr(args, need):
         p.error(f"{args.command} requires --{need}")
+
+    if args.command == "lookup":
+        # point read: hash-route to the owning partition, zone-map skip
+        # its fragments — driver-side file IO only, no Ray session
+        if not args.key:
+            p.error("lookup requires --key")
+        from .config import SyncConfig
+        from .state.lake import Lake
+
+        lake = Lake(SyncConfig.from_toml(args.config).lake_root)
+        t = lake.lookup(args.key)
+        print(json.dumps(
+            {"key": args.key, "found": t.num_rows > 0,
+             "rows": t.to_pylist()}, default=str))
+        return 0
 
     if args.command in ("control", "status"):
         # control-plane file ops need no Ray session (server.go analog)

@@ -1952,6 +1952,61 @@ WHERE tag = '{_cdc_replay_tag()}'
 """
 
 
+#: inclusive doc_id bounds for the range-read query — zero-padded ids
+#: make lexicographic order numeric order, so Arrow and DuckDB string
+#: comparisons agree byte for byte
+_RANGE_LO, _RANGE_HI = "doc00000100", "doc00000299"
+
+
+def cdc_lake_range_read(sf_dir: str) -> pa.Table:
+    """Zone-map range read of the replayed lake: build the same pinned
+    CDC fixture lake as cdc_replay_lake, then read ONLY the key band
+    [_RANGE_LO, _RANGE_HI] via the distributed read_lake(key_range=...)
+    path — per-partition fold tasks skip fragments whose per-file key
+    min/max (recorded at commit) cannot intersect the band, and filter
+    the folded rows to it. Hash-checked against the sequential-oracle
+    fixture filtered by the same bounds."""
+    from ..datamodel import StreamSpec, gen_base_table, gen_change_stream, write_event_log
+    from .replay import ReplayJob, read_lake
+
+    n_docs = 500
+    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    base = gen_base_table(n_docs, seed=42)
+    work = tempfile.mkdtemp(prefix="cdc_range_")
+    ev_root = os.path.join(work, "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(
+        lake_root=os.path.join(work, "lake"), num_partitions=16,
+        apply_concurrency=4,
+    )
+    job = ReplayJob(cfg)
+    job.bootstrap(base)
+    job.replay(ev_root)
+    out = (
+        read_lake(cfg.lake_root, key_range=(_RANGE_LO, _RANGE_HI))
+        .select_columns(["doc_id", "n_tok", "source", "log_pos"])
+        .to_pandas()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("n_tok", pa.int64()),
+             ("source", pa.string()), ("log_pos", pa.int64())]
+        )
+    )
+
+
+CDC_RANGE_SQL = f"""
+SELECT doc_id, n_tok, source, log_pos
+FROM read_parquet('{_FIXTURE_DIR}/cdc_replay_*.parquet')
+WHERE tag = '{_cdc_replay_tag()}'
+  AND doc_id BETWEEN '{_RANGE_LO}' AND '{_RANGE_HI}'
+"""
+
+
 # --- sketches (functions/sketch.py) ------------------------------------------
 # Deterministic mergeable sketches whose md5-derived hash functions the
 # DuckDB oracle re-derives in SQL — the APPROXIMATE answers are
@@ -2234,6 +2289,7 @@ QUERIES: dict[str, tuple] = {
     "duplicated_spans_docs": (duplicated_spans_docs, SPANS_SQL),
     "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
     "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
+    "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
 }
 
 

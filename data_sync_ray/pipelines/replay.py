@@ -785,15 +785,19 @@ class _FoldPartition:
         lake_root: str,
         schema: pa.Schema | None,
         columns: list[str] | None = None,
+        key_range=None,
     ):
         self.lake = Lake(lake_root)
         self.schema = schema
         self.columns = columns
+        self.key_range = key_range
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch.column("partition").to_pylist():
-            t = self.lake.read_partition(p, columns=self.columns)
+            t = self.lake.read_partition(
+                p, columns=self.columns, key_range=self.key_range
+            )
             if t is not None and t.num_rows:
                 tables.append(t)
         if not tables:
@@ -829,6 +833,7 @@ def read_lake(
     lake_root: str,
     concurrency: int | None = None,
     columns: list[str] | None = None,
+    key_range=None,
 ) -> rd.Dataset:
     """Current lake state as a streaming Dataset: one fold task per hash
     partition, no global shuffle (fragments are already co-partitioned).
@@ -837,7 +842,13 @@ def read_lake(
     fold's key/order/tombstone needs, internally) are decoded from the
     parquet fragments; a 2-column scan of a wide lake never reads the
     rest (the "prune at the read" rule applied to the lake itself).
-    Unknown names raise KeyError up front."""
+    Unknown names raise KeyError up front.
+
+    key_range: (lo, hi) inclusive key bounds — each fold task zone-map
+    skips fragments outside the range and filters its folded rows (see
+    Lake.files_for_range); the scan still visits every hash partition
+    (hash partitioning is not order-preserving) but reads only the
+    fragments that can matter."""
     lake = Lake(lake_root)
     parts = lake.partitions()
     schema = lake.union_schema()
@@ -853,7 +864,7 @@ def read_lake(
     ds = rd.from_items([{"partition": p} for p in parts])
     return ds.map_batches(
         _FoldPartition,
-        fn_constructor_args=(lake_root, schema, columns),
+        fn_constructor_args=(lake_root, schema, columns, key_range),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency or min(8, len(parts)),

@@ -269,6 +269,7 @@ class Lake:
             # deterministic content: sorted by key upstream; same retry =>
             # same bytes => idempotent under partial-crash rewrite
             pq.write_table(delta, os.path.join(pdir, fname))
+            self._record_file_stats(ckpt, rel, delta)
         wm = ckpt["watermark_log_pos"]
         if delta.num_rows and "log_pos" in delta.column_names:
             mx = pa.compute.max(delta.column("log_pos")).as_py()
@@ -307,6 +308,82 @@ class Lake:
             "apply_sec": dt,
         }
 
+    # --- zone maps (per-file key min/max for data skipping) -----------------
+
+    def _record_file_stats(self, ckpt: dict, rel: str, table: pa.Table) -> None:
+        """Record the fragment's key-column zone map in the checkpoint it
+        is committed under (same atomic replace — no extra crash window).
+        CDC deltas cluster naturally on an auto-increment PK (inserts of
+        an epoch occupy a fresh key band), which is exactly when zone
+        maps prune; random-update-heavy fragments just won't skip."""
+        key = self.config().key_column
+        if key not in table.column_names or not table.num_rows:
+            return
+        mm = pa.compute.min_max(table.column(key))
+        ckpt.setdefault("file_stats", {})[rel] = {
+            "rows": table.num_rows,
+            "key_min": mm["min"].as_py(),
+            "key_max": mm["max"].as_py(),
+        }
+
+    @staticmethod
+    def files_for_range(ckpt: dict, key_range) -> list[str]:
+        """The subset of a checkpoint's files whose key zone map
+        intersects [lo, hi] (either bound None = unbounded). Files with
+        no recorded stats (pre-zone-map commits) are always included —
+        skipping is an optimization, never a correctness gamble. Sound
+        for the LWW fold: every fragment that can contain a key in the
+        range intersects it, so in-range keys see all their versions
+        (including tombstones)."""
+        lo, hi = key_range
+        out = []
+        stats = ckpt.get("file_stats", {})
+        for rel in ckpt["files"]:
+            st = stats.get(rel)
+            if st is None or st.get("key_min") is None:
+                out.append(rel)
+                continue
+            if (hi is not None and st["key_min"] > hi) or (
+                lo is not None and st["key_max"] < lo
+            ):
+                continue
+            out.append(rel)
+        return out
+
+    def route_partition(self, key_value) -> int:
+        """The hash partition owning `key_value` — the SAME hash and type
+        the write path used (assign_partition), so point reads go to one
+        partition. The probe is cast to the lake key column's type first:
+        the hash is type-sensitive and a mistyped probe would silently
+        route to a wrong (empty) partition."""
+        from ..stages.transform import stable_hash_strings
+
+        cfg = self.config()
+        arr = pa.array([key_value])
+        schema = self.union_schema()
+        if schema is not None and cfg.key_column in schema.names:
+            arr = arr.cast(schema.field(cfg.key_column).type)
+        # int() BEFORE the modulo: np.uint64 % python-int promotes to
+        # float64 and silently corrupts the partition id
+        h = stable_hash_strings(arr)
+        return int(h[0]) % cfg.num_partitions
+
+    def lookup(self, key_value) -> pa.Table:
+        """Point read of one key's current row (empty table if absent or
+        deleted): hash-route to the owning partition, zone-map skip its
+        fragments, fold only what intersects. The CDC analog of the
+        reference's per-row SELECT-before-apply, served from the lake."""
+        part = self.route_partition(key_value)
+        t = self.read_partition(part, key_range=(key_value, key_value))
+        if t is None:
+            schema = self.union_schema()
+            if schema is None:
+                from ..datamodel import LAKE_SCHEMA
+
+                schema = LAKE_SCHEMA
+            return schema.empty_table()
+        return t
+
     def record_failure(self, partition: int, err: str = "") -> None:
         """Bump the partition's failure counter before the apply task
         re-raises (ref T4: fail counters, src/infrastructure/monitor/
@@ -331,6 +408,7 @@ class Lake:
         partition: int,
         drop_tombstones: bool = True,
         columns: list[str] | None = None,
+        key_range=None,
     ) -> pa.Table:
         """Fold one partition's fragments into its current state (LWW,
         tombstones dropped). Fragment read order is irrelevant.
@@ -339,18 +417,29 @@ class Lake:
         columns: projection pushdown — only the requested columns (plus
         the key/order/tombstone columns the fold itself needs, dropped
         again afterward) are READ from each parquet fragment, so a
-        2-column scan of a wide lake never decodes the other columns."""
+        2-column scan of a wide lake never decodes the other columns.
+
+        key_range: (lo, hi) inclusive bounds on the key column (either
+        None = unbounded) — fragments whose zone map cannot intersect
+        the range are skipped entirely (files_for_range), and the folded
+        result is filtered to the range."""
         ckpt = self.read_checkpoint(partition)
         needed = None
         key = order = None
-        if columns is not None:
+        if columns is not None or key_range is not None:
             cfg = self.config()
             key, order = cfg.key_column, cfg.order_column
+        if columns is not None:
             from ..stages.merge import DELETED_COL
 
             needed = set(columns) | {key, order, DELETED_COL}
+        files = (
+            ckpt["files"]
+            if key_range is None
+            else self.files_for_range(ckpt, key_range)
+        )
         frags = []
-        for rel in ckpt["files"]:
+        for rel in files:
             p = os.path.join(self.data_dir, rel)
             if not os.path.exists(p):
                 continue
@@ -363,12 +452,23 @@ class Lake:
                 frags.append(pq.read_table(p, columns=present))
         if not frags:
             return None
-        if columns is not None:
+        if columns is not None or key_range is not None:
             t = fold_state(
                 frags, key=key, order=order, drop_tombstones=drop_tombstones
             )
         else:
             t = fold_state(frags, drop_tombstones=drop_tombstones)
+        if key_range is not None and key in t.column_names:
+            lo, hi = key_range
+            col = t.column(key)
+            mask = None
+            if lo is not None:
+                mask = pa.compute.greater_equal(col, lo)
+            if hi is not None:
+                le = pa.compute.less_equal(col, hi)
+                mask = le if mask is None else pa.compute.and_(mask, le)
+            if mask is not None:
+                t = t.filter(mask)
         if drop_tombstones and "partition" in t.column_names:
             t = t.drop_columns(["partition"])
         if columns is not None:
@@ -454,9 +554,11 @@ class Lake:
         fname = f"base-c{gen:07d}.parquet"
         rel = os.path.join(f"part={partition:05d}", fname)
         old = list(ckpt["files"])
+        ckpt["file_stats"] = {}
         if state is not None and state.num_rows:
             pq.write_table(state, os.path.join(pdir, fname))
             ckpt["files"] = [rel]
+            self._record_file_stats(ckpt, rel, state)
         else:
             ckpt["files"] = []
         ckpt["compaction_gen"] = gen

@@ -90,3 +90,31 @@ def test_cli_ingest_subprocess(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["events_applied"] == 5
     assert out["format"] == "canal"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_lookup(tmp_path, capsys):
+    from data_sync_ray.cli import main
+
+    spec = StreamSpec(n_events=800, n_docs=80, n_epochs=2, seed=11)
+    base = gen_base_table(80, seed=11)
+    ev_root = os.path.join(str(tmp_path), "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(lake_root=os.path.join(str(tmp_path), "lake"),
+                     num_partitions=8)
+    job = ReplayJob(cfg)
+    job.replay(ev_root, bootstrap=base)
+    p = tmp_path / "job.toml"
+    p.write_text(f'[sync]\nlake_root = "{cfg.lake_root}"\n')
+    state = job.lake.read_all()
+    alive = state.column("doc_id")[0].as_py()
+    want = state.filter(
+        __import__("pyarrow").compute.equal(state.column("doc_id"), alive)
+    )
+    assert main(["lookup", "--config", str(p), "--key", alive]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["found"] and len(out["rows"]) == 1
+    assert out["rows"][0]["log_pos"] == want.column("log_pos")[0].as_py()
+    assert main(["lookup", "--config", str(p), "--key", "doc99999999"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["found"] and out["rows"] == []

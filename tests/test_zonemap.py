@@ -1,0 +1,193 @@
+"""Zone maps: per-fragment key min/max recorded at commit, fragment
+skipping on range reads, point lookup routing, and compaction stats
+rewrite. Correctness bar: a pruned read must equal the unpruned read
+filtered — with updates, deletes, and stats-less legacy fragments in
+the mix."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_sync_ray import Lake, SyncConfig
+from data_sync_ray.stages.transform import assign_partition
+
+P = 4
+
+
+def _mk_lake(tmp_path) -> Lake:
+    cfg = SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=P)
+    return Lake.create(cfg)
+
+
+def _delta(ids, log_pos, deleted=None):
+    n = len(ids)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "log_pos": pa.array(log_pos, pa.int64()),
+            "_deleted": pa.array(deleted or [False] * n),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    return assign_partition(t, P)
+
+
+def _commit(lake: Lake, epoch: int, t: pa.Table):
+    """Route rows to their owning partitions and commit each group —
+    the same single-owner-per-partition discipline the engine uses."""
+    part = t.column("partition").to_numpy()
+    for p in np.unique(part):
+        sub = t.filter(pa.compute.equal(t.column("partition"), int(p)))
+        lake.commit_delta(int(p), epoch, sub, sub.num_rows)
+
+
+def _full_filtered(lake: Lake, partition: int, lo, hi) -> pd.DataFrame:
+    t = lake.read_partition(partition)
+    if t is None:
+        return pd.DataFrame()
+    df = t.to_pandas()
+    return (
+        df[(df["doc_id"] >= lo) & (df["doc_id"] <= hi)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+class TestZoneMaps:
+    def test_stats_recorded_at_commit(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(100)), list(range(100))))
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            for rel in ck["files"]:
+                st = ck["file_stats"][rel]
+                assert 0 <= st["key_min"] <= st["key_max"] <= 99
+                assert st["rows"] >= 1
+
+    def test_files_for_range_pure(self):
+        ckpt = {
+            "files": ["a", "b", "c", "legacy"],
+            "file_stats": {
+                "a": {"rows": 5, "key_min": 0, "key_max": 99},
+                "b": {"rows": 5, "key_min": 100, "key_max": 199},
+                "c": {"rows": 5, "key_min": 150, "key_max": 300},
+            },  # "legacy" has no stats -> always read
+        }
+        f = Lake.files_for_range
+        assert f(ckpt, (0, 50)) == ["a", "legacy"]
+        assert f(ckpt, (120, 160)) == ["b", "c", "legacy"]
+        assert f(ckpt, (301, None)) == ["legacy"]
+        assert f(ckpt, (None, None)) == ["a", "b", "c", "legacy"]
+        assert f(ckpt, (200, 200)) == ["c", "legacy"]
+
+    def test_range_read_equals_filtered_full(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        # epoch 0: keys 0-199; epoch 1: updates to 50-99 + inserts
+        # 200-299; epoch 2: deletes of 60-69 and 250-259 (tombstones)
+        _commit(lake, 0, _delta(list(range(200)), list(range(200))))
+        ids1 = list(range(50, 100)) + list(range(200, 300))
+        _commit(lake, 1, _delta(ids1, [1000 + i for i in range(len(ids1))]))
+        ids2 = list(range(60, 70)) + list(range(250, 260))
+        _commit(
+            lake, 2,
+            _delta(ids2, [2000 + i for i in range(len(ids2))],
+                   deleted=[True] * len(ids2)),
+        )
+        for lo, hi in [(0, 49), (40, 80), (60, 69), (190, 260), (500, 900)]:
+            for p in lake.partitions():
+                got = lake.read_partition(p, key_range=(lo, hi))
+                want = _full_filtered(lake, p, lo, hi)
+                if got is None or not got.num_rows:
+                    assert len(want) == 0
+                    continue
+                gdf = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+                pd.testing.assert_frame_equal(
+                    gdf[sorted(gdf.columns)], want[sorted(want.columns)]
+                )
+
+    def test_range_read_actually_skips(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        # two disjoint key bands -> a band query must not touch the
+        # other band's fragments
+        _commit(lake, 0, _delta(list(range(0, 100)), list(range(100))))
+        _commit(lake, 1, _delta(list(range(1000, 1100)),
+                                list(range(100, 200))))
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            picked = Lake.files_for_range(ck, (0, 99))
+            assert all("e0000001" not in rel for rel in picked)
+            assert any("bootstrap" in rel or "e0000000" in rel
+                       for rel in picked) or not ck["files"]
+
+    def test_lookup_latest_deleted_and_absent(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(50)), list(range(50))))
+        _commit(lake, 1, _delta([7], [999]))           # update key 7
+        _commit(lake, 2, _delta([9], [1000], [True]))  # delete key 9
+        hit = lake.lookup(7)
+        assert hit.num_rows == 1
+        assert hit.column("log_pos")[0].as_py() == 999
+        assert lake.lookup(9).num_rows == 0    # tombstoned
+        assert lake.lookup(4321).num_rows == 0  # never existed
+
+    def test_compaction_rewrites_stats(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(100)), list(range(100))))
+        _commit(lake, 1, _delta([5, 6], [500, 501], [True, True]))
+        for p in lake.partitions():
+            lake.compact_partition(p)
+            ck = lake.read_checkpoint(p)
+            assert set(ck["file_stats"]) == set(ck["files"])
+        # range reads stay exact over the compacted base
+        for p in lake.partitions():
+            got = lake.read_partition(p, key_range=(0, 10))
+            want = _full_filtered(lake, p, 0, 10)
+            n = 0 if got is None else got.num_rows
+            assert n == len(want)
+        assert lake.lookup(5).num_rows == 0  # tombstone survived compaction
+
+    def test_legacy_fragments_without_stats_still_read(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(40)), list(range(40))))
+        # simulate a pre-zone-map lake: strip the recorded stats
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            ck.pop("file_stats", None)
+            lake.write_checkpoint(ck)
+        total = 0
+        for p in lake.partitions():
+            t = lake.read_partition(p, key_range=(0, 39))
+            total += 0 if t is None else t.num_rows
+        assert total == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedRangeRead:
+    def test_read_lake_key_range(self, tmp_path):
+        from data_sync_ray.pipelines.replay import read_lake
+
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(300)), list(range(300))))
+        _commit(lake, 1, _delta([10, 20, 290], [900, 901, 902],
+                                [False, True, False]))
+        got = (
+            read_lake(str(tmp_path / "lake"), key_range=(5, 25))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        full = (
+            read_lake(str(tmp_path / "lake")).to_pandas()
+        )
+        want = (
+            full[(full["doc_id"] >= 5) & (full["doc_id"] <= 25)]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
+        assert 20 not in set(got["doc_id"])  # the delete is honored
