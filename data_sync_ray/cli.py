@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["maxwell", "debezium", "canal"],
                    help="ingest: CDC envelope of the JSON-lines input")
     p.add_argument("--key", help="lookup: primary-key value to read")
+    p.add_argument("--as-of-epoch", type=int, default=None,
+                   help="export: time-travel snapshot after this epoch "
+                        "(bootstrap = -1)")
     p.add_argument("--name", default="source_stats",
                    help="view: materialized-view name to refresh/print")
     p.add_argument("--refresh-views", default="",
@@ -159,8 +162,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"view": args.name, "partitions_recomputed": n,
                "rows": df.to_dict(orient="records")}
     else:  # export
-        export_lake(cfg.lake_root, args.out)
-        out = {"exported_to": args.out}
+        export_lake(cfg.lake_root, args.out, as_of_epoch=args.as_of_epoch)
+        out = {"exported_to": args.out, "as_of_epoch": args.as_of_epoch}
     print(json.dumps(out, default=str))
     ray.shutdown()
     return 0

@@ -280,10 +280,14 @@ def replay_oracle(
     if base is not None:
         for row in base.to_pylist():
             state[row["doc_id"]] = row
-    all_events = pa.concat_tables(
-        [t for t in epochs if t.num_rows], promote_options="default"
+    live = [t for t in epochs if t.num_rows]
+    # zero epochs (e.g. an as-of read at the bootstrap point) is a valid
+    # prefix: the state is just the base image
+    rows = (
+        pa.concat_tables(live, promote_options="default").to_pylist()
+        if live
+        else []
     )
-    rows = all_events.to_pylist()
     rows.sort(key=lambda r: r["log_pos"])
     for r in rows:
         if r["table"] not in include_tables:

@@ -786,17 +786,20 @@ class _FoldPartition:
         schema: pa.Schema | None,
         columns: list[str] | None = None,
         key_range=None,
+        as_of_epoch: int | None = None,
     ):
         self.lake = Lake(lake_root)
         self.schema = schema
         self.columns = columns
         self.key_range = key_range
+        self.as_of_epoch = as_of_epoch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch.column("partition").to_pylist():
             t = self.lake.read_partition(
-                p, columns=self.columns, key_range=self.key_range
+                p, columns=self.columns, key_range=self.key_range,
+                as_of_epoch=self.as_of_epoch,
             )
             if t is not None and t.num_rows:
                 tables.append(t)
@@ -819,13 +822,16 @@ def export_lake(
     out_dir: str,
     concurrency: int | None = None,
     columns: list[str] | None = None,
+    as_of_epoch: int | None = None,
 ) -> None:
     """Materialize the current lake state as plain partitioned Parquet (one
     part-file set per hash partition, never one giant file) — the full-table
     sink for consumers that want a snapshot rather than merge-on-read.
-    columns: projection pushdown (see read_lake)."""
+    columns: projection pushdown; as_of_epoch: time travel (see
+    read_lake)."""
     read_lake(
-        lake_root, concurrency=concurrency, columns=columns
+        lake_root, concurrency=concurrency, columns=columns,
+        as_of_epoch=as_of_epoch,
     ).write_parquet(out_dir)
 
 
@@ -834,6 +840,7 @@ def read_lake(
     concurrency: int | None = None,
     columns: list[str] | None = None,
     key_range=None,
+    as_of_epoch: int | None = None,
 ) -> rd.Dataset:
     """Current lake state as a streaming Dataset: one fold task per hash
     partition, no global shuffle (fragments are already co-partitioned).
@@ -848,7 +855,11 @@ def read_lake(
     skips fragments outside the range and filters its folded rows (see
     Lake.files_for_range); the scan still visits every hash partition
     (hash partitioning is not order-preserving) but reads only the
-    fragments that can matter."""
+    fragments that can matter.
+
+    as_of_epoch: time-travel read — the lake state after all epochs <=
+    this value (bootstrap = -1), served from the immutable epoch-named
+    deltas; raises below the compaction horizon (Lake.files_as_of)."""
     lake = Lake(lake_root)
     parts = lake.partitions()
     schema = lake.union_schema()
@@ -864,7 +875,7 @@ def read_lake(
     ds = rd.from_items([{"partition": p} for p in parts])
     return ds.map_batches(
         _FoldPartition,
-        fn_constructor_args=(lake_root, schema, columns, key_range),
+        fn_constructor_args=(lake_root, schema, columns, key_range, as_of_epoch),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency or min(8, len(parts)),

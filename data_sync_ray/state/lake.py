@@ -350,6 +350,42 @@ class Lake:
             out.append(rel)
         return out
 
+    _FRAG_RE = re.compile(r"(?:^|/)(delta-(?:bootstrap|e(\d+))|base-c(\d+))\.parquet$")
+
+    @classmethod
+    def _frag_epoch(cls, rel: str):
+        """(kind, epoch) of a fragment path: ('delta', e) with bootstrap
+        as epoch -1, or ('base', None) for a compaction output."""
+        m = cls._FRAG_RE.search(rel)
+        if m is None:
+            return ("unknown", None)
+        if m.group(3) is not None:
+            return ("base", None)
+        return ("delta", -1 if m.group(2) is None else int(m.group(2)))
+
+    @staticmethod
+    def files_as_of(ckpt: dict, as_of_epoch: int) -> list[str]:
+        """The fragment subset representing the partition's state after
+        all epochs <= as_of_epoch (bootstrap = -1). Time travel rides
+        the commit protocol for free: deltas are immutable and named by
+        epoch, so an older state is just a shorter file list. Compaction
+        DESTROYS history below its fold point — asking below
+        compacted_through_epoch raises instead of answering wrong."""
+        comp = ckpt.get("compacted_through_epoch")
+        if comp is not None and as_of_epoch < comp:
+            raise ValueError(
+                f"partition {ckpt.get('partition')}: epochs <= {comp} were "
+                f"compacted away; as_of_epoch={as_of_epoch} is unreadable "
+                "(disable/auto-compaction retention if time travel is needed)"
+            )
+        out = []
+        for rel in ckpt["files"]:
+            kind, e = Lake._frag_epoch(rel)
+            if kind == "delta" and e is not None and e > as_of_epoch:
+                continue
+            out.append(rel)  # bases (fold <= comp <= as_of) + old deltas
+        return out
+
     def route_partition(self, key_value) -> int:
         """The hash partition owning `key_value` — the SAME hash and type
         the write path used (assign_partition), so point reads go to one
@@ -409,10 +445,15 @@ class Lake:
         drop_tombstones: bool = True,
         columns: list[str] | None = None,
         key_range=None,
+        as_of_epoch: int | None = None,
     ) -> pa.Table:
         """Fold one partition's fragments into its current state (LWW,
         tombstones dropped). Fragment read order is irrelevant.
         drop_tombstones=False is the compaction path — see fold_state.
+
+        as_of_epoch: time travel — fold only fragments from epochs
+        <= this (see files_as_of; raises below the compaction horizon).
+        Composes with key_range and columns.
 
         columns: projection pushdown — only the requested columns (plus
         the key/order/tombstone columns the fold itself needs, dropped
@@ -433,6 +474,8 @@ class Lake:
             from ..stages.merge import DELETED_COL
 
             needed = set(columns) | {key, order, DELETED_COL}
+        if as_of_epoch is not None:
+            ckpt = dict(ckpt, files=self.files_as_of(ckpt, as_of_epoch))
         files = (
             ckpt["files"]
             if key_range is None
@@ -562,6 +605,10 @@ class Lake:
         else:
             ckpt["files"] = []
         ckpt["compaction_gen"] = gen
+        # time-travel horizon: states below this epoch are no longer
+        # reconstructable from this partition (their deltas are folded)
+        if ckpt["applied_epochs"]:
+            ckpt["compacted_through_epoch"] = max(ckpt["applied_epochs"])
         self.write_checkpoint(ckpt)  # commit point
         for r in old:
             try:

@@ -191,3 +191,80 @@ class TestDistributedRangeRead:
             got[sorted(got.columns)], want[sorted(want.columns)]
         )
         assert 20 not in set(got["doc_id"])  # the delete is honored
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTimeTravel:
+    def test_as_of_epoch_matches_oracle_prefix(self, tmp_path):
+        """read_lake(as_of_epoch=E) == the sequential oracle replaying
+        only epochs <= E — for every E, on a real replayed lake with
+        updates, deletes, and schema evolution."""
+        from data_sync_ray import (
+            StreamSpec, SyncConfig, gen_base_table, gen_change_stream,
+            replay_oracle, write_event_log,
+        )
+        from data_sync_ray.pipelines.replay import ReplayJob, read_lake
+        from tests.test_replay_e2e import assert_tables_equal
+
+        spec = StreamSpec(n_events=2000, n_docs=150, n_epochs=3, seed=31,
+                          evolve_from_epoch=2)
+        base = gen_base_table(150, seed=31)
+        epochs = gen_change_stream(spec)
+        ev_root = os.path.join(str(tmp_path), "events")
+        write_event_log(ev_root, epochs)
+        cfg = SyncConfig(lake_root=os.path.join(str(tmp_path), "lake"),
+                         num_partitions=8, apply_concurrency=2)
+        job = ReplayJob(cfg)
+        job.replay(ev_root, bootstrap=base)
+        for e in range(-1, 3):
+            got = pa.concat_tables(
+                [
+                    b
+                    for b in read_lake(
+                        cfg.lake_root, as_of_epoch=e
+                    ).iter_batches(batch_format="pyarrow")
+                ],
+                promote_options="permissive",
+            )
+            want = replay_oracle(base, epochs[: e + 1])
+            # read_lake pads to the CURRENT union schema: pre-evolution
+            # states carry an all-null `quality` the prefix oracle lacks
+            if ("quality" in got.column_names
+                    and "quality" not in want.column_names):
+                q = got.column("quality")
+                assert q.null_count == got.num_rows
+                got = got.drop_columns(["quality"])
+            assert_tables_equal(got, want)
+
+    def test_as_of_below_compaction_horizon_raises(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(30)), list(range(30))))
+        _commit(lake, 1, _delta([3], [100]))
+        p0 = lake.partitions()[0]
+        # before compaction: epoch-0 state readable
+        t = lake.read_partition(p0, as_of_epoch=0)
+        assert t is None or (100 not in t.column("log_pos").to_pylist())
+        lake.compact_partition(p0)
+        ck = lake.read_checkpoint(p0)
+        if ck.get("compacted_through_epoch") is not None:
+            with pytest.raises(ValueError, match="compacted"):
+                lake.read_partition(p0, as_of_epoch=0)
+            # at/after the horizon still fine
+            assert lake.read_partition(
+                p0, as_of_epoch=ck["compacted_through_epoch"]
+            ) is not None
+
+    def test_as_of_composes_with_key_range(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(100)), list(range(100))))
+        _commit(lake, 1, _delta([5, 50], [900, 901], [True, False]))
+        for p in lake.partitions():
+            t = lake.read_partition(p, key_range=(0, 60), as_of_epoch=0)
+            if t is None:
+                continue
+            ids = t.column("doc_id").to_pylist()
+            assert all(0 <= i <= 60 for i in ids)
+            # the epoch-1 delete of key 5 is NOT visible at epoch 0
+            lp = dict(zip(ids, t.column("log_pos").to_pylist()))
+            if 5 in lp:
+                assert lp[5] == 5
