@@ -55,6 +55,47 @@ _HLL_W = 48  # rank taken over the low 48 bits -> rho in [1, 49]
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 
 
+def hll_registers(values) -> dict[int, int]:
+    """{bucket: max rho} for an iterable of (hashable) values — the
+    mergeable HLL partial (merge = elementwise max). Shared by the
+    streaming hll_distinct below and the incremental lake view."""
+    uniq = np.unique(np.asarray(list(values), dtype=object))
+    if len(uniq) == 0:
+        return {}
+    H = _h64_many([str(v) for v in uniq])
+    bucket = (H >> np.uint64(56)).astype(np.int64)
+    w = H & np.uint64((1 << _HLL_W) - 1)
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = np.int64(_HLL_W + 1) - exp.astype(np.int64)
+    out: dict[int, int] = {}
+    for b, r in zip(bucket.tolist(), rho.tolist()):
+        if r > out.get(b, 0):
+            out[b] = r
+    return out
+
+
+def hll_estimate(m_j: np.ndarray) -> pd.DataFrame:
+    """One-row summary (m, nonzero, int_sum, est_distinct) from a full
+    register vector — the integer-exact estimator both the SQL oracle
+    and the view derive from."""
+    nonzero = int((m_j > 0).sum())
+    int_sum = int(sum(1 << (_HLL_W + 1 - int(r)) for r in m_j))
+    est = (
+        _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_W + 1))
+        / float(int_sum)
+    )
+    if est <= 2.5 * _HLL_M and nonzero < _HLL_M:
+        est = _HLL_M * math.log(_HLL_M / float(_HLL_M - nonzero))
+    return pd.DataFrame(
+        {
+            "m": np.array([_HLL_M], dtype=np.int64),
+            "nonzero": np.array([nonzero], dtype=np.int64),
+            "int_sum": np.array([int_sum], dtype=np.int64),
+            "est_distinct": np.array([round(est, 2)], dtype=np.float64),
+        }
+    )
+
+
 def hll_distinct(ds: rd.Dataset, column: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT column) via HyperLogLog (Flajolet et
     al. 2007), m=256 registers.
@@ -104,22 +145,7 @@ def hll_distinct(ds: rd.Dataset, column: str) -> pd.DataFrame:
     m_j = np.zeros(_HLL_M, dtype=np.int64)
     if len(regs):
         m_j[regs["bucket"].to_numpy()] = regs["m_j"].to_numpy()
-    nonzero = int((m_j > 0).sum())
-    int_sum = int(sum(1 << (_HLL_W + 1 - int(r)) for r in m_j))
-    est = (
-        _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_W + 1))
-        / float(int_sum)
-    )
-    if est <= 2.5 * _HLL_M and nonzero < _HLL_M:
-        est = _HLL_M * math.log(_HLL_M / float(_HLL_M - nonzero))
-    return pd.DataFrame(
-        {
-            "m": np.array([_HLL_M], dtype=np.int64),
-            "nonzero": np.array([nonzero], dtype=np.int64),
-            "int_sum": np.array([int_sum], dtype=np.int64),
-            "est_distinct": np.array([round(est, 2)], dtype=np.float64),
-        }
-    )
+    return hll_estimate(m_j)
 
 
 # --- Count-Min sketch -------------------------------------------------------

@@ -198,3 +198,48 @@ def token_length_histogram_view(lake_root: str):
 
 
 REGISTRY["token_length_histogram"] = token_length_histogram_view
+
+
+def _hll_partial(t: pa.Table | None) -> dict:
+    """Per-partition HLL registers over live doc_ids — keys are unique
+    within a partition (LWW winners) AND across partitions (hash
+    ownership), and registers merge by max, so the view's combine is
+    exact sketch union."""
+    if t is None or t.num_rows == 0:
+        return {}
+    from ..functions.sketch import hll_registers
+
+    return {
+        str(b): r
+        for b, r in hll_registers(t.column("doc_id").to_pylist()).items()
+    }
+
+
+def hll_distinct_view(lake_root: str):
+    """Incrementally-maintained approximate distinct-key count of the
+    lake: HyperLogLog registers cached per partition, invalidated by the
+    partition's checkpoint fingerprint — a tailing job keeps a
+    cardinality gauge fresh at O(changed partitions) per round, never a
+    full scan. Returns (DataFrame(m, nonzero, int_sum, est_distinct),
+    n_partitions_recomputed) — same shape as functions.sketch's
+    hll_estimate, so the estimate is comparable to a from-scratch
+    hll_distinct over the exported lake."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (return type)
+
+    from ..functions.sketch import _HLL_M, hll_estimate
+
+    view = MaterializedView(
+        lake_root, "hll_distinct", _hll_partial, columns=["doc_id"]
+    )
+    partials, n = view.refresh()
+    m_j = np.zeros(_HLL_M, dtype=np.int64)
+    for part in partials.values():
+        for b, r in part.items():
+            b = int(b)
+            if r > m_j[b]:
+                m_j[b] = r
+    return hll_estimate(m_j), n
+
+
+REGISTRY["hll_distinct"] = hll_distinct_view

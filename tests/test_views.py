@@ -118,3 +118,51 @@ def test_token_histogram_and_custom_view_registration(tmp_path):
     job.tail(ev_root, poll_interval=0.01, max_rounds=1,
              refresh_views=("my_view",))
     assert calls == [job.cfg.lake_root]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_view_incremental(tmp_path):
+    """The incremental cardinality gauge: register partials cached per
+    partition, merge = exact sketch union, estimate equals a
+    from-scratch HLL over the same key set at every step."""
+    import numpy as np
+
+    from data_sync_ray.functions.sketch import _HLL_M, hll_estimate, hll_registers
+    from data_sync_ray.state.views import hll_distinct_view
+
+    spec = StreamSpec(n_events=800, n_docs=120, n_epochs=1, seed=13)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=120, seed=13)
+    job = make_job(str(tmp_path), num_partitions=8)
+    job.replay(ev_root, bootstrap=base)
+    lake_root = job.cfg.lake_root
+
+    def scratch():
+        ids = job.lake.read_all().column("doc_id").to_pylist()
+        m_j = np.zeros(_HLL_M, dtype=np.int64)
+        for b, r in hll_registers(ids).items():
+            m_j[b] = max(m_j[b], r)
+        return hll_estimate(m_j), len(set(ids))
+
+    df1, n1 = hll_distinct_view(lake_root)
+    want, n_true = scratch()
+    assert df1["int_sum"].iloc[0] == want["int_sum"].iloc[0]
+    assert df1["est_distinct"].iloc[0] == want["est_distinct"].iloc[0]
+    # m=256 -> ~6.5% relative error; generous 4-sigma bound
+    assert abs(df1["est_distinct"].iloc[0] - n_true) / n_true < 0.3
+
+    # steady state: zero partitions recomputed, same registers
+    df2, n2 = hll_distinct_view(lake_root)
+    assert n2 == 0 and df2["int_sum"].iloc[0] == df1["int_sum"].iloc[0]
+
+    # new inserts invalidate only their partitions; estimate tracks
+    tiny = gen_change_stream(
+        StreamSpec(n_events=10, n_docs=120, n_epochs=1, seed=99)
+    )[0]
+    tiny = tiny.filter(pc.equal(tiny.column("op"), "insert"))
+    assert tiny.num_rows > 0
+    job.apply_epoch(7, rd.from_arrow(tiny))
+    df3, n3 = hll_distinct_view(lake_root)
+    assert 0 < n3 < 8
+    want3, _ = scratch()
+    assert df3["int_sum"].iloc[0] == want3["int_sum"].iloc[0]
