@@ -56,6 +56,11 @@ class SyncConfig:
     # schema policy: 'unify' (additive evolution, default) or 'conform'
     # (reference behavior: drop unknown columns, mysql_filter_service.go:37-41)
     schema_policy: str = "unify"
+    # parquet row-group size for committed deltas (rows). Deltas are
+    # written key-sorted, so smaller row groups give range reads and
+    # point lookups tight row-group zone maps to prune within a file.
+    # None = pyarrow default (1Mi rows).
+    row_group_rows: int | None = None
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -92,6 +97,11 @@ class SyncConfig:
             hot_key_threshold=float(sec.get("hot_key_threshold", 0.05)),
             inspect_alarm_count=int(sec.get("inspect_alarm_count", 5)),
             schema_policy=sec.get("schema_policy", "unify"),
+            row_group_rows=(
+                int(sec["row_group_rows"])
+                if sec.get("row_group_rows") is not None
+                else None
+            ),
         )
 
     @staticmethod

@@ -64,6 +64,64 @@ def _read_json(path: str):
         return json.load(f)
 
 
+def _row_groups_for_range(md, key: str, key_range) -> list[int] | None:
+    """Row-group ordinals whose key statistics can intersect [lo, hi]
+    (None = all groups must be read — key absent from the file or no
+    usable stats). Deltas are committed key-sorted, so group stats are
+    tight. Groups without min/max are always kept; parquet truncated
+    string bounds are written as true lower/upper bounds, so the skip
+    test stays sound for long keys."""
+    if md.num_row_groups == 0:
+        return []
+    try:
+        names = [
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.num_columns)
+        ]
+        ki = names.index(key)
+    except ValueError:
+        return None
+    lo, hi = key_range
+    out = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ki).statistics
+        if st is None or not st.has_min_max:
+            out.append(g)
+            continue
+        if (hi is not None and st.min > hi) or (
+            lo is not None and st.max < lo
+        ):
+            continue
+        out.append(g)
+    return out
+
+
+def _read_fragment(
+    path: str, columns: list[str] | None, key, key_range
+) -> pa.Table:
+    """Read one lake fragment, pruning parquet ROW GROUPS whose key
+    stats fall outside key_range — the in-file complement of the
+    per-file zone map (a point lookup in a compacted multi-GB partition
+    decodes one row group, not the file)."""
+    if key_range is None:
+        return pq.read_table(path, columns=columns)
+    f = pq.ParquetFile(path)
+    try:
+        groups = _row_groups_for_range(f.metadata, key, key_range)
+        if groups is None:
+            return f.read(columns=columns)
+        if not groups:
+            schema = f.schema_arrow
+            if columns is not None:
+                schema = pa.schema(
+                    [schema.field(c) for c in columns if c in schema.names]
+                )
+            return schema.empty_table()
+        return f.read_row_groups(groups, columns=columns)
+    finally:
+        f.close()
+
+
 class Lake:
     """Driver-side and task-side handle to the lake directory tree.
 
@@ -267,8 +325,12 @@ class Lake:
         rel = os.path.join(f"part={partition:05d}", fname)
         if delta.num_rows:
             # deterministic content: sorted by key upstream; same retry =>
-            # same bytes => idempotent under partial-crash rewrite
-            pq.write_table(delta, os.path.join(pdir, fname))
+            # same bytes => idempotent under partial-crash rewrite.
+            # key-sorted + bounded row groups = tight row-group zone maps
+            # for _read_fragment's in-file pruning
+            rg = self.config().row_group_rows
+            kw = {"row_group_size": rg} if rg else {}
+            pq.write_table(delta, os.path.join(pdir, fname), **kw)
             self._record_file_stats(ckpt, rel, delta)
         wm = ckpt["watermark_log_pos"]
         if delta.num_rows and "log_pos" in delta.column_names:
@@ -486,13 +548,10 @@ class Lake:
             p = os.path.join(self.data_dir, rel)
             if not os.path.exists(p):
                 continue
-            if needed is None:
-                frags.append(pq.read_table(p))
-            else:
-                present = [
-                    c for c in pq.read_schema(p).names if c in needed
-                ]
-                frags.append(pq.read_table(p, columns=present))
+            cols = None
+            if needed is not None:
+                cols = [c for c in pq.read_schema(p).names if c in needed]
+            frags.append(_read_fragment(p, cols, key, key_range))
         if not frags:
             return None
         if columns is not None or key_range is not None:

@@ -268,3 +268,59 @@ class TestTimeTravel:
             lp = dict(zip(ids, t.column("log_pos").to_pylist()))
             if 5 in lp:
                 assert lp[5] == 5
+
+
+class TestRowGroupPruning:
+    def test_row_groups_selected_and_exact(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from data_sync_ray.state.lake import _read_fragment, _row_groups_for_range
+
+        cfg = SyncConfig(lake_root=str(tmp_path / "lake"),
+                         num_partitions=1, row_group_rows=50)
+        lake = Lake.create(cfg)
+        n = 1000
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "log_pos": pa.array(np.arange(n, dtype=np.int64)),
+                "_deleted": pa.array([False] * n),
+            }
+        )
+        lake.commit_delta(0, 0, t, n)
+        path = os.path.join(lake.part_dir(0),
+                            os.listdir(lake.part_dir(0))[0])
+        md = pq.ParquetFile(path).metadata
+        assert md.num_row_groups == 20  # 1000 rows / 50
+        picked = _row_groups_for_range(md, "doc_id", (120, 180))
+        assert picked == [2, 3]  # rows 100-149, 150-199
+        got = _read_fragment(path, None, "doc_id", (120, 180))
+        ids = got.column("doc_id").to_pylist()
+        assert min(ids) >= 100 and max(ids) < 200  # only 2 groups decoded
+        # disjoint range -> zero groups, empty table w/ schema
+        empty = _read_fragment(path, ["doc_id"], "doc_id", (5000, 6000))
+        assert empty.num_rows == 0 and empty.column_names == ["doc_id"]
+        # absent key column -> all groups read (never skip blindly)
+        assert _row_groups_for_range(md, "nope", (0, 1)) is None
+        # end-to-end: pruned partition read equals filtered full read
+        full = lake.read_partition(0).to_pandas()
+        want = full[(full.doc_id >= 120) & (full.doc_id <= 180)]
+        rng = lake.read_partition(0, key_range=(120, 180)).to_pandas()
+        assert sorted(rng.doc_id) == sorted(want.doc_id)
+
+    def test_lookup_decodes_one_group(self, tmp_path):
+        cfg = SyncConfig(lake_root=str(tmp_path / "lake"),
+                         num_partitions=2, row_group_rows=25)
+        lake = Lake.create(cfg)
+        t = _delta(list(range(500)), list(range(500)))
+        # reroute with P=2 (module-level _delta uses P=4)
+        from data_sync_ray.stages.transform import assign_partition
+        t = assign_partition(t.drop_columns(["partition"]), 2)
+        part = t.column("partition").to_numpy()
+        for p in np.unique(part):
+            sub = t.filter(pa.compute.equal(t.column("partition"), int(p)))
+            sub = sub.sort_by("doc_id")
+            lake.commit_delta(int(p), 0, sub, sub.num_rows)
+        hit = lake.lookup(123)
+        assert hit.num_rows == 1
+        assert hit.column("log_pos")[0].as_py() == 123
