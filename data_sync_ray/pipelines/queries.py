@@ -2007,6 +2007,82 @@ WHERE tag = '{_cdc_replay_tag()}'
 """
 
 
+def cdc_lake_hll_view(sf_dir: str) -> pd.DataFrame:
+    """The incremental HLL cardinality view, hash-checked end to end:
+    replay the pinned CDC fixture into a lake, refresh the
+    per-partition-cached register view TWICE (the second refresh must
+    recompute zero partitions and return identical registers — the
+    incremental contract is part of the checked answer), and emit the
+    estimator row. The oracle rebuilds the identical 256-register HLL
+    in SQL over the pinned fixture's live doc_ids."""
+    from ..datamodel import StreamSpec, gen_base_table, gen_change_stream, write_event_log
+    from ..state.views import hll_distinct_view
+    from .replay import ReplayJob
+
+    n_docs = 500
+    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    base = gen_base_table(n_docs, seed=42)
+    work = tempfile.mkdtemp(prefix="cdc_hll_")
+    ev_root = os.path.join(work, "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(
+        lake_root=os.path.join(work, "lake"), num_partitions=16,
+        apply_concurrency=4,
+    )
+    job = ReplayJob(cfg)
+    job.bootstrap(base)
+    job.replay(ev_root)
+    df1, _ = hll_distinct_view(cfg.lake_root)
+    df2, n2 = hll_distinct_view(cfg.lake_root)
+    assert n2 == 0 and df2["int_sum"].iloc[0] == df1["int_sum"].iloc[0]
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return df2
+
+
+CDC_HLL_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(doc_id), 1, 16))::UBIGINT AS H
+  FROM read_parquet('{_FIXTURE_DIR}/cdc_replay_*.parquet')
+  WHERE tag = '{_cdc_replay_tag()}'
+),
+r AS (
+  SELECT CAST(H >> 56 AS BIGINT) AS bucket,
+         CASE WHEN (H & ((1::UBIGINT << 48) - 1)) = 0 THEN 49
+              ELSE 49 - length(bin((H & ((1::UBIGINT << 48) - 1))::BIGINT))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY bucket),
+s AS (
+  SELECT count(*) AS nonzero,
+         sum((1::UBIGINT << (49 - m_j))::BIGINT) AS int_sum_nz
+  FROM regs
+)
+SELECT 256::BIGINT AS m,
+       CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(int_sum_nz + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT
+            AS BIGINT) AS int_sum,
+       round(
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                   * (1::UBIGINT << 49)::DOUBLE
+                   / (int_sum_nz
+                      + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+                   <= 2.5 * 256.0
+               AND nonzero < 256
+         THEN 256.0 * ln(256.0 / (256.0 - nonzero))
+         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * (1::UBIGINT << 49)::DOUBLE
+              / (int_sum_nz
+                 + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+         END, 2) AS est_distinct
+FROM s
+"""
+
+
 # --- sketches (functions/sketch.py) ------------------------------------------
 # Deterministic mergeable sketches whose md5-derived hash functions the
 # DuckDB oracle re-derives in SQL — the APPROXIMATE answers are
@@ -2290,6 +2366,7 @@ QUERIES: dict[str, tuple] = {
     "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
     "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
+    "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
 }
 
 

@@ -96,6 +96,20 @@ def _row_groups_for_range(md, key: str, key_range) -> list[int] | None:
     return out
 
 
+def _range_mask(col, key_range):
+    """Boolean mask for lo <= col <= hi (None bound = unbounded)."""
+    lo, hi = key_range
+    mask = None
+    if lo is not None:
+        mask = pa.compute.greater_equal(col, lo)
+    if hi is not None:
+        le = pa.compute.less_equal(col, hi)
+        mask = le if mask is None else pa.compute.and_(mask, le)
+    if mask is None:
+        mask = pa.array([True] * len(col))
+    return mask
+
+
 def _read_fragment(
     path: str, columns: list[str] | None, key, key_range
 ) -> pa.Table:
@@ -458,13 +472,28 @@ class Lake:
 
         cfg = self.config()
         arr = pa.array([key_value])
-        schema = self.union_schema()
-        if schema is not None and cfg.key_column in schema.names:
-            arr = arr.cast(schema.field(cfg.key_column).type)
+        kt = self._key_type(cfg.key_column)
+        if kt is not None:
+            arr = arr.cast(kt)
         # int() BEFORE the modulo: np.uint64 % python-int promotes to
         # float64 and silently corrupts the partition id
         h = stable_hash_strings(arr)
         return int(h[0]) % cfg.num_partitions
+
+    def _key_type(self, key: str):
+        """Arrow type of the key column, from ONE fragment's footer —
+        union_schema() reads every fragment's metadata, which would make
+        a point lookup O(lake files) instead of O(1). Key type never
+        varies across fragments (it routes partitioning)."""
+        for p in self.partitions():
+            for rel in self.read_checkpoint(p)["files"]:
+                fp = os.path.join(self.data_dir, rel)
+                if os.path.exists(fp):
+                    s = pq.read_schema(fp)
+                    if key in s.names:
+                        return s.field(key).type
+                    return None
+        return None
 
     def lookup(self, key_value) -> pa.Table:
         """Point read of one key's current row (empty table if absent or
@@ -551,7 +580,13 @@ class Lake:
             cols = None
             if needed is not None:
                 cols = [c for c in pq.read_schema(p).names if c in needed]
-            frags.append(_read_fragment(p, cols, key, key_range))
+            frag = _read_fragment(p, cols, key, key_range)
+            # restrict BEFORE the fold: per-key LWW commutes with key
+            # filtering, and decoded-but-out-of-range rows (row-group
+            # granularity) would otherwise ride through the whole fold
+            if key_range is not None and key in frag.column_names:
+                frag = frag.filter(_range_mask(frag.column(key), key_range))
+            frags.append(frag)
         if not frags:
             return None
         if columns is not None or key_range is not None:
@@ -561,16 +596,9 @@ class Lake:
         else:
             t = fold_state(frags, drop_tombstones=drop_tombstones)
         if key_range is not None and key in t.column_names:
-            lo, hi = key_range
-            col = t.column(key)
-            mask = None
-            if lo is not None:
-                mask = pa.compute.greater_equal(col, lo)
-            if hi is not None:
-                le = pa.compute.less_equal(col, hi)
-                mask = le if mask is None else pa.compute.and_(mask, le)
-            if mask is not None:
-                t = t.filter(mask)
+            # belt-and-braces: fragments were pre-filtered above, but a
+            # fragment missing the key column rides through unfiltered
+            t = t.filter(_range_mask(t.column(key), key_range))
         if drop_tombstones and "partition" in t.column_names:
             t = t.drop_columns(["partition"])
         if columns is not None:
