@@ -12,6 +12,7 @@ stateful / full-engine pipelines) — the driver records rows-only checks.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -2302,6 +2303,154 @@ ORDER BY tf.doc_id
 """
 
 
+def consistent_sample_docs(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Consistent (hash-stable) corpus sample: the k docs with the
+    smallest md5-64 of their id. Unlike offset/random sampling, the
+    sample is a pure function of the ids — re-runs, resumed shards, and
+    DIFFERENT ENGINES pick the same docs, and growing the corpus only
+    swaps members in/out at the boundary (the property consistent
+    hashing gives membership). Scale shape: each batch keeps its local
+    k smallest (bounded rows out per block), the driver merges
+    <= k*blocks tiny rows. The hash is carried as the 16-hex-char
+    prefix string: fixed-width hex sorts lexicographically == numerically
+    in both engines, so no uint64/BIGINT sign mismatch can flip order."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        h = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:16] for i in ids
+        ]
+        out = pd.DataFrame({"doc_id": ids, "h": pd.Series(h, dtype="object")})
+        return out.sort_values(["h", "doc_id"]).head(k)
+
+    cand = (
+        _t(sf_dir, "documents", ["doc_id"], num_blocks=8)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # <= k per block
+    )
+    return (
+        cand.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+    )
+
+
+CONSISTENT_SAMPLE_SQL = """
+SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+FROM documents
+ORDER BY h, doc_id LIMIT 100
+"""
+
+
+def hourly_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Windowed sketch composition: APPROXIMATE distinct users per hour
+    via one HLL per hour — the streaming-analytics gauge ("how many
+    uniques this hour") that never shuffles raw events. Per batch:
+    pre-maxed (hour, bucket, rho) rows (<= hours*256 however large the
+    batch); ALL buckets of an hour co-locate by routing on
+    hour %% num_parts, so each part emits finished per-hour estimator
+    rows and the driver merges <= n_hours tiny rows. Registers and the
+    integer register sum are bit-identical to the SQL rebuild."""
+    from ..functions.sketch import _HLL_M, _HLL_W, _h64_many, hll_estimate
+
+    num_parts = 16
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = (
+            batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        hidx = (secs // 3600).to_numpy(np.int64)
+        uid = batch["user_id"].to_numpy(np.int64)
+        df = pd.DataFrame({"hidx": hidx, "uid": uid}).drop_duplicates()
+        H = _h64_many([str(int(u)) for u in df["uid"]])
+        bucket = (H >> np.uint64(56)).astype(np.int64)
+        w = H & np.uint64((1 << _HLL_W) - 1)
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = np.int64(_HLL_W + 1) - exp.astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {"hidx": df["hidx"].to_numpy(), "bucket": bucket, "rho": rho}
+            )
+            .groupby(["hidx", "bucket"], as_index=False)["rho"].max()
+        )
+        out["_part"] = (out["hidx"] % num_parts).astype(np.int64)
+        for c in ("hidx", "bucket", "rho"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby(["hidx", "bucket"], as_index=False)["rho"].max()
+        for hidx, sub in merged.groupby("hidx"):
+            m_j = np.zeros(_HLL_M, dtype=np.int64)
+            m_j[sub["bucket"].to_numpy()] = sub["rho"].to_numpy()
+            est = hll_estimate(m_j)
+            rows.append(
+                {
+                    "hour": pd.to_datetime(
+                        int(hidx) * 3600, unit="s"
+                    ).strftime("%Y-%m-%d %H"),
+                    "nonzero": int(est["nonzero"].iloc[0]),
+                    "int_sum": int(est["int_sum"].iloc[0]),
+                    "est_distinct": float(est["est_distinct"].iloc[0]),
+                }
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=["hour", "nonzero", "int_sum", "est_distinct"],
+        )
+        out["nonzero"] = out["nonzero"].astype("int64")
+        out["int_sum"] = out["int_sum"].astype("int64")
+        return out
+
+    return (
+        _t(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(estimate, batch_format="pandas")
+        .to_pandas()  # <= n_hours rows
+    )
+
+
+HOURLY_HLL_SQL = r"""
+WITH h AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS hour,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS H
+  FROM events
+),
+r AS (
+  SELECT hour, CAST(H >> 56 AS BIGINT) AS bucket,
+         CASE WHEN (H & ((1::UBIGINT << 48) - 1)) = 0 THEN 49
+              ELSE 49 - length(bin((H & ((1::UBIGINT << 48) - 1))::BIGINT))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT hour, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+s AS (
+  SELECT hour, count(*) AS nonzero,
+         sum((1::UBIGINT << (49 - m_j))::BIGINT) AS int_sum_nz
+  FROM regs GROUP BY hour
+)
+SELECT hour,
+       CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(int_sum_nz + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT
+            AS BIGINT) AS int_sum,
+       round(
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                   * (1::UBIGINT << 49)::DOUBLE
+                   / (int_sum_nz
+                      + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+                   <= 2.5 * 256.0
+               AND nonzero < 256
+         THEN 256.0 * ln(256.0 / (256.0 - nonzero))
+         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * (1::UBIGINT << 49)::DOUBLE
+              / (int_sum_nz
+                 + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+         END, 2) AS est_distinct
+FROM s
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -2367,6 +2516,8 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
+    "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
+    "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
 }
 
 
