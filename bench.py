@@ -60,6 +60,8 @@ QUERY_SAMPLE = [
     "duplicated_spans_docs",
     "sliding_window_stats",
     "tfidf_top_term_docs",
+    "consistent_sample_docs",
+    "hourly_distinct_users_hll",
 ]
 
 

@@ -187,3 +187,67 @@ def test_control_overrides_never_crash_and_never_touch_identity(overrides):
     for f in ("num_partitions", "key_column", "order_column", "lake_root"):
         assert getattr(new_cfg, f) == getattr(cfg, f)
     new_cfg.to_json()  # still serializable for status.json
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=120),  # key
+                st.booleans(),                            # deleted
+            ),
+            min_size=1, max_size=25,
+        ),
+        min_size=1, max_size=5,
+    ),
+    lo=st.integers(min_value=-5, max_value=130),
+    span=st.integers(min_value=0, max_value=60),
+)
+def test_zone_map_range_read_equals_filtered_full(tmp_path_factory, commits, lo, span):
+    """For ANY commit history (random keys, deletes, overlaps) and ANY
+    range, the zone-map-pruned read equals the unpruned read filtered —
+    file skipping and row-group pruning can never change an answer."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_sync_ray import Lake, SyncConfig
+    from data_sync_ray.stages.transform import assign_partition
+
+    tmp = tmp_path_factory.mktemp("zm")
+    cfg = SyncConfig(lake_root=str(tmp / "lake"), num_partitions=3,
+                     row_group_rows=8)
+    lake = Lake.create(cfg)
+    pos = 0
+    for epoch, rows in enumerate(commits):
+        seen = {}
+        for k, d in rows:
+            seen[k] = d  # one row per key per epoch (engine pre-combines)
+        ks = sorted(seen)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ks, pa.int64()),
+                "log_pos": pa.array(
+                    [pos + i for i in range(len(ks))], pa.int64()
+                ),
+                "_deleted": pa.array([seen[k] for k in ks]),
+            }
+        )
+        pos += len(ks)
+        t = assign_partition(t, 3)
+        part = t.column("partition").to_numpy()
+        for p in np.unique(part):
+            sub = t.filter(pa.compute.equal(t.column("partition"), int(p)))
+            lake.commit_delta(int(p), epoch, sub, sub.num_rows)
+    hi = lo + span
+    for p in lake.partitions():
+        full = lake.read_partition(p)
+        want = set()
+        if full is not None:
+            ids = full.column("doc_id").to_pylist()
+            want = {k for k in ids if lo <= k <= hi}
+        got_t = lake.read_partition(p, key_range=(lo, hi))
+        got = set() if got_t is None else set(
+            got_t.column("doc_id").to_pylist()
+        )
+        assert got == want
