@@ -787,12 +787,14 @@ class _FoldPartition:
         columns: list[str] | None = None,
         key_range=None,
         as_of_epoch: int | None = None,
+        manifest_files: dict | None = None,
     ):
         self.lake = Lake(lake_root)
         self.schema = schema
         self.columns = columns
         self.key_range = key_range
         self.as_of_epoch = as_of_epoch
+        self.manifest_files = manifest_files
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
@@ -800,6 +802,11 @@ class _FoldPartition:
             t = self.lake.read_partition(
                 p, columns=self.columns, key_range=self.key_range,
                 as_of_epoch=self.as_of_epoch,
+                files_override=(
+                    None
+                    if self.manifest_files is None
+                    else self.manifest_files.get(str(p), {}).get("files", [])
+                ),
             )
             if t is not None and t.num_rows:
                 tables.append(t)
@@ -841,6 +848,7 @@ def read_lake(
     columns: list[str] | None = None,
     key_range=None,
     as_of_epoch: int | None = None,
+    manifest_version: int | None = None,
 ) -> rd.Dataset:
     """Current lake state as a streaming Dataset: one fold task per hash
     partition, no global shuffle (fragments are already co-partitioned).
@@ -859,9 +867,20 @@ def read_lake(
 
     as_of_epoch: time-travel read — the lake state after all epochs <=
     this value (bootstrap = -1), served from the immutable epoch-named
-    deltas; raises below the compaction horizon (Lake.files_as_of)."""
+    deltas; raises below the compaction horizon (Lake.files_as_of).
+
+    manifest_version: snapshot-consistent read — fold EXACTLY the file
+    lists recorded in that published manifest (Lake.publish_manifest),
+    so a concurrent writer's mid-scan commits cannot produce a torn
+    cross-partition view; fragments compaction has since removed raise
+    instead of silently dropping rows."""
     lake = Lake(lake_root)
+    manifest_files = None
+    if manifest_version is not None:
+        manifest_files = lake.read_manifest(manifest_version)["partitions"]
     parts = lake.partitions()
+    if manifest_files is not None:
+        parts = sorted(int(k) for k in manifest_files)
     schema = lake.union_schema()
     if schema is not None and columns is not None:
         unknown = [c for c in columns if c not in schema.names]
@@ -875,7 +894,8 @@ def read_lake(
     ds = rd.from_items([{"partition": p} for p in parts])
     return ds.map_batches(
         _FoldPartition,
-        fn_constructor_args=(lake_root, schema, columns, key_range, as_of_epoch),
+        fn_constructor_args=(lake_root, schema, columns, key_range,
+                             as_of_epoch, manifest_files),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency or min(8, len(parts)),

@@ -537,6 +537,7 @@ class Lake:
         columns: list[str] | None = None,
         key_range=None,
         as_of_epoch: int | None = None,
+        files_override: list[str] | None = None,
     ) -> pa.Table:
         """Fold one partition's fragments into its current state (LWW,
         tombstones dropped). Fragment read order is irrelevant.
@@ -545,6 +546,11 @@ class Lake:
         as_of_epoch: time travel — fold only fragments from epochs
         <= this (see files_as_of; raises below the compaction horizon).
         Composes with key_range and columns.
+
+        files_override: fold exactly these fragments (a pinned
+        manifest's file list — snapshot-consistent reads while a writer
+        commits). A referenced file that no longer exists RAISES
+        (compaction removed it) instead of silently dropping rows.
 
         columns: projection pushdown — only the requested columns (plus
         the key/order/tombstone columns the fold itself needs, dropped
@@ -565,6 +571,9 @@ class Lake:
             from ..stages.merge import DELETED_COL
 
             needed = set(columns) | {key, order, DELETED_COL}
+        if files_override is not None:
+            # zone-map stats for still-live files remain usable
+            ckpt = dict(ckpt, files=list(files_override))
         if as_of_epoch is not None:
             ckpt = dict(ckpt, files=self.files_as_of(ckpt, as_of_epoch))
         files = (
@@ -576,6 +585,11 @@ class Lake:
         for rel in files:
             p = os.path.join(self.data_dir, rel)
             if not os.path.exists(p):
+                if files_override is not None:
+                    raise FileNotFoundError(
+                        f"manifest-pinned fragment {rel} is gone "
+                        "(compacted away); republish or read live state"
+                    )
                 continue
             cols = None
             if needed is not None:
@@ -710,6 +724,27 @@ class Lake:
         }
 
     # --- manifest (driver-published union snapshot) -------------------------
+
+    def manifest_version(self) -> int | None:
+        """Latest published manifest version (None if never published)."""
+        cur = os.path.join(self.manifest_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def read_manifest(self, version: int | None = None) -> dict:
+        """Load manifest vN (None = CURRENT). Raises FileNotFoundError
+        if that version was never published."""
+        if version is None:
+            version = self.manifest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"lake {self.root} has no published manifest"
+                )
+        return _read_json(
+            os.path.join(self.manifest_dir, f"v{version:07d}.json")
+        )
 
     def publish_manifest(self, note: str = "") -> int:
         cur_path = os.path.join(self.manifest_dir, "CURRENT")

@@ -324,3 +324,55 @@ class TestRowGroupPruning:
         hit = lake.lookup(123)
         assert hit.num_rows == 1
         assert hit.column("log_pos")[0].as_py() == 123
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestManifestSnapshot:
+    def test_pinned_manifest_read_is_snapshot_consistent(self, tmp_path):
+        from data_sync_ray.pipelines.replay import read_lake
+
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(100)), list(range(100))))
+        v1 = lake.publish_manifest("after epoch 0")
+        # writer keeps committing AFTER the manifest was published
+        _commit(lake, 1, _delta([1, 2, 3], [500, 501, 502],
+                                [False, True, False]))
+        pinned = (
+            read_lake(str(tmp_path / "lake"), manifest_version=v1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        live = read_lake(str(tmp_path / "lake")).to_pandas()
+        # the pinned view predates epoch 1 entirely
+        assert len(pinned) == 100
+        assert pinned.loc[pinned.doc_id == 1, "log_pos"].iloc[0] == 1
+        assert 2 in set(pinned.doc_id)          # not yet deleted in v1
+        assert 2 not in set(live.doc_id)        # deleted in live state
+        assert live.loc[live.doc_id == 1, "log_pos"].iloc[0] == 500
+
+    def test_pinned_manifest_raises_after_compaction(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(list(range(60)), list(range(60))))
+        v1 = lake.publish_manifest()
+        _commit(lake, 1, _delta(list(range(10)), [900 + i for i in range(10)]))
+        for p in lake.partitions():
+            lake.compact_partition(p)
+        man = lake.read_manifest(v1)["partitions"]
+        # pick a partition whose compaction actually removed old files
+        # (single-fragment partitions are skipped by compact_partition)
+        compacted = [
+            p for p in lake.partitions()
+            if lake.read_checkpoint(p).get("compaction_gen", 0) > 0
+        ]
+        assert compacted
+        p0 = str(compacted[0])
+        with pytest.raises(FileNotFoundError, match="compacted"):
+            lake.read_partition(
+                int(p0), files_override=man[p0]["files"]
+            )
+
+    def test_read_manifest_missing_version(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        with pytest.raises(FileNotFoundError):
+            lake.read_manifest()
