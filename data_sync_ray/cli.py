@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--as-of-epoch", type=int, default=None,
                    help="export: time-travel snapshot after this epoch "
                         "(bootstrap = -1)")
+    p.add_argument("--manifest-version", type=int, default=None,
+                   help="export: pin the read to a published manifest "
+                        "version for snapshot consistency under a "
+                        "concurrent tail (-1 = latest at export start)")
     p.add_argument("--name", default="source_stats",
                    help="view: materialized-view name to refresh/print")
     p.add_argument("--refresh-views", default="",
@@ -162,8 +166,15 @@ def main(argv: list[str] | None = None) -> int:
         out = {"view": args.name, "partitions_recomputed": n,
                "rows": df.to_dict(orient="records")}
     else:  # export
-        export_lake(cfg.lake_root, args.out, as_of_epoch=args.as_of_epoch)
-        out = {"exported_to": args.out, "as_of_epoch": args.as_of_epoch}
+        mv = args.manifest_version
+        if mv is not None and mv < 0:  # -1 = pin to CURRENT at start
+            mv = job.lake.manifest_version()
+            if mv is None:
+                p.error("lake has no published manifest to pin")
+        export_lake(cfg.lake_root, args.out, as_of_epoch=args.as_of_epoch,
+                    manifest_version=mv)
+        out = {"exported_to": args.out, "as_of_epoch": args.as_of_epoch,
+               "manifest_version": mv}
     print(json.dumps(out, default=str))
     ray.shutdown()
     return 0

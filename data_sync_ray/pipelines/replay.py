@@ -830,15 +830,18 @@ def export_lake(
     concurrency: int | None = None,
     columns: list[str] | None = None,
     as_of_epoch: int | None = None,
+    manifest_version: int | None = None,
 ) -> None:
     """Materialize the current lake state as plain partitioned Parquet (one
     part-file set per hash partition, never one giant file) — the full-table
     sink for consumers that want a snapshot rather than merge-on-read.
-    columns: projection pushdown; as_of_epoch: time travel (see
+    columns: projection pushdown; as_of_epoch: time travel;
+    manifest_version: snapshot-consistent export pinned to a published
+    manifest, immune to a concurrent tail's mid-export commits (see
     read_lake)."""
     read_lake(
         lake_root, concurrency=concurrency, columns=columns,
-        as_of_epoch=as_of_epoch,
+        as_of_epoch=as_of_epoch, manifest_version=manifest_version,
     ).write_parquet(out_dir)
 
 

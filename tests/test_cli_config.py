@@ -58,6 +58,40 @@ def test_export_and_skew_metrics(tmp_path):
     assert total == job.lake.read_all().num_rows
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_export_pinned_manifest(tmp_path):
+    """export --manifest-version: the exported snapshot reflects the
+    pinned manifest even after later commits (a concurrent tail)."""
+    import shutil
+
+    spec = StreamSpec(n_events=600, n_docs=60, n_epochs=2, seed=9)
+    base = gen_base_table(60, seed=9)
+    staging = os.path.join(str(tmp_path), "staging")
+    write_event_log(staging, gen_change_stream(spec))
+    ev_root = os.path.join(str(tmp_path), "events")
+    os.makedirs(ev_root)
+    shutil.move(os.path.join(staging, "epoch=00000"), ev_root)
+    cfg = SyncConfig(lake_root=os.path.join(str(tmp_path), "lake"),
+                     num_partitions=8)
+    job = ReplayJob(cfg)
+    job.replay(ev_root, bootstrap=base)  # publishes a manifest
+    v = job.lake.manifest_version()
+    pinned_rows = job.lake.read_all().num_rows
+    # a later epoch arrives (the concurrent-tail analog) — the pinned
+    # export must NOT see it
+    shutil.move(os.path.join(staging, "epoch=00001"), ev_root)
+    job.replay(ev_root)
+    out_dir = os.path.join(str(tmp_path), "export_pinned")
+    export_lake(cfg.lake_root, out_dir, manifest_version=v)
+    total = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    assert total == pinned_rows
+    # and the live lake has genuinely moved on (epoch 1 inserts docs)
+    assert job.lake.read_all().num_rows != pinned_rows
+
+
 def test_cli_ingest_subprocess(tmp_path):
     """CLI ingest: one canal-envelope JSON-lines batch -> one committed
     epoch, via the real `python -m data_sync_ray.cli` entry (subprocess:
