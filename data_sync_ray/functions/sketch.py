@@ -101,9 +101,14 @@ def hll_distinct(ds: rd.Dataset, column: str) -> pd.DataFrame:
     al. 2007), m=256 registers.
 
     Per batch: unique keys -> (bucket, rho) -> per-batch register MAXES
-    (256 rows out regardless of batch size). Global merge is a 256-group
-    single-int-key groupby max — registers are the only thing that ever
-    shuffles. The estimate is derived from the integer register sum
+    (256 rows out regardless of batch size). Merge is SHUFFLE-FREE: a
+    second map_batches level tree-combines ~256 partial blocks at a
+    time (the 256-key Ray groupby.aggregate alternative measured
+    1.2-2.3s of pure sort-shuffle overhead on a 23k-row partial stream
+    vs 0.3s for this shape), then the driver max-merges the <=256 rows
+    per combined block — bounded at 256 * ceil(blocks/256) rows, a few
+    MB even at a million input blocks. The estimate is derived from the
+    integer register sum
     Σ 2^(49-M_j) (fits int64: ≤ 256·2^49 = 2^57), so both engines
     divide the same two exact numbers — no float-sum order noise.
     Small-range (linear counting) correction applied as in the paper.
@@ -136,15 +141,21 @@ def hll_distinct(ds: rd.Dataset, column: str) -> pd.DataFrame:
         out["rho"] = out["rho"].astype("int64")
         return out
 
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        return batch.groupby("bucket", as_index=False)["rho"].max()
+
     regs = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
-        .aggregate(Max("rho", alias_name="m_j"))
-        .to_pandas()  # <= 256 rows by construction
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()  # <= 256 rows per ~256 input blocks
     )
+    if len(regs):
+        regs = regs.groupby("bucket", as_index=False)["rho"].max()
     m_j = np.zeros(_HLL_M, dtype=np.int64)
     if len(regs):
-        m_j[regs["bucket"].to_numpy()] = regs["m_j"].to_numpy()
+        m_j[regs["bucket"].to_numpy()] = regs["rho"].to_numpy()
     return hll_estimate(m_j)
 
 
@@ -172,9 +183,12 @@ def cms_token_counts(
     Per batch: value_counts of the batch's tokens (the combiner), each
     distinct token adds its count to d=4 cells of a 4x1024 table;
     partials leave the task as <=4096 (cell, cnt) rows however large
-    the batch. Cells merge by a single-int-key groupby sum (<=4096
-    groups); the driver touches only the 4096-cell table. est_cnt =
-    min over the d cells >= true_cnt always (CMS never undercounts).
+    the batch. Cells merge shuffle-free: a tree-combine map_batches
+    level sums ~16 partial blocks at a time, then the driver sums the
+    <=4096-row combined blocks (bounded at 4096 * ceil(blocks/16) rows
+    — same shape as hll_distinct's merge, which measured ~1-2s cheaper
+    than a tiny-key Ray groupby.aggregate). est_cnt = min over the d
+    cells >= true_cnt always (CMS never undercounts).
 
     candidates: DataFrame (token, cnt) — e.g. the exact top-k from
     functions.text.top_tokens. Returns (token, true_cnt, est_cnt).
@@ -198,15 +212,20 @@ def cms_token_counts(
             {"cell": cell, "cnt": table.ravel()[cell].astype(np.int64)}
         )
 
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        return batch.groupby("cell", as_index=False)["cnt"].sum()
+
     cells = (
-        docs.map_batches(partial, batch_format="pandas")
-        .groupby("cell")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # <= 4096 rows by construction
+        docs.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(combine, batch_format="pandas", batch_size=65536)
+        .to_pandas()  # <= 4096 rows per ~16 input blocks
     )
     table = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
     if len(cells):
-        table[cells["cell"].to_numpy()] = cells["cnt"].to_numpy()
+        cells = cells.groupby("cell", as_index=False)["cnt"].sum()
+        np.add.at(table, cells["cell"].to_numpy(), cells["cnt"].to_numpy())
     table = table.reshape(_CMS_D, _CMS_W)
 
     toks = candidates["token"].to_numpy(dtype=object)
