@@ -784,64 +784,97 @@ def ngram_jaccard_pairs(
             }
         )
 
+    def _pair_route(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # deterministic pair -> partition hash (splitmix-style mix so
+        # sequential ids don't all land in one bucket); internal routing
+        # only — both sides of a pair always agree
+        h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h = (h + b.astype(np.uint64)) * np.uint64(0xBF58476D1CE4E5B9)
+        return ((h >> np.uint64(33)) % np.uint64(pair_parts)).astype(
+            np.int64
+        )
+
+    def _pair_boundaries(a: np.ndarray, b: np.ndarray):
+        # rows sorted by (a, b) -> index of each distinct pair's first
+        # row + per-pair run length
+        new = np.empty(a.size, dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.flatnonzero(new)
+        runs = np.diff(np.append(idx, a.size)).astype(np.int64)
+        return idx, runs
+
+    _EMPTY_PAIRS = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "i": pd.Series([], dtype="int64"),
+         "na": pd.Series([], dtype="int64"),
+         "nb": pd.Series([], dtype="int64"),
+         "_ppart": pd.Series([], dtype="int64")}
+    )
+
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "i": pd.Series([], dtype="int64"),
-             "na": pd.Series([], dtype="int64"),
-             "nb": pd.Series([], dtype="int64"),
-             "_ppart": pd.Series([], dtype="int64")}
-        )
-        # df==1 shingles (the long tail of the index) cannot form a pair
-        df = g.groupby("shingle")["doc"].transform("size")
-        g = g[df >= 2]
-        if max_df is not None:
-            g = g[df[g.index] <= max_df]
         if g.empty:
-            return empty
-        out_a, out_b, out_na, out_nb = [], [], [], []
-        for _, sub in g.groupby("shingle", sort=False):
-            # a doc lists each distinct shingle once (np.unique upstream)
-            d = sub["doc"].to_numpy()
-            order = np.argsort(d, kind="stable")
-            d, nn = d[order], sub["n"].to_numpy()[order]
-            ia, ib = np.triu_indices(d.size, k=1)
-            out_a.append(d[ia])
-            out_b.append(d[ib])
-            out_na.append(nn[ia])
-            out_nb.append(nn[ib])
-        p = pd.DataFrame(
-            {"doc_a": np.concatenate(out_a),
-             "doc_b": np.concatenate(out_b),
-             "na": np.concatenate(out_na),
-             "nb": np.concatenate(out_nb)}
-        )
+            return _EMPTY_PAIRS
+        s = g["shingle"].to_numpy()
+        d = g["doc"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((d, s))  # doc-sorted within each shingle run
+        s, d, n = s[order], d[order], n[order]
+        _, counts = np.unique(s, return_counts=True)
+        # df==1 shingles (the long tail of the index) cannot form a pair
+        keep_g = counts >= 2
+        if max_df is not None:
+            keep_g &= counts <= max_df
+        if not keep_g.any():
+            return _EMPTY_PAIRS
+        keepmask = np.repeat(keep_g, counts)
+        d, n = d[keepmask], n[keepmask]
+        m = counts[keep_g]
+        # vectorized per-group triu: element at local index i pairs with
+        # the (m-1-i) docs after it in its shingle's doc-sorted run
+        total = d.size
+        gstart = np.concatenate(([0], np.cumsum(m)[:-1]))
+        local = np.arange(total) - np.repeat(gstart, m)
+        rep = np.repeat(m, m) - 1 - local
+        ia = np.repeat(np.arange(total), rep)
+        runstart = np.cumsum(rep) - rep
+        ib = np.arange(ia.size) - np.repeat(runstart, rep) + ia + 1
+        a, b, na, nb = d[ia], d[ib], n[ia], n[ib]
         # local pre-combine: one (pair, i_partial) row per pair per
         # partition — the cross-partition exchange moves combined rows,
         # not one row per co-occurring shingle
-        p = (
-            p.groupby(["doc_a", "doc_b"], sort=False)
-            .agg(i=("na", "size"), na=("na", "first"), nb=("nb", "first"))
-            .reset_index()
+        o = np.lexsort((b, a))
+        a, b, na, nb = a[o], b[o], na[o], nb[o]
+        idx, runs = _pair_boundaries(a, b)
+        a, b, na, nb = a[idx], b[idx], na[idx], nb[idx]
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "i": runs, "na": na, "nb": nb,
+             "_ppart": _pair_route(a, b)}
         )
-        h = pd.util.hash_pandas_object(p[["doc_a", "doc_b"]], index=False)
-        p["_ppart"] = (h.to_numpy() % pair_parts).astype(np.int64)
-        return p
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
-        s = (
-            g.groupby(["doc_a", "doc_b"], sort=False)
-            .agg(i=("i", "sum"), na=("na", "first"), nb=("nb", "first"))
-            .reset_index()
+        if g.empty:
+            return _EMPTY_PAIRS[["doc_a", "doc_b"]].assign(
+                jaccard=pd.Series([], dtype="float64")
+            )
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        i_sorted = g["i"].to_numpy()[o]
+        idx, _ = _pair_boundaries(a, b)
+        i = np.add.reduceat(i_sorted, idx)
+        a, b = a[idx], b[idx]
+        na = g["na"].to_numpy()[o][idx]
+        nb = g["nb"].to_numpy()[o][idx]
+        ja = i / (na + nb - i)
+        keep = ja >= threshold
+        return pd.DataFrame(
+            {"doc_a": a[keep].astype(np.int64),
+             "doc_b": b[keep].astype(np.int64),
+             "jaccard": ja[keep].astype(np.float64)}
         )
-        ja = s["i"] / (s["na"] + s["nb"] - s["i"])
-        out = pd.DataFrame(
-            {"doc_a": s["doc_a"].astype("int64"),
-             "doc_b": s["doc_b"].astype("int64"),
-             "jaccard": ja.astype("float64")}
-        )
-        return out[out["jaccard"] >= threshold]
 
     return (
         docs.map_batches(postings, batch_format="pandas", batch_size=4096)
