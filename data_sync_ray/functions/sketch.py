@@ -249,12 +249,27 @@ _BLOOM_BITS = 1 << 16
 _BLOOM_D = 3  # salts "b0:".."b2:"
 
 
+#: process-level key -> (d,) positions memo: a probe key recurs in every
+#: batch of the big side, so md5 runs once per DISTINCT key per worker
+#: (same trick as dedup._WORD_CACHE)
+_BLOOM_POS_CACHE: dict = {}
+
+
 def _bloom_positions(keys) -> np.ndarray:
-    """(d, n) bit positions for each key."""
+    """(d, n) bit positions for each key (int or str), md5 memoized."""
+    c = _BLOOM_POS_CACHE
     out = np.empty((_BLOOM_D, len(keys)), dtype=np.int64)
     for j, k in enumerate(keys):
-        for i in range(_BLOOM_D):
-            out[i, j] = _h64(f"b{i}:{k}") % _BLOOM_BITS
+        p = c.get(k)
+        if p is None:
+            p = np.array(
+                [_h64(f"b{i}:{k}") % _BLOOM_BITS for i in range(_BLOOM_D)],
+                dtype=np.int64,
+            )
+            c[k] = p
+        out[:, j] = p
+    if len(c) > 1_000_000:  # bound worker memory on adversarial key sets
+        c.clear()
     return out
 
 
@@ -281,31 +296,37 @@ def bloom_semijoin_stats(
     positives)."""
 
     def build_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = np.unique(batch[build_key].dropna().to_numpy())
+        keys = np.unique(batch[build_key].dropna().to_numpy()).astype(
+            np.int64
+        )
         bits = np.zeros(_BLOOM_BITS, dtype=bool)
         if len(keys):
-            pos = _bloom_positions([str(int(k)) for k in keys])
+            pos = _bloom_positions(keys.tolist())
             bits[pos.ravel()] = True
-        return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
+        # bitmap AND the batch's distinct keys ride the same partial row:
+        # one pass over the build side covers both the filter and the
+        # exact-membership accounting (was two executions)
+        return pd.DataFrame(
+            {"bitmap": [np.packbits(bits).tobytes()],
+             "keys": [keys.tobytes()]}
+        )
 
     import ray as _ray
 
     parts = build.map_batches(
-        build_partial, batch_format="pandas"
-    ).take_all()  # one 8 KB row per build batch
+        build_partial, batch_format="pandas", batch_size=65536
+    ).take_all()  # one ~8 KB + keys row per build batch
     bits = np.zeros(_BLOOM_BITS, dtype=bool)
-    true_keys = set()
+    key_arrs = [np.empty(0, dtype=np.int64)]
     for r in parts:
         bits |= np.unpackbits(
             np.frombuffer(r["bitmap"], dtype=np.uint8)
         ).astype(bool)
-    # exact membership set for the false-positive accounting (the build
+        key_arrs.append(np.frombuffer(r["keys"], dtype=np.int64))
+    # exact membership array for the false-positive accounting (the build
     # side is the SMALL side by contract — same broadcast the engine's
-    # semi-joins use)
-    for b in build.select_columns([build_key]).iter_batches(
-        batch_format="pandas"
-    ):
-        true_keys.update(int(k) for k in b[build_key].dropna())
+    # semi-joins use); sorted for np.isin's merge path
+    true_keys = np.unique(np.concatenate(key_arrs))
     bits_ref = _ray.put(np.packbits(bits))
     keys_ref = _ray.put(true_keys)
 
@@ -319,9 +340,9 @@ def bloom_semijoin_stats(
         pkeys = _ray.get(keys_ref)
         vals = batch[probe_key].to_numpy()
         uniq, inv = np.unique(vals, return_inverse=True)
-        pos = _bloom_positions([str(int(k)) for k in uniq])
+        pos = _bloom_positions(uniq.astype(np.int64).tolist())
         upass = pbits[pos].all(axis=0)
-        utrue = np.array([int(k) in pkeys for k in uniq], dtype=bool)
+        utrue = np.isin(uniq.astype(np.int64), pkeys)
         return pd.DataFrame(
             {
                 "n_probe": np.array([len(vals)], dtype=np.int64),
@@ -334,7 +355,9 @@ def bloom_semijoin_stats(
             }
         )
 
-    rows = probe.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    rows = probe.map_batches(
+        probe_batch, batch_format="pandas", batch_size=65536
+    ).to_pandas()
     agg = rows.sum()
     return pd.DataFrame(
         {
