@@ -23,6 +23,30 @@ def _stack(col) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _flatten_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) float64 matrix via one
+    list_flatten + reshape — no per-row Python object round-trip.
+    Requires uniform list lengths (embedding columns are)."""
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(col).to_numpy()
+    if n == 0:
+        return flat.reshape(0, 0).astype(np.float64)
+    return flat.reshape(n, flat.size // n).astype(np.float64)
+
+
+def _uniform_list_array(m: np.ndarray) -> pa.ListArray:
+    """(n, dim) matrix -> Arrow list<double> rows without a Python list
+    of per-row arrays (offsets are arithmetic for uniform lengths)."""
+    n, dim = m.shape
+    offsets = pa.array(
+        np.arange(0, (n + 1) * dim, dim, dtype=np.int32), pa.int32()
+    )
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(np.ascontiguousarray(m).ravel(), pa.float64())
+    )
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -415,7 +439,7 @@ def cosine_near_dup_pairs_lsh(
     def route(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty_routed
-        E = _normalize(_stack(t.column("embedding").to_pylist()))
+        E = _normalize(_flatten_matrix(t.column("embedding"), t.num_rows))
         # planes derive from the seed only — identical in every task
         planes = np.random.default_rng(seed).standard_normal(
             (n_bands * n_planes, E.shape[1])
@@ -434,9 +458,8 @@ def cosine_near_dup_pairs_lsh(
                     np.repeat(t.column("vec_id").to_numpy(), n_bands),
                     pa.int64(),
                 ),
-                "embedding": pa.array(
-                    list(np.repeat(E, n_bands, axis=0)),
-                    pa.list_(pa.float64()),
+                "embedding": _uniform_list_array(
+                    np.repeat(E, n_bands, axis=0)
                 ),
                 "_part": pa.array(
                     (band_idx * 1315423911 + bucket_flat) % num_parts
@@ -444,29 +467,46 @@ def cosine_near_dup_pairs_lsh(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        band = t.column("band").to_numpy()
+        bucket = t.column("bucket").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        E = _flatten_matrix(t.column("embedding").combine_chunks(),
+                            t.num_rows)
+        # one lexsort lays the partition out as (band, bucket) runs; each
+        # bucket is then a contiguous matrix slice for ONE BLAS matmul —
+        # no per-bucket frame assembly from Python object rows
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids, E = (
+            band[order], bucket[order], ids[order], E[order]
+        )
+        bstart = np.empty(ids.size, dtype=bool)
+        bstart[0] = True
+        bstart[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(bstart)
+        runs = np.diff(np.append(starts, ids.size))
         out_a, out_b, out_c = [], [], []
-        for _, sub in g.groupby(["band", "bucket"], sort=False):
-            if len(sub) < 2:
+        for s, m in zip(starts.tolist(), runs.tolist()):
+            if m < 2:
                 continue
-            if len(sub) > max_bucket:
-                sub = sub.sort_values("vec_id").head(max_bucket)
-            ids = sub["vec_id"].to_numpy()
-            E = np.vstack([np.asarray(v) for v in sub["embedding"]])
-            S = E @ E.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            m = S[iu, ju] >= threshold
-            a, b = ids[iu[m]], ids[ju[m]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_c.append(S[iu, ju][m])
+            m = min(m, max_bucket)  # id-sorted: truncation deterministic
+            bids = ids[s:s + m]
+            S = E[s:s + m] @ E[s:s + m].T
+            iu, ju = np.triu_indices(m, k=1)
+            hit = S[iu, ju] >= threshold
+            a, b = bids[iu[hit]], bids[ju[hit]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(S[iu, ju][hit])
         if not out_a:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()),
-                 "vec_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
+            return empty
         return pa.table(
             {
                 "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
@@ -479,7 +519,7 @@ def cosine_near_dup_pairs_lsh(
         emb.select_columns(["vec_id", "embedding"])
         .map_batches(route, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # a pair can collide in many bands: distinct on (vec_a, vec_b)
     from .dedup import dedup_pair_rows
