@@ -53,52 +53,51 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class _BruteScore:
-    """Per-batch exact cosine vs the broadcast query matrix, local top-k."""
-
-    def __init__(self, q_ref, k: int):
-        self.Q = ray.get(q_ref)  # (n_query, dim), normalized — once per actor
-        self.k = k
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        E = _normalize(_stack(batch["embedding"]))
-        S = E @ self.Q.T  # (batch, n_query)
-        out = []
-        k = min(self.k, S.shape[0])
-        for qi in range(S.shape[1]):
-            idx = np.argpartition(-S[:, qi], k - 1)[:k]
-            for i in idx:
-                out.append((qi, int(batch["vec_id"].iloc[i]), float(S[i, qi])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+def _topk_merge(local: rd.Dataset, k: int) -> pd.DataFrame:
+    """Bounded driver merge of per-batch top-k candidates: blocks x
+    n_query x k rows total, so gathering them is O(parallelism), never
+    O(corpus) — the same bounded-merge tail every top-k here shares.
+    An exchange for a frame this small costs a full sort barrier."""
+    df = local.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["query_id", "vec_id", "score"])
+    return (
+        df.sort_values(["query_id", "score", "vec_id"],
+                       ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def brute_force_topk(
     emb: rd.Dataset,
     queries: np.ndarray,
     k: int = 10,
-    concurrency: int = 4,
     batch_size: int = 4096,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns a small pandas frame
-    (query_id, vec_id, score) — n_query*k rows."""
+    (query_id, vec_id, score) — n_query*k rows. Task-based stage: the
+    broadcast query matrix is a cheap local plasma get per task, and an
+    actor pool would pay its per-execution startup (BASELINE.md)."""
     q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        Q = ray.get(q_ref)  # (n_query, dim), normalized
+        E = _normalize(_stack(batch["embedding"]))
+        S = E @ Q.T  # (batch, n_query)
+        out = []
+        kk = min(k, S.shape[0])
+        for qi in range(S.shape[1]):
+            idx = np.argpartition(-S[:, qi], kk - 1)[:kk]
+            for i in idx:
+                out.append((qi, int(batch["vec_id"].iloc[i]), float(S[i, qi])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+
     local = emb.map_batches(
-        _BruteScore,
-        fn_constructor_args=(q_ref, k),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        score, batch_format="pandas", batch_size=batch_size
     )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        ).head(k)
-
-    top = local.groupby("query_id").map_groups(final, batch_format="pandas")
-    return top.to_pandas().sort_values(
-        ["query_id", "score", "vec_id"], ascending=[True, False, True]
-    ).reset_index(drop=True)
+    return _topk_merge(local, k)
 
 
 # --- LSH-bucketed ANN -------------------------------------------------------
@@ -184,19 +183,8 @@ def lsh_topk(
             out.extend((qi, int(ids[i]), float(scores[i])) for i in idx)
         return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
 
-    local = bucketed.map_batches(score, batch_format="pandas")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        ).head(k)
-
-    return (
-        local.groupby("query_id")
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "score"], ascending=[True, False])
-        .reset_index(drop=True)
+    return _topk_merge(
+        bucketed.map_batches(score, batch_format="pandas"), k
     )
 
 
@@ -287,21 +275,7 @@ def ivf_topk(
             )
         return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
 
-    local = member.map_batches(score, batch_format="pandas")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        ).head(k)
-
-    return (
-        local.groupby("query_id")
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "score", "vec_id"],
-                     ascending=[True, False, True])
-        .reset_index(drop=True)
-    )
+    return _topk_merge(member.map_batches(score, batch_format="pandas"), k)
 
 
 # --- embedding near-dup -----------------------------------------------------
