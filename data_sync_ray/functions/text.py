@@ -134,32 +134,55 @@ class Fingerprinter:
         return batch
 
 
-def with_token_counts(ds, concurrency: int = 4, batch_size: int = 2048):
+#: process-level singletons for the task-mode stages below: setup (regex
+#: compile, profile tables) still runs once per WORKER PROCESS, but the
+#: stage schedules as plain tasks — an actor pool pays a measured ~1-2s
+#: startup per execution (BASELINE.md), absurd for millisecond-cheap
+#: state. Pass concurrency=N to get a real actor pool back — that is the
+#: right shape once __init__ loads an actual model.
+_STAGE_CACHE: dict = {}
+
+
+def _task_stage(cls):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        inst = _STAGE_CACHE.get(cls)
+        if inst is None:
+            inst = _STAGE_CACHE[cls] = cls()
+        return inst(batch)
+
+    fn.__name__ = cls.__name__
+    return fn
+
+
+def _text_stage(ds, cls, concurrency, batch_size):
+    if concurrency is not None:
+        return ds.map_batches(
+            cls, batch_format="pandas", batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        TokenCounter, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
+        _task_stage(cls), batch_format="pandas", batch_size=batch_size
     )
 
 
-def with_quality(ds, concurrency: int = 4, batch_size: int = 2048):
-    return ds.map_batches(
-        QualityScorer, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def with_token_counts(ds, concurrency: int | None = None,
+                      batch_size: int = 2048):
+    return _text_stage(ds, TokenCounter, concurrency, batch_size)
 
 
-def with_lang_id(ds, concurrency: int = 4, batch_size: int = 2048):
-    return ds.map_batches(
-        LangId, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def with_quality(ds, concurrency: int | None = None,
+                 batch_size: int = 2048):
+    return _text_stage(ds, QualityScorer, concurrency, batch_size)
 
 
-def with_fingerprints(ds, concurrency: int = 4, batch_size: int = 2048):
-    return ds.map_batches(
-        Fingerprinter, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def with_lang_id(ds, concurrency: int | None = None,
+                 batch_size: int = 2048):
+    return _text_stage(ds, LangId, concurrency, batch_size)
+
+
+def with_fingerprints(ds, concurrency: int | None = None,
+                      batch_size: int = 2048):
+    return _text_stage(ds, Fingerprinter, concurrency, batch_size)
 
 
 def top_tokens(
