@@ -1004,12 +1004,16 @@ class SimHasher:
                 hi += 1
             w1 = starts[hi - 1] + lens_nz[hi - 1]
             chunk = vals[w0:w1]
-            contrib = (
-                ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+            # bit-expand once per UNIQUE hash (natural-text vocabulary is
+            # tiny), then gather int8 rows — the naive per-word expansion
+            # materializes a (words, 64) uint64 scratch 8x this size
+            uniq, inv = np.unique(chunk, return_inverse=True)
+            table = (
+                ((uniq[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
                 * 2 - 1
             )
             acc[lo:hi] = np.add.reduceat(
-                contrib.astype(np.int32), starts[lo:hi] - w0, axis=0
+                table[inv], starts[lo:hi] - w0, axis=0, dtype=np.int32
             )
             lo = hi
         sig[nz] = np.bitwise_or.reduce(
@@ -1042,7 +1046,7 @@ class SimHasher:
 def simhash_dup_pairs(
     docs: rd.Dataset,
     max_hamming: int = 3,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     max_bucket: int | None = 2000,
 ) -> rd.Dataset:
     """Near-dup pairs by SimHash: 4x16-bit band buckets -> exact Hamming.
@@ -1054,8 +1058,15 @@ def simhash_dup_pairs(
     max_bucket=None for guaranteed-complete output (cost grows with the
     largest bucket's pair count, vectorized xor+popcount per bucket)."""
     num_parts = 16
-    sigs = docs.map_batches(
-        SimHasher, batch_format="pandas", concurrency=concurrency
+    # bound-method task stage: SimHasher state is a compiled constant
+    # (word memo is module-level), so an actor pool would only add its
+    # per-execution startup; concurrency is honored if a caller insists
+    sigs = (
+        docs.map_batches(
+            SimHasher, batch_format="pandas", concurrency=concurrency
+        )
+        if concurrency
+        else docs.map_batches(SimHasher().__call__, batch_format="pandas")
     ).select_columns(["doc_id", "simhash"])
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1075,7 +1075,7 @@ def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
     import re as _re
 
     from ..functions.dedup import exact_dedup
-    from ..functions.text import STOPWORDS, LangId
+    from ..functions.text import STOPWORDS
 
     word_re = _re.compile(r"[A-Za-z]+")
 
@@ -1094,8 +1094,9 @@ def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
         gate, batch_format="pandas"
     )
     deduped = exact_dedup(kept)
-    langed = deduped.map_batches(LangId, batch_format="pandas",
-                                 concurrency=4)
+    from ..functions.text import with_lang_id
+
+    langed = with_lang_id(deduped)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         agg = batch.groupby("pred_lang").agg(
@@ -1103,21 +1104,14 @@ def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return agg
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("pred_lang", as_index=False).agg(
-            n_docs=("n_docs", "sum"), total_words=("total_words", "sum")
-        )
-        out["n_docs"] = out["n_docs"].astype("int64")
-        out["total_words"] = out["total_words"].astype("int64")
-        return out
-
-    # handful of language groups: a direct tiny groupby is fine
-    return (
-        langed.map_batches(partial, batch_format="pandas")
-        .groupby("pred_lang")
-        .map_groups(combine, batch_format="pandas")
-        .to_pandas()
+    # handful of language groups with integer sums: tree-combine, no
+    # exchange
+    out = tree_sum_by_key(
+        langed.map_batches(partial, batch_format="pandas"), ["pred_lang"]
     )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_words"] = out["total_words"].astype("int64")
+    return out
 
 
 def _stop_in() -> str:
@@ -1387,7 +1381,7 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import SimHasher
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=8).map_batches(
-        SimHasher, batch_format="pandas", concurrency=2
+        SimHasher().__call__, batch_format="pandas"
     )
 
     def hexify(batch: pd.DataFrame) -> pd.DataFrame:
