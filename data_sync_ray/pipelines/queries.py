@@ -492,33 +492,61 @@ FROM customer
 
 
 def sessionize_events(sf_dir: str) -> pd.DataFrame:
-    """Session windows per user (gap > 1h starts a new session) via
-    groupby(user).map_groups over ts-sorted groups — the streaming-shaped
-    stateful window the Dataset API can't express directly.
-    Ordering assumption: per-user sessionization only needs intra-group
-    order, established inside the group task."""
+    """Session windows per user (gap > 1h starts a new session) — the
+    streaming-shaped stateful window the Dataset API can't express
+    directly. Users route into a fixed int partition (NOT one Ray group
+    per user — ~3k tiny groups was the measured many-tiny-group
+    pitfall); inside a partition one (user, ts) sort + run-boundary
+    arithmetic sessionizes every user at once. Partitioning assumption:
+    one user's history fits one task (same as user_rolling_window).
+    Order-insensitive sums: each value rounds to integer cents FIRST
+    (identical floor(x*100+0.5) on the SQL side), then sums int64 —
+    float-sum order across engines can flip a final round() at a .xx5
+    boundary, which showed up as a round-1 hash mismatch."""
+    num_parts = 32
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_c"] = np.floor(
+            batch["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        batch["_part"] = (
+            batch["user_id"].to_numpy().astype(np.int64) % num_parts
+        )
+        return batch[["user_id", "ts", "event_id", "value_c", "_part"]]
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(0)
-        g["session_id"] = (gap > 3600).cumsum().astype("int64")
-        # order-insensitive sum: round each value to integer cents FIRST
-        # (identical floor(x*100+0.5) on the SQL side), then sum int64 —
-        # float-sum order across engines can flip a final round() at a
-        # .xx5 boundary, which showed up as a hash mismatch at sf0.01
-        g["value_c"] = np.floor(
-            g["value"].to_numpy() * 100.0 + 0.5
-        ).astype(np.int64)
-        agg = g.groupby("session_id").agg(
-            n_events=("event_id", "count"), sum_value=("value_c", "sum")
-        ).reset_index()
-        agg["sum_value"] = agg["sum_value"] / 100.0
-        agg["user_id"] = g["user_id"].iloc[0]
-        return agg[["user_id", "session_id", "n_events", "sum_value"]]
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        value_c = g["value_c"].to_numpy()
+        start = np.empty(len(g), dtype=bool)
+        start[0] = True
+        start[1:] = (u[1:] != u[:-1]) | (
+            ts_us[1:] - ts_us[:-1] > 3_600_000_000
+        )
+        sid_global = np.cumsum(start) - 1
+        # per-user numbering: subtract the user's first session's global id
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        user_first = np.maximum.accumulate(
+            np.where(new_user, sid_global, -1)
+        )
+        starts_idx = np.flatnonzero(start)
+        n_events = np.diff(np.append(starts_idx, len(g)))
+        return pd.DataFrame(
+            {
+                "user_id": u[starts_idx].astype(np.int64),
+                "session_id": (sid_global - user_first)[starts_idx],
+                "n_events": n_events.astype(np.int64),
+                "sum_value": np.add.reduceat(value_c, starts_idx) / 100.0,
+            }
+        )
 
     return (
         _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
+        .map_batches(route, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
     )
