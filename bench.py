@@ -62,6 +62,9 @@ QUERY_SAMPLE = [
     "tfidf_top_term_docs",
     "consistent_sample_docs",
     "hourly_distinct_users_hll",
+    "decontaminate_docs",
+    "repetition_filter_docs",
+    "redact_pii_docs",
 ]
 
 

@@ -53,7 +53,7 @@ def _word_hash_arr(words: list[str]) -> np.ndarray:
     return out
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+def _shingle_hashes(text: str, k: int, unique: bool = True) -> np.ndarray:
     """Word k-gram shingles -> uint64 hashes. Docs shorter than k words
     have no shingles (excluded from near-dup, both here and in oracles).
 
@@ -61,7 +61,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     FNV-style mixing combine over shifted hash windows — no per-shingle
     digest calls. The mix is order-sensitive within the window, so
     "a b c" != "c b a"; identical shingles collide by construction and
-    distinct ones at ~2^-64 (only risk: an off-by-one in Jaccard)."""
+    distinct ones at ~2^-64 (only risk: an off-by-one in Jaccard).
+    unique=False keeps every occurrence in position order (for
+    occurrence-counting callers like the repetition filter)."""
     w = text.split()
     if len(w) < k:
         return np.empty(0, dtype=np.uint64)
@@ -72,7 +74,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         for j in range(k):  # k is small (3); windows vectorized
             h = (h ^ wh[j : n - k + 1 + j]) * np.uint64(0x100000001B3)
             h ^= h >> np.uint64(31)
-    return np.unique(h)
+    return np.unique(h) if unique else h
 
 
 def _triu_by_runs(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -1237,3 +1239,90 @@ def duplicated_ngram_spans(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    benchmark: rd.Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Remove every doc sharing ANY word-k-gram with a benchmark corpus —
+    test-set decontamination, the standard pre-training hygiene step
+    (the n-gram-overlap method of GPT-3 appendix C / PaLM; window
+    machinery shared with duplicated_ngram_spans).
+
+    Shape: the benchmark is the SMALL side by contract (eval suites are
+    MBs; the corpus is the 100-TB side). Its distinct shingle hashes
+    reduce per batch (bounded partial rows), union once on the driver,
+    broadcast via ray.put; the corpus then filters STATELESSLY — no
+    shuffle, no driver pass over the big side, resumable per block.
+    Docs shorter than k words have no k-grams and are never contaminated
+    (same convention as the SQL oracle). Hash membership stands in for
+    string membership at the usual 2^-64 collision tolerance."""
+
+    def bench_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [_shingle_hashes(t, k) for t in batch["text"]]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs else np.empty(0, dtype=np.uint64)
+        )
+        return pd.DataFrame({"sh": u})
+
+    parts = benchmark.map_batches(
+        bench_partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    contaminated = np.unique(parts["sh"].to_numpy().astype(np.uint64)) \
+        if len(parts) else np.empty(0, dtype=np.uint64)
+    set_ref = ray.put(contaminated)  # sorted -> np.isin merge path
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(set_ref)
+        if not len(batch):
+            return batch
+        hs = [_shingle_hashes(t, k) for t in batch["text"]]
+        lens = np.array([h.size for h in hs], dtype=np.int64)
+        keep = np.ones(len(batch), dtype=bool)
+        nz = np.flatnonzero(lens)
+        if nz.size and bad.size:
+            flat = np.concatenate([hs[i] for i in nz])
+            hit = np.isin(flat, bad)
+            starts = np.cumsum(lens[nz]) - lens[nz]
+            # a doc is contaminated iff ANY of its shingles hits
+            keep[nz] = np.add.reduceat(hit, starts) == 0
+        return batch[keep]
+
+    return docs.map_batches(clean, batch_format="pandas", batch_size=4096)
+
+
+def repetition_stats(
+    docs: rd.Dataset,
+    n: int = 2,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-doc duplicate-n-gram accounting — the Gopher/C4 repetition
+    quality rule, kept integer-exact so thresholds compare as BIGINT
+    arithmetic on both engines: a doc is repetitious when
+    (n_ngrams - n_distinct) * 1000 > threshold_millis * n_ngrams.
+    Stateless per-batch map; emits (doc_id, n_ngrams, n_distinct) for
+    docs with at least one n-gram."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [_shingle_hashes(t, n, unique=False) for t in batch["text"]]
+        total = np.array([h.size for h in hs], dtype=np.int64)
+        distinct = np.array(
+            [np.unique(h).size for h in hs], dtype=np.int64
+        )
+        keep = total > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch[id_col].to_numpy()[keep].astype(np.int64),
+                "n_ngrams": total[keep],
+                "n_distinct": distinct[keep],
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pandas", batch_size=4096)

@@ -356,3 +356,37 @@ def tfidf_top_term(docs, num_parts: int = 32, batch_size: int = 4096):
         winners, batch_format="pandas", batch_size=batch_size
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+#: RE2-compatible patterns (no lookaround/backrefs) so the DuckDB oracle
+#: applies the literally identical regex
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+class PIIRedactor:
+    """Masks emails/NANP-style phone numbers with [EMAIL]/[PHONE] tokens
+    and counts the matches — the scrubbing step a training-data pipeline
+    runs before anything leaves the raw zone. Vectorized pandas str ops;
+    counts come from the ORIGINAL text (counting after the email pass
+    would miss a phone inside a replaced span)."""
+
+    def __init__(self):
+        self.email = re.compile(PII_EMAIL_RE)
+        self.phone = re.compile(PII_PHONE_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        batch["n_emails"] = texts.str.count(self.email).astype("int64")
+        batch["n_phones"] = texts.str.count(self.phone).astype("int64")
+        batch["redacted"] = (
+            texts.str.replace(self.email, "[EMAIL]", regex=True)
+            .str.replace(self.phone, "[PHONE]", regex=True)
+        )
+        return batch
+
+
+def redact_pii(ds, concurrency: int | None = None, batch_size: int = 2048):
+    return _text_stage(ds, PIIRedactor, concurrency, batch_size)

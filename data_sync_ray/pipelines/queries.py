@@ -2328,6 +2328,150 @@ ORDER BY n_occurrences DESC, span ASC LIMIT 100
 """
 
 
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: drop every corpus doc sharing any
+    8-word span with the 'benchmark' slice (doc_id % 97 == 0 — the same
+    deterministic-split convention as systematic_sample). The benchmark
+    shingle set broadcasts once; the corpus filters statelessly."""
+    from ..functions.dedup import decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    bench = docs.map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    corpus = docs.map_batches(
+        lambda b: b[b["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    out = (
+        decontaminate(corpus, bench, k=8)
+        .select_columns(["doc_id"])
+        .to_pandas()
+    )
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w
+),
+spans AS (
+  SELECT doc_id, array_to_string(ws[i:i + 7], ' ') AS span FROM pos
+),
+bspans AS (SELECT DISTINCT span FROM spans WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM spans
+  WHERE doc_id % 97 <> 0 AND span IN (SELECT span FROM bspans)
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+def repetition_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher/C4-style repetition rule: docs whose duplicate-2-gram
+    fraction exceeds 5%, with the fraction compared in BIGINT arithmetic
+    ((n - distinct) * 1000 > 50 * n) so no float ratio enters the
+    hash."""
+    from ..functions.dedup import repetition_stats
+
+    out = repetition_stats(
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16), n=2
+    ).to_pandas()
+    rep = (out["n_ngrams"] - out["n_distinct"]) * 1000 > 50 * out["n_ngrams"]
+    out = out[rep].sort_values("doc_id").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w
+),
+g2 AS (
+  SELECT doc_id, array_to_string(ws[i:i + 1], ' ') AS g FROM pos
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM g2 GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct FROM agg
+WHERE (n_ngrams - n_distinct) * 1000 > 50 * n_ngrams
+ORDER BY doc_id
+"""
+
+
+def redact_pii_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction machinery over a deterministic augmentation: the
+    synthetic corpus carries no emails/phones, so each doc gets one of
+    each appended (identical concat on the SQL side) and the full
+    redacted text is hash-checked — proving the regex pipeline, not
+    just counts."""
+    from ..functions.text import redact_pii
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        b = b.copy()
+        b["text"] = (
+            b["text"] + " contact user" + ids.astype(str)
+            + "@example.com or +1-555-"
+            + (ids % 10000).astype(str).str.zfill(4)
+        )
+        return b
+
+    out = (
+        redact_pii(docs.map_batches(inject, batch_format="pandas"))
+        .map_batches(
+            lambda b: b[["doc_id", "n_emails", "n_phones", "redacted"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+REDACT_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+    AS n_phones,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+    '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+FROM aug ORDER BY doc_id
+"""
+
+
 def tfidf_top_term_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.text import tfidf_top_term
 
@@ -2579,6 +2723,9 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
+    "redact_pii_docs": (redact_pii_docs, REDACT_SQL),
 }
 
 

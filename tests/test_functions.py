@@ -579,3 +579,76 @@ class TestTfidfAndWindows:
         assert int(out["n_events"].sum()) == 3 * n
         cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         assert abs(out["sum_value"].sum() - 3 * cents.sum() / 100.0) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminationAndHygiene:
+    def test_decontaminate_removes_span_sharers(self):
+        from data_sync_ray.functions.dedup import decontaminate
+
+        span = "q w e r t y u i"  # 8 shared words
+        docs = _docs(
+            [
+                {"doc_id": 1, "text": f"prefix words {span} suffix words"},
+                {"doc_id": 2, "text": "completely unrelated text body here"},
+                {"doc_id": 3, "text": "short"},  # < k words: never removed
+            ]
+        )
+        bench = _docs([{"doc_id": 99, "text": f"bench has {span} inside"}])
+        kept = sorted(
+            decontaminate(docs, bench, k=8).to_pandas()["doc_id"]
+        )
+        assert kept == [2, 3]
+
+    def test_decontaminate_clean_benchmark_removes_nothing(self):
+        from data_sync_ray.functions.dedup import decontaminate
+
+        docs = _docs(
+            [{"doc_id": i, "text": f"doc {i} body with words a b c d e f"}
+             for i in range(5)]
+        )
+        bench = _docs(
+            [{"doc_id": 99, "text": "x y z p q r s t u v w entirely new"}]
+        )
+        assert decontaminate(docs, bench, k=8).count() == 5
+
+    def test_repetition_stats_matches_bruteforce(self):
+        from data_sync_ray.functions.dedup import repetition_stats
+
+        rows = [
+            {"doc_id": 1, "text": "a b a b a b a b"},      # heavy repeat
+            {"doc_id": 2, "text": "a b c d e f g h"},      # all distinct
+            {"doc_id": 3, "text": "x"},                    # no 2-grams
+        ]
+        out = (
+            repetition_stats(_docs(rows), n=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert 3 not in out.index
+        for r in rows[:2]:
+            ws = r["text"].split()
+            grams = [tuple(ws[i:i + 2]) for i in range(len(ws) - 1)]
+            assert out.loc[r["doc_id"], "n_ngrams"] == len(grams)
+            assert out.loc[r["doc_id"], "n_distinct"] == len(set(grams))
+
+    def test_pii_redactor(self):
+        from data_sync_ray.functions.text import PIIRedactor
+
+        b = pd.DataFrame(
+            {
+                "text": [
+                    "mail a@b.com and c.d+x@e-f.org now",
+                    "call +1-555-0199 or +1-800-1234",
+                    "nothing sensitive here",
+                ]
+            }
+        )
+        out = PIIRedactor()(b)
+        assert out["n_emails"].tolist() == [2, 0, 0]
+        assert out["n_phones"].tolist() == [0, 2, 0]
+        assert out["redacted"].tolist() == [
+            "mail [EMAIL] and [EMAIL] now",
+            "call [PHONE] or [PHONE]",
+            "nothing sensitive here",
+        ]
