@@ -693,16 +693,35 @@ ASOF LEFT JOIN (
 
 
 def top2_orders_per_customer(sf_dir: str) -> pd.DataFrame:
-    """Per-group top-k (window-function analog) via groupby.map_groups."""
+    """Per-group top-k (window-function analog). Customers route into a
+    fixed int partition; one sorted grouped head(2) per partition — not
+    one Ray group per customer (many-tiny-group pitfall). A per-batch
+    local head(2) combiner first bounds what the exchange moves."""
+
+    def local2(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        out = batch.groupby("o_custkey", sort=False).head(2)
+        out = out.assign(
+            _part=(out["o_custkey"].to_numpy().astype(np.int64) % 32)
+        )
+        return out
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(2)
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return g.groupby("o_custkey", sort=False).head(2).drop(
+            columns=["_part"]
+        )
 
     out = (
         _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
+        .map_batches(local2, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
         .map_groups(top2, batch_format="pandas")
         .to_pandas()
     )
@@ -732,15 +751,28 @@ DISTINCT_COUNT_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
 def _lww_events(sf_dir: str) -> rd.Dataset:
     """Two-phase LWW: per-batch combiner, then per-key final reduce —
     the engine's merge kernel applied to the driver's events table
-    (key=user_id, order=event_id)."""
+    (key=user_id, order=event_id). The final reduce groups a FIXED int
+    partition of users (all rows of one user land in one partition, so
+    the per-partition kernel is a global LWW) — one Ray group per user
+    was the measured many-tiny-group pitfall."""
     ds = _t(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
-    pre = ds.map_batches(
-        lambda t: lww_winners(t, key="user_id", order="event_id"),
-        batch_format="pyarrow",
-    )
-    return pre.groupby("user_id").map_groups(
-        lambda t: lww_winners(t, key="user_id", order="event_id"),
-        batch_format="pyarrow",
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = lww_winners(t, key="user_id", order="event_id")
+        part = (
+            t.column("user_id").to_numpy().astype(np.int64) % 32
+        )
+        return t.append_column("_part", pa.array(part))
+
+    def final(t: pa.Table) -> pa.Table:
+        return lww_winners(t, key="user_id", order="event_id").drop(
+            ["_part"]
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
