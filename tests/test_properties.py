@@ -251,3 +251,59 @@ def test_zone_map_range_read_equals_filtered_full(tmp_path_factory, commits, lo,
             got_t.column("doc_id").to_pylist()
         )
         assert got == want
+
+
+# --- vectorized pair-generation kernels -------------------------------------
+
+
+@given(
+    st.lists(st.integers(1, 6), min_size=1, max_size=12),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_triu_by_runs_matches_per_group_triu(run_sizes, seed):
+    """_triu_by_runs over concatenated runs == np.triu_indices per run —
+    the vectorized construction every pair generator now rests on."""
+    import numpy as np
+
+    from data_sync_ray.functions.dedup import _triu_by_runs
+
+    m = np.array(run_sizes, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1000, size=int(m.sum()))
+    ia, ib = _triu_by_runs(m)
+    got = sorted(zip(vals[ia].tolist(), vals[ib].tolist()))
+    exp = []
+    off = 0
+    for sz in run_sizes:
+        iu, ju = np.triu_indices(sz, k=1)
+        exp.extend(
+            zip(vals[off + iu].tolist(), vals[off + ju].tolist())
+        )
+        off += sz
+    assert got == sorted(exp)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_repetition_stats_kernel_matches_bruteforce(word_lists):
+    """Duplicate-2-gram accounting == brute-force tuple counting for any
+    corpus shape (empty docs, one-word docs, all-same docs)."""
+    import pandas as pd
+
+    from data_sync_ray.functions.dedup import _shingle_hashes
+
+    for ws in word_lists:
+        text = " ".join(ws)
+        hs = _shingle_hashes(text, 2, unique=False)
+        grams = [tuple(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        assert hs.size == len(grams)
+        import numpy as np
+
+        assert np.unique(hs).size == len(set(grams))
