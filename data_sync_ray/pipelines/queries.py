@@ -858,21 +858,30 @@ FROM events GROUP BY event_type
 """
 
 
+def _filtered_type_counts(sf_dir: str, cfg: SyncConfig) -> pd.DataFrame:
+    """filter_tables predicate -> per-type counts; a handful of types
+    with integer counts, so partials tree-combine with no exchange."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = filter_tables(t, cfg, table_col="event_type")
+        return pd.DataFrame(
+            {"event_type": t.column("event_type").to_pandas(),
+             "n": np.ones(t.num_rows, dtype=np.int64)}
+        ).groupby("event_type", as_index=False).sum()
+
+    return tree_sum_by_key(
+        _t(sf_dir, "events", ["event_type", "event_id"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["event_type"],
+    )
+
+
 def table_filter_include(sf_dir: str) -> pd.DataFrame:
     """The reference's include/exclude predicate (include wins) applied to
     the event_type column — include=('click','view')."""
     cfg = SyncConfig(include_tables=("click", "view"))
-    ds = _t(sf_dir, "events", ["event_type", "event_id"])
-    out = (
-        ds.map_batches(
-            lambda t: filter_tables(t, cfg, table_col="event_type"),
-            batch_format="pyarrow",
-        )
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
-    return out
+    return _filtered_type_counts(sf_dir, cfg)
 
 
 FILTER_INCLUDE_SQL = """
@@ -885,16 +894,7 @@ def table_filter_exclude(sf_dir: str) -> pd.DataFrame:
     """Only-exclude configured => pass everything else (precedence branch
     regular_base.go:27-29)."""
     cfg = SyncConfig(include_tables=(), exclude_tables=("error",))
-    ds = _t(sf_dir, "events", ["event_type", "event_id"])
-    return (
-        ds.map_batches(
-            lambda t: filter_tables(t, cfg, table_col="event_type"),
-            batch_format="pyarrow",
-        )
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    return _filtered_type_counts(sf_dir, cfg)
 
 
 FILTER_EXCLUDE_SQL = """
