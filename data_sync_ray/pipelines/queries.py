@@ -308,8 +308,12 @@ def orders_customer_hash_join(sf_dir: str) -> pd.DataFrame:
         cents, batch_format="pyarrow"
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # Ray's hash join spins one aggregator per partition and its cost is
+    # dominated by that fixed overhead at bench scale (measured 2.9s at
+    # 4 partitions vs 9.6s at 32 on the same input); size num_partitions
+    # to rows/cluster in a real deployment
     joined = orders.join(
-        cust, join_type="inner", num_partitions=16,
+        cust, join_type="inner", num_partitions=4,
         on=("o_custkey",), right_on=("c_custkey",),
     )
     out = (
