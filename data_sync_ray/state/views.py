@@ -243,3 +243,75 @@ def hll_distinct_view(lake_root: str):
 
 
 REGISTRY["hll_distinct"] = hll_distinct_view
+
+
+def _content_dup_partial(t: pa.Table | None) -> dict:
+    """Per-partition: live row count + HLL registers over CONTENT hashes
+    (blake2b-64 of each row's token buffer — the same content key as
+    lake_dedup_report, replay.py). A duplicated content spans partitions
+    (the lake routes by doc_id, not content), but HLL union is exactly
+    idempotent, so the combined registers estimate DISTINCT contents
+    regardless of where the copies live."""
+    if t is None or t.num_rows == 0:
+        return {}
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from ..functions.sketch import hll_registers
+
+    hs = [
+        _hl.blake2b(
+            _np.asarray(r if r is not None else [], dtype=_np.int32)
+            .tobytes(),
+            digest_size=8,
+        ).hexdigest()
+        for r in t.column("tokens").to_pylist()
+    ]
+    out = {str(b): r for b, r in hll_registers(hs).items()}
+    out["__rows"] = t.num_rows
+    return out
+
+
+def content_dup_gauge_view(lake_root: str):
+    """Incrementally-maintained duplicate-content gauge: live rows minus
+    the HLL-estimated count of distinct token buffers — the streaming
+    answer to 'how much exact duplication has this feed accumulated'
+    without the full-scan lake_dedup_report. O(changed partitions) per
+    tail round; registers re-derive only for partitions whose
+    checkpoint fingerprint moved. Returns
+    (DataFrame(n_rows, est_distinct_contents, est_dups), n_recomputed);
+    est_dups clamps at 0 (the estimator can overshoot the row count at
+    small cardinalities)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.sketch import _HLL_M, hll_estimate
+
+    view = MaterializedView(
+        lake_root, "content_dup_gauge", _content_dup_partial,
+        columns=["tokens"],
+    )
+    partials, n = view.refresh()
+    m_j = np.zeros(_HLL_M, dtype=np.int64)
+    n_rows = 0
+    for part in partials.values():
+        for b, r in part.items():
+            if b == "__rows":
+                n_rows += int(r)
+                continue
+            b = int(b)
+            if r > m_j[b]:
+                m_j[b] = r
+    est = int(hll_estimate(m_j)["est_distinct"].iloc[0]) if n_rows else 0
+    df = pd.DataFrame(
+        {
+            "n_rows": np.array([n_rows], dtype="int64"),
+            "est_distinct_contents": np.array([est], dtype="int64"),
+            "est_dups": np.array([max(0, n_rows - est)], dtype="int64"),
+        }
+    )
+    return df, n
+
+
+REGISTRY["content_dup_gauge"] = content_dup_gauge_view

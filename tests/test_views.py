@@ -166,3 +166,80 @@ def test_hll_distinct_view_incremental(tmp_path):
     assert 0 < n3 < 8
     want3, _ = scratch()
     assert df3["int_sum"].iloc[0] == want3["int_sum"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_content_dup_gauge_view(tmp_path):
+    """The streaming dup gauge: rows minus HLL-distinct content equals a
+    from-scratch sketch over the same buffers at every step, recompute
+    is O(changed partitions), and planting exact copies moves est_dups
+    while distinct-content stays put."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from data_sync_ray.functions.sketch import (
+        _HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+    from data_sync_ray.state.views import content_dup_gauge_view
+
+    spec = StreamSpec(n_events=600, n_docs=100, n_epochs=1, seed=21)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=100, seed=21)
+    job = make_job(str(tmp_path), num_partitions=8)
+    job.replay(ev_root, bootstrap=base)
+    lake_root = job.cfg.lake_root
+
+    def scratch():
+        t = job.lake.read_all()
+        hs = [
+            hashlib.blake2b(
+                np.asarray(r if r is not None else [], dtype=np.int32)
+                .tobytes(),
+                digest_size=8,
+            ).hexdigest()
+            for r in t.column("tokens").to_pylist()
+        ]
+        m_j = np.zeros(_HLL_M, dtype=np.int64)
+        for b, r in hll_registers(hs).items():
+            m_j[b] = max(m_j[b], r)
+        est = int(hll_estimate(m_j)["est_distinct"].iloc[0])
+        return t.num_rows, est
+
+    df1, n1 = content_dup_gauge_view(lake_root)
+    rows, est = scratch()
+    assert df1["n_rows"].iloc[0] == rows
+    assert df1["est_distinct_contents"].iloc[0] == est
+    assert df1["est_dups"].iloc[0] == max(0, rows - est)
+
+    # steady state: nothing recomputed
+    df2, n2 = content_dup_gauge_view(lake_root)
+    assert n2 == 0 and df2.equals(df1)
+
+    # plant exact content copies of existing docs under NEW doc ids:
+    # distinct contents must not grow, est_dups must
+    live = job.lake.read_all()
+    dup_rows = live.slice(0, 10)
+    planted = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"dupcopy{i:04d}" for i in range(10)], pa.string()
+            ),
+            "op": pa.array(["insert"] * 10),
+            "log_pos": pa.array(
+                [10_000_000 + i for i in range(10)], pa.int64()
+            ),
+            "tokens": dup_rows.column("tokens"),
+            "source": dup_rows.column("source"),
+        }
+    )
+    job.apply_epoch(9, rd.from_arrow(planted))
+    df3, n3 = content_dup_gauge_view(lake_root)
+    assert 0 < n3 <= 8
+    rows3, est3 = scratch()
+    assert df3["n_rows"].iloc[0] == rows3 == rows + 10
+    assert df3["est_distinct_contents"].iloc[0] == est3 == est
+    assert df3["est_dups"].iloc[0] == df1["est_dups"].iloc[0] + 10
