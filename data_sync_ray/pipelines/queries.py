@@ -2181,6 +2181,121 @@ FROM s
 """
 
 
+def cdc_lake_dup_gauge(sf_dir: str) -> pd.DataFrame:
+    """The incremental duplicate-content gauge, hash-checked end to end:
+    replay the pinned CDC fixture into a lake, refresh the
+    per-partition content-HLL view TWICE (second refresh must recompute
+    zero partitions), and emit (n_rows, nonzero, int_sum,
+    est_distinct). The oracle rebuilds the identical registers from
+    md5(content_key) over the pinned fixture — token-level content
+    equality between the distributed lake and the sequential reference
+    is part of the checked answer."""
+    from ..datamodel import (
+        StreamSpec,
+        gen_base_table,
+        gen_change_stream,
+        write_event_log,
+    )
+    from ..state.views import MaterializedView, _content_dup_partial_text
+    from .replay import ReplayJob
+
+    n_docs = 500
+    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    base = gen_base_table(n_docs, seed=42)
+    work = tempfile.mkdtemp(prefix="cdc_dupg_")
+    ev_root = os.path.join(work, "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(
+        lake_root=os.path.join(work, "lake"), num_partitions=16,
+        apply_concurrency=4,
+    )
+    job = ReplayJob(cfg)
+    job.bootstrap(base)
+    job.replay(ev_root)
+
+    from ..functions.sketch import _HLL_M, hll_estimate
+
+    view = MaterializedView(
+        cfg.lake_root, "content_dup_gauge_text",
+        _content_dup_partial_text, columns=["tokens"],
+    )
+    partials, _ = view.refresh()
+    partials2, n2 = view.refresh()
+    assert n2 == 0 and partials2 == partials
+
+    m_j = np.zeros(_HLL_M, dtype=np.int64)
+    n_rows = 0
+    for part in partials.values():
+        for b, r in part.items():
+            if b == "__rows":
+                n_rows += int(r)
+                continue
+            b = int(b)
+            if r > m_j[b]:
+                m_j[b] = r
+    est = hll_estimate(m_j)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([n_rows], dtype="int64"),
+            "nonzero": est["nonzero"].astype("int64"),
+            "int_sum": est["int_sum"].astype("int64"),
+            "est_distinct": est["est_distinct"].astype("float64"),
+        }
+    )
+
+
+# identical register construction as CDC_HLL_SQL, but over the pinned
+# fixture's content_key (the ','-joined token string) — distinct
+# CONTENTS, counted next to the raw row count
+CDC_DUP_GAUGE_SQL = f"""
+WITH rows_all AS (
+  SELECT content_key
+  FROM read_parquet('{_FIXTURE_DIR}/cdc_replay_*.parquet')
+  WHERE tag = '{_cdc_replay_tag()}'
+),
+h AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(content_key), 1, 16))::UBIGINT AS H
+  FROM rows_all
+),
+r AS (
+  SELECT CAST(H >> 56 AS BIGINT) AS bucket,
+         CASE WHEN (H & ((1::UBIGINT << 48) - 1)) = 0 THEN 49
+              ELSE 49 - length(bin((H & ((1::UBIGINT << 48) - 1))::BIGINT))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY bucket),
+s AS (
+  SELECT count(*) AS nonzero,
+         sum((1::UBIGINT << (49 - m_j))::BIGINT) AS int_sum_nz
+  FROM regs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_all) AS n_rows,
+       CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(int_sum_nz + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT
+            AS BIGINT) AS int_sum,
+       round(
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                   * (1::UBIGINT << 49)::DOUBLE
+                   / (int_sum_nz
+                      + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+                   <= 2.5 * 256.0
+               AND nonzero < 256
+         THEN 256.0 * ln(256.0 / (256.0 - nonzero))
+         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * (1::UBIGINT << 49)::DOUBLE
+              / (int_sum_nz
+                 + (256 - nonzero) * (1::UBIGINT << 49)::BIGINT)::DOUBLE
+         END, 2) AS est_distinct
+FROM s
+"""
+
+
 # --- sketches (functions/sketch.py) ------------------------------------------
 # Deterministic mergeable sketches whose md5-derived hash functions the
 # DuckDB oracle re-derives in SQL — the APPROXIMATE answers are
@@ -2759,6 +2874,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
+    "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
     "redact_pii_docs": (redact_pii_docs, REDACT_SQL),

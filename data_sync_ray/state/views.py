@@ -315,3 +315,23 @@ def content_dup_gauge_view(lake_root: str):
 
 
 REGISTRY["content_dup_gauge"] = content_dup_gauge_view
+
+
+def _content_dup_partial_text(t: pa.Table | None) -> dict:
+    """Oracle-reproducible variant of _content_dup_partial: the content
+    key is the ','-joined token string and registers come from the
+    shared md5-64 sketch hash — DuckDB rebuilds the identical registers
+    from md5(content_key) over the pinned fixture (see
+    queries.cdc_lake_dup_gauge). The bytes/blake2b variant stays the
+    fast default for operational gauges."""
+    if t is None or t.num_rows == 0:
+        return {}
+    from ..functions.sketch import hll_registers
+
+    keys = [
+        ",".join(map(str, r or []))
+        for r in t.column("tokens").to_pylist()
+    ]
+    out = {str(b): r for b, r in hll_registers(keys).items()}
+    out["__rows"] = t.num_rows
+    return out

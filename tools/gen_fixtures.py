@@ -151,6 +151,14 @@ def gen_cdc_replay(out_dir: str) -> None:
              ("source", pa.string()), ("log_pos", pa.int64())]
         )
     )
+    # oracle-reproducible content key: the ','-joined token string, so
+    # SQL can rebuild the content-HLL of cdc_lake_dup_gauge from
+    # md5(content_key) without list serialization on the SQL side
+    content_key = [
+        ",".join(map(str, r or []))
+        for r in want.column("tokens").to_pylist()
+    ]
+    out = out.append_column("content_key", pa.array(content_key, pa.string()))
     out = out.append_column("tag", pa.array([tag] * out.num_rows))
     path = os.path.join(out_dir, f"cdc_replay_{tag[:12]}.parquet")
     pq.write_table(out, path)
