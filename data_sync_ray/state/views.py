@@ -335,3 +335,50 @@ def _content_dup_partial_text(t: pa.Table | None) -> dict:
     out = {str(b): r for b, r in hll_registers(keys).items()}
     out["__rows"] = t.num_rows
     return out
+
+
+def _source_freshness_partial(t: pa.Table | None) -> dict:
+    """Per-partition {source: [max_log_pos, n_live]} — the reference's
+    per-table sync watermark (T2, inspect.go's max-id tick) as an
+    incrementally-maintained view."""
+    if t is None or t.num_rows == 0:
+        return {}
+    out: dict[str, list[int]] = {}
+    srcs = t.column("source").to_pylist()
+    lps = t.column("log_pos").to_pylist()
+    for s, lp in zip(srcs, lps):
+        e = out.setdefault(s or "", [0, 0])
+        if int(lp or 0) > e[0]:
+            e[0] = int(lp or 0)
+        e[1] += 1
+    return out
+
+
+def source_freshness_view(lake_root: str):
+    """Incrementally-maintained per-source watermark: the highest
+    log_pos each upstream source has landed in the lake, plus its live
+    row count — the 'which feed is lagging' gauge a tailing operator
+    watches. O(changed partitions) per round. Returns
+    (DataFrame(source, max_log_pos, n_docs), n_recomputed)."""
+    import pandas as pd
+
+    view = MaterializedView(
+        lake_root, "source_freshness", _source_freshness_partial,
+        columns=["source", "log_pos"],
+    )
+    partials, n = view.refresh()
+    acc: dict[str, list[int]] = {}
+    for part in partials.values():
+        for s, (mx, cnt) in part.items():
+            e = acc.setdefault(s, [0, 0])
+            if mx > e[0]:
+                e[0] = mx
+            e[1] += cnt
+    df = pd.DataFrame(
+        [(s, v[0], v[1]) for s, v in sorted(acc.items())],
+        columns=["source", "max_log_pos", "n_docs"],
+    )
+    return df, n
+
+
+REGISTRY["source_freshness"] = source_freshness_view

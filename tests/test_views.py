@@ -243,3 +243,60 @@ def test_content_dup_gauge_view(tmp_path):
     assert df3["n_rows"].iloc[0] == rows3 == rows + 10
     assert df3["est_distinct_contents"].iloc[0] == est3 == est
     assert df3["est_dups"].iloc[0] == df1["est_dups"].iloc[0] + 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_freshness_view(tmp_path):
+    """Per-source watermark view: max log_pos and live counts equal a
+    full-scan ground truth, steady-state refresh recomputes nothing,
+    and an insert moves only its source's watermark."""
+    import pyarrow as pa
+
+    from data_sync_ray.state.views import source_freshness_view
+
+    spec = StreamSpec(n_events=500, n_docs=80, n_epochs=1, seed=31)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=80, seed=31)
+    job = make_job(str(tmp_path), num_partitions=8)
+    job.replay(ev_root, bootstrap=base)
+    lake_root = job.cfg.lake_root
+
+    def scratch():
+        t = job.lake.read_all()
+        acc = {}
+        for s, lp in zip(t.column("source").to_pylist(),
+                         t.column("log_pos").to_pylist()):
+            e = acc.setdefault(s or "", [0, 0])
+            e[0] = max(e[0], int(lp))
+            e[1] += 1
+        return {s: tuple(v) for s, v in acc.items()}
+
+    df1, n1 = source_freshness_view(lake_root)
+    got = {r["source"]: (r["max_log_pos"], r["n_docs"])
+           for _, r in df1.iterrows()}
+    assert got == scratch()
+
+    df2, n2 = source_freshness_view(lake_root)
+    assert n2 == 0 and df2.equals(df1)
+
+    # one insert for a single source: its watermark advances, others hold
+    target_src = df1["source"].iloc[0]
+    planted = pa.table(
+        {
+            "doc_id": pa.array(["freshdoc0001"], pa.string()),
+            "op": pa.array(["insert"]),
+            "log_pos": pa.array([99_999_999], pa.int64()),
+            "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+            "source": pa.array([target_src], pa.string()),
+        }
+    )
+    job.apply_epoch(5, rd.from_arrow(planted))
+    df3, n3 = source_freshness_view(lake_root)
+    assert 0 < n3 <= 8
+    got3 = {r["source"]: (r["max_log_pos"], r["n_docs"])
+            for _, r in df3.iterrows()}
+    assert got3 == scratch()
+    assert got3[target_src][0] == 99_999_999
+    for s in got:
+        if s != target_src:
+            assert got3[s] == got[s]
