@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="strategy mode (control)")
     p.add_argument("--format", choices=["json", "prom"], default="json",
                    help="status output format (prom = Prometheus text)")
+    p.add_argument("--partition-by", default="",
+                   help="export: comma-separated columns for hive-style "
+                        "output layout (out/col=value/...)")
     p.add_argument("--compact-over", type=int, default=0,
                    help="tail: compact partitions exceeding this many "
                         "live fragments between rounds (0 = off)")
@@ -171,10 +174,11 @@ def main(argv: list[str] | None = None) -> int:
             mv = job.lake.manifest_version()
             if mv is None:
                 p.error("lake has no published manifest to pin")
+        pb = [c for c in (args.partition_by or "").split(",") if c] or None
         export_lake(cfg.lake_root, args.out, as_of_epoch=args.as_of_epoch,
-                    manifest_version=mv)
+                    manifest_version=mv, partition_by=pb)
         out = {"exported_to": args.out, "as_of_epoch": args.as_of_epoch,
-               "manifest_version": mv}
+               "manifest_version": mv, "partition_by": pb}
     print(json.dumps(out, default=str))
     ray.shutdown()
     return 0

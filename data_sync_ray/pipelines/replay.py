@@ -831,6 +831,7 @@ def export_lake(
     columns: list[str] | None = None,
     as_of_epoch: int | None = None,
     manifest_version: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Materialize the current lake state as plain partitioned Parquet (one
     part-file set per hash partition, never one giant file) — the full-table
@@ -838,11 +839,13 @@ def export_lake(
     columns: projection pushdown; as_of_epoch: time travel;
     manifest_version: snapshot-consistent export pinned to a published
     manifest, immune to a concurrent tail's mid-export commits (see
-    read_lake)."""
+    read_lake); partition_by: hive-style output layout
+    (out_dir/col=value/...) so a downstream trainer can read one
+    source/language shard without scanning the rest."""
     read_lake(
         lake_root, concurrency=concurrency, columns=columns,
         as_of_epoch=as_of_epoch, manifest_version=manifest_version,
-    ).write_parquet(out_dir)
+    ).write_parquet(out_dir, partition_cols=partition_by)
 
 
 def read_lake(

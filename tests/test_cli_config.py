@@ -152,3 +152,41 @@ def test_cli_lookup(tmp_path, capsys):
     assert main(["lookup", "--config", str(p), "--key", "doc99999999"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not out["found"] and out["rows"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_hive_partitioned(tmp_path):
+    """partition_by lays the snapshot out hive-style (out/source=X/...)
+    and the union of shards equals the lake exactly — a consumer can
+    read one source without scanning the rest."""
+    import pyarrow.dataset as pads
+
+    spec = StreamSpec(n_events=600, n_docs=80, n_epochs=1, seed=9)
+    base = gen_base_table(80, seed=9)
+    ev_root = os.path.join(str(tmp_path), "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(lake_root=os.path.join(str(tmp_path), "lake"),
+                     num_partitions=4)
+    job = ReplayJob(cfg)
+    job.replay(ev_root, bootstrap=base)
+    out_dir = os.path.join(str(tmp_path), "export_hive")
+    export_lake(cfg.lake_root, out_dir, partition_by=["source"])
+
+    live = job.lake.read_all()
+    srcs = set(live.column("source").to_pylist())
+    dirs = {d for d in os.listdir(out_dir) if d.startswith("source=")}
+    assert dirs == {f"source={s}" for s in srcs}
+
+    back = pads.dataset(out_dir, partitioning="hive").to_table()
+    assert back.num_rows == live.num_rows
+    want = {
+        (d, s)
+        for d, s in zip(live.column("doc_id").to_pylist(),
+                        live.column("source").to_pylist())
+    }
+    got = {
+        (d, str(s))
+        for d, s in zip(back.column("doc_id").to_pylist(),
+                        back.column("source").to_pylist())
+    }
+    assert got == want
