@@ -138,7 +138,8 @@ def run_replay(sf_name: str, num_cpus: int) -> dict:
         lake_root=lake_root,
         num_partitions=64,
         spill_groups=32,  # phase-2 parallelism; >= the largest CPU count
-        batch_size=16_384,  # ~n_rows_per_epoch/batch_size tasks per stage
+        batch_size=32_768,  # ~90 tasks/epoch; interleaved sweep: min
+        # 4.95s vs 5.37s at 16k and stabler (BASELINE.md)
     )
     job = ReplayJob(cfg)
     base = gen_base_table(n_docs, seed=42)
