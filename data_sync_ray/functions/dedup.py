@@ -329,7 +329,6 @@ def minhash_lsh_candidates(
     num_hashes: int = 128,
     bands: int = 32,
     rows: int = 4,
-    concurrency: int = 4,
     distinct: bool = True,
 ) -> rd.Dataset:
     """docs(text, doc_id) -> candidate pairs (doc_a < doc_b).
