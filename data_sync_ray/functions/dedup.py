@@ -154,10 +154,11 @@ def exact_dedup(
 
 
 class MinHasher:
-    """Per-doc MinHash signature over word-k-gram shingles.
+    """MinHash signatures over word-k-gram shingles.
 
-    Hash family a_i*x + b_i mod 2^61-1 with seeded coefficients, built once
-    per actor. Inner loop is numpy (H x S) — vectorized per doc."""
+    Hash family a_i*x + b_i mod 2^61-1 with seeded coefficients built at
+    construction; __call__ signs a whole batch in cache-sized chunks
+    (see its docstring), signature() is the one-doc reference path."""
 
     def __init__(self, k: int = 3, num_hashes: int = 128, seed: int = 7):
         rng = np.random.default_rng(seed)
