@@ -70,6 +70,11 @@ SOURCES_V2 = ("web", "books", "code", "wiki", "forum")  # enum growth
 
 # --- vectorized token generation ------------------------------------------
 
+#: Max flat elements per list<int32> chunk — one chunk's 32-bit offsets must
+#: never overflow. Module-level so tests can shrink it to force the chunked
+#: paths at tiny n.
+LIST_OFFSET_BUDGET = (1 << 31) - 8
+
 
 def _gen_token_lists(
     rng: np.random.Generator, n: int, min_tok: int = 8, max_tok: int = 512
@@ -83,7 +88,7 @@ def _gen_token_lists(
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     flat = rng.integers(0, 50_000, size=int(offsets[-1]), dtype=np.int32)
-    budget = (1 << 31) - 8
+    budget = LIST_OFFSET_BUDGET
     chunks = []
     lo = 0
     while lo < n:
@@ -99,6 +104,49 @@ def _gen_token_lists(
     if len(chunks) == 1:
         return chunks[0], lens.astype(np.int32)
     return pa.chunked_array(chunks), lens.astype(np.int32)
+
+
+def _take_list32(
+    arr: pa.ListArray | pa.ChunkedArray, indices: pa.Array
+) -> pa.ListArray | pa.ChunkedArray:
+    """Chunk-safe random-access take over (possibly chunked) list<int32>.
+
+    ``ChunkedArray.take`` concatenates the chunks first, which overflows the
+    32-bit list offsets once the flat element count crosses 2^31 (measured:
+    the 96M-event soak fixture dies with "offset overflow while concatenating
+    arrays"). Route through large_list (64-bit offsets) for the concat+take,
+    then re-chunk the result back under LIST_OFFSET_BUDGET.
+    """
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    if len(chunks) == 1:
+        return chunks[0].take(indices)
+    big = pa.concat_arrays(
+        [c.cast(pa.large_list(pa.int32())) for c in chunks]
+    ).take(indices)
+    offs = np.asarray(big.offsets, dtype=np.int64)
+    values = big.values
+    n = len(big)
+    out: list[pa.ListArray] = []
+    lo = 0
+    while lo < n:
+        hi = (
+            int(
+                np.searchsorted(offs, offs[lo] + LIST_OFFSET_BUDGET, "right")
+            )
+            - 1
+        )
+        hi = min(max(hi, lo + 1), n)
+        sub = (offs[lo : hi + 1] - offs[lo]).astype(np.int32)
+        out.append(
+            pa.ListArray.from_arrays(
+                pa.array(sub, pa.int32()),
+                values.slice(int(offs[lo]), int(offs[hi] - offs[lo])),
+            )
+        )
+        lo = hi
+    if not out:
+        return pa.array([], pa.list_(pa.int32()))
+    return out[0] if len(out) == 1 else pa.chunked_array(out)
 
 
 def gen_base_table(n_docs: int, seed: int = 42) -> pa.Table:
@@ -183,14 +231,11 @@ def gen_change_stream(spec: StreamSpec) -> list[pa.Table]:
     table_col[decoy] = "ignored_tbl"
 
     tokens, n_tok = _gen_token_lists(rng, n, spec.min_tok, spec.max_tok)
-    is_del = ops == OP_DELETE
     # delete events carry only the key (ref: FilterDelete drops the payload,
-    # /root/reference/src/service/mysql_filter_service.go:105-127)
-    tok_mask = pa.array(is_del)
-    tokens = pa.compute.if_else(tok_mask, pa.scalar(None, tokens.type), tokens)
-    n_tok_arr = pa.compute.if_else(
-        tok_mask, pa.scalar(None, pa.int32()), pa.array(n_tok)
-    )
+    # /root/reference/src/service/mysql_filter_service.go:105-127) — the
+    # payload columns are nulled per epoch after the take (nulling first and
+    # taking after would force a null-masked list rebuild in _take_list32)
+    is_del = ops == OP_DELETE
 
     epoch_of = np.minimum(
         (log_pos - 1) * spec.n_epochs // n, spec.n_epochs - 1
@@ -207,14 +252,20 @@ def gen_change_stream(spec: StreamSpec) -> list[pa.Table]:
         sources = SOURCES_V2 if evolved else SOURCES_V1
         src = rng.choice(np.array(sources), size=idx.size)
         schema_ver = 2 if evolved else 1
+        del_e = is_del[idx]
+        tok_e = _take_list32(tokens, take)
+        if del_e.any():
+            tok_e = pa.compute.if_else(
+                pa.array(del_e), pa.scalar(None, pa.list_(pa.int32())), tok_e
+            )
         cols = {
             "log_pos": pa.array(log_pos[idx]),
             "ts": pa.array(ts[idx]),
             "op": pa.array(ops[idx]),
             "table": pa.array(table_col[idx]),
             "doc_id": pa.array(doc_ids[idx]),
-            "tokens": tokens.take(take),
-            "n_tok": n_tok_arr.take(take),
+            "tokens": tok_e,
+            "n_tok": pa.array(n_tok[idx], mask=del_e),
             "source": pa.array(src),
             "schema_ver": pa.array(
                 np.full(idx.size, schema_ver, dtype=np.int32)
