@@ -278,6 +278,121 @@ def ivf_topk(
     return _topk_merge(member.map_batches(score, batch_format="pandas"), k)
 
 
+# --- distributed k-means clustering -----------------------------------------
+
+
+def kmeans_embeddings(
+    emb: rd.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Full-corpus Lloyd's k-means as an iterative Ray Data pipeline.
+
+    Unlike `_kmeans` (driver-side, bounded sample — the IVF trainer), this
+    clusters EVERY vector: per iteration, centroids are broadcast once
+    (`ray.put`), each batch computes squared-L2 assignments plus per-cluster
+    partial sums in one vectorized pass, and the driver combines the tiny
+    partials (blocks x k rows of (count, sum_id, d-dim sum) — O(parallelism),
+    never O(corpus), the same bounded-merge tail `_topk_merge` uses). No
+    shuffle at any step; each iteration is one streaming pass that re-reads
+    the pruned source (materialize the Dataset first if the corpus fits
+    cluster memory and re-read dominates).
+
+    Deterministic and SQL-restatable: seeds are the k vectors with the
+    smallest vec_ids (cluster j = j-th smallest), distances and means in
+    float64, argmin ties break toward the lower cluster id, and a cluster
+    left empty keeps its previous centroid. `iters` counts assignment
+    passes; centroids update after each pass but the last. Returns integer
+    per-cluster stats of the final assignment (cluster, n_vecs, sum_vec_id)
+    — integer-exact, so the DuckDB-oracle hash cannot hinge on float
+    summation order.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+
+    def local_min_k(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return t.select(["vec_id", "embedding"]).take(pa.array(take))
+
+    seeds = (
+        emb.map_batches(local_min_k, batch_format="pyarrow")
+        .to_pandas()  # <= blocks * k rows
+        .sort_values("vec_id")
+        .head(k)
+    )
+    C = _stack(seeds["embedding"])
+    kk = C.shape[0]  # corpus may hold fewer than k vectors
+    stats: pd.DataFrame | None = None
+
+    for it in range(iters):
+        c_ref = ray.put(C)
+
+        def partials(t: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)
+            n = t.num_rows
+            X = _flatten_matrix(t.column("embedding"), n)
+            ids = t.column("vec_id").to_numpy()
+            d2 = np.empty((n, Cm.shape[0]), dtype=np.float64)
+            for j in range(Cm.shape[0]):
+                diff = X - Cm[j]  # (n, d) scratch stays cache-sized
+                d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+            a = d2.argmin(axis=1)  # ties -> lowest cluster id
+            counts = np.bincount(a, minlength=Cm.shape[0])
+            sum_id = np.bincount(
+                a, weights=ids.astype(np.float64), minlength=Cm.shape[0]
+            )  # vec_ids << 2^53: exact in float64
+            sums = np.zeros_like(Cm)
+            for j in range(Cm.shape[0]):
+                if counts[j]:
+                    sums[j] = X[a == j].sum(axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.arange(Cm.shape[0], dtype=np.int64)
+                    ),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "sum_id": pa.array(
+                        np.rint(sum_id).astype(np.int64)
+                    ),
+                    "sums": _uniform_list_array(sums),
+                }
+            )
+
+        parts = emb.map_batches(
+            partials, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()  # tiny: blocks * k rows
+        counts = np.zeros(kk, dtype=np.int64)
+        sum_id = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros_like(C)
+        np.add.at(counts, parts["cluster"].to_numpy(), parts["n"].to_numpy())
+        np.add.at(
+            sum_id, parts["cluster"].to_numpy(), parts["sum_id"].to_numpy()
+        )
+        for cl, s in zip(parts["cluster"].to_numpy(), parts["sums"]):
+            sums[cl] += np.asarray(s, dtype=np.float64)
+        if it == iters - 1:
+            stats = pd.DataFrame(
+                {
+                    "cluster": np.arange(kk, dtype=np.int64),
+                    "n_vecs": counts,
+                    "sum_vec_id": sum_id,
+                }
+            )
+        else:
+            nonempty = counts > 0
+            C = np.where(
+                nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C
+            )
+    assert stats is not None
+    return (
+        stats[stats["n_vecs"] > 0]
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+
 # --- embedding near-dup -----------------------------------------------------
 
 

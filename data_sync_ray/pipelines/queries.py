@@ -1656,6 +1656,82 @@ WHERE l.root IS NULL OR l.root = e.vec_id
 """
 
 
+def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the full embedding corpus —
+    3 assignment passes, k=8, seeds = the 8 smallest vec_ids. Integer
+    per-cluster stats of the final assignment; the oracle unrolls the
+    identical iterations in SQL (cross-join argmin with the same
+    lowest-cluster tie-break, unnest-zip element-wise means,
+    carry-forward for empty clusters)."""
+    from ..functions.ann import kmeans_embeddings as _km
+
+    out = _km(_t(sf_dir, "embeddings"), k=8, iters=3)
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["sum_vec_id"] = out["sum_vec_id"].astype("int64")
+    return out
+
+
+# one a_t/c_t CTE pair per Lloyd iteration; distances/means in DOUBLE on
+# both engines, hashed output is integer-only so float summation order
+# cannot flip the hash (the sessionize lesson)
+KMEANS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, x AS c
+  FROM e ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, x, cluster FROM (
+    SELECT e.vec_id, e.x, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.x, c.c), c.cluster) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+c1 AS (
+  SELECT cluster, list(a ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, avg(v) AS a FROM (
+      SELECT cluster, unnest(x) AS v,
+             unnest(range(1, len(x) + 1)) AS dim FROM a1
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+),
+c1f AS (
+  SELECT c0.cluster, coalesce(c1.c, c0.c) AS c
+  FROM c0 LEFT JOIN c1 USING (cluster)
+),
+a2 AS (
+  SELECT vec_id, x, cluster FROM (
+    SELECT p.vec_id, p.x, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_distance(p.x, c.c), c.cluster) AS rn
+    FROM a1 p CROSS JOIN c1f c) WHERE rn = 1
+),
+c2 AS (
+  SELECT cluster, list(a ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, avg(v) AS a FROM (
+      SELECT cluster, unnest(x) AS v,
+             unnest(range(1, len(x) + 1)) AS dim FROM a2
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+),
+c2f AS (
+  SELECT c1f.cluster, coalesce(c2.c, c1f.c) AS c
+  FROM c1f LEFT JOIN c2 USING (cluster)
+),
+a3 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT p.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_distance(p.x, c.c), c.cluster) AS rn
+    FROM a2 p CROSS JOIN c2f c) WHERE rn = 1
+)
+SELECT cluster, count(*) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+FROM a3 GROUP BY cluster ORDER BY cluster
+"""
+
+
 def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import lsh_topk
 
@@ -2855,6 +2931,7 @@ QUERIES: dict[str, tuple] = {
                                  SIMHASH_KEEP_FIRST_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
+    "kmeans_embeddings": (kmeans_embeddings, KMEANS_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "embedding_dedup_keep_first": (embedding_dedup_keep_first,

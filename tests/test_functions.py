@@ -432,6 +432,53 @@ class TestAnn:
         ).to_pandas()
         assert sorted(out_lsh["vec_id"]) == kept
 
+    def test_kmeans_embeddings_matches_local_lloyd(self):
+        """Distributed Lloyd == a straight local reference implementation
+        (same seeds, tie-break, empty-cluster carry-forward), and the
+        output is deterministic across runs and batch sizes."""
+        from data_sync_ray.functions.ann import kmeans_embeddings
+
+        rng = np.random.default_rng(5)
+        # 3 well-separated blobs so assignments are stable, plus shuffled
+        # vec_ids so "smallest vec_ids" != "first rows"
+        centers = np.array([[6.0, 0, 0, 0], [0, 6.0, 0, 0], [0, 0, 6.0, 0]])
+        X = np.vstack(
+            [c + rng.normal(scale=0.3, size=(40, 4)) for c in centers]
+        ).astype(np.float32)
+        ids = rng.permutation(len(X)).astype(np.int64)
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": ids, "embedding": [v.tolist() for v in X]}
+            )
+        )
+        k, iters = 4, 3
+        out = kmeans_embeddings(ds, k=k, iters=iters, batch_size=32)
+
+        # local reference on the identical float64 math
+        order = np.argsort(ids)
+        Xs, idss = X[order].astype(np.float64), ids[order]
+        C = Xs[:k].copy()
+        for it in range(iters):
+            d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            if it < iters - 1:
+                for j in range(k):
+                    if (a == j).any():
+                        C[j] = Xs[a == j].mean(axis=0)
+        want = (
+            pd.DataFrame({"cluster": a, "vec_id": idss})
+            .groupby("cluster")
+            .agg(n_vecs=("vec_id", "size"), sum_vec_id=("vec_id", "sum"))
+            .reset_index()
+        )
+        got = out.astype({"cluster": int, "n_vecs": int, "sum_vec_id": int})
+        pd.testing.assert_frame_equal(
+            got, want.astype(got.dtypes.to_dict()), check_dtype=False
+        )
+        assert got["n_vecs"].sum() == len(X)
+        again = kmeans_embeddings(ds, k=k, iters=iters, batch_size=17)
+        pd.testing.assert_frame_equal(out, again)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
