@@ -942,6 +942,82 @@ FROM documents
 """
 
 
+def pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (concat-and-chunk): documents concatenate in
+    doc_id order into fixed token-budget bins — the standard LLM
+    pretraining prep step. Docs route to a fixed int partition
+    (doc_id % P, the sessionize pattern — packing is order-stateful, so
+    the Dataset API can't express it directly); within a partition one
+    sort + exclusive-cumsum assigns bin = cum_excl // budget (a doc's
+    tokens count wholly toward the bin where it starts, so bins may
+    overrun the budget by < 1 doc — concat-and-chunk semantics, not
+    bin-capacity first-fit). Partitioning assumption: one partition's
+    doc list fits one task; P scales with the corpus. Output is
+    integer-only per-bin stats, hash-robust across engines."""
+    num_parts, budget = 16, 512
+    from ..functions.text import with_token_counts
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_part"] = (
+            batch["doc_id"].to_numpy().astype(np.int64) % num_parts
+        )
+        return batch[["doc_id", "n_words", "_part"]]
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        n = g["n_words"].to_numpy(dtype=np.int64)
+        cum_excl = np.concatenate(([0], np.cumsum(n)[:-1]))
+        b = cum_excl // budget
+        starts = np.flatnonzero(
+            np.concatenate(([True], b[1:] != b[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(b)))
+        return pd.DataFrame(
+            {
+                "part": np.full(
+                    starts.size, int(g["_part"].iloc[0]), dtype=np.int64
+                ),
+                "bin": b[starts],
+                "n_docs": counts.astype(np.int64),
+                "sum_tokens": np.add.reduceat(n, starts),
+                "first_doc": ids[starts],
+                "last_doc": ids[np.append(starts[1:] - 1, len(ids) - 1)],
+            }
+        )
+
+    out = (
+        with_token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
+        .select_columns(["doc_id", "n_words"])
+        .map_batches(route, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["part", "bin"]).reset_index(drop=True)
+
+
+PACK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 16 AS part,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+           AS n_words
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, part, n_words,
+         coalesce(sum(n_words) OVER (
+           PARTITION BY part ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM tok
+)
+SELECT part, cum_excl // 512 AS bin, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY part, bin ORDER BY part, bin
+"""
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     from ..functions.text import with_fingerprints
 
@@ -2914,6 +2990,7 @@ QUERIES: dict[str, tuple] = {
     "table_filter_exclude": (table_filter_exclude, FILTER_EXCLUDE_SQL),
     "column_projection": (column_projection, PROJECTION_SQL),
     "token_counts_docs": (token_counts_docs, TOKEN_COUNT_SQL),
+    "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "top_tokens_docs": (top_tokens_docs, TOP_TOKENS_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),

@@ -479,6 +479,26 @@ class TestAnn:
         again = kmeans_embeddings(ds, k=k, iters=iters, batch_size=17)
         pd.testing.assert_frame_equal(out, again)
 
+    def test_pack_sequences_invariants(self):
+        """Concat-and-chunk packing: every doc lands in exactly one bin,
+        bins are contiguous doc_id ranges per partition, and each bin's
+        start offset is below the budget boundary its id names."""
+        from data_sync_ray.pipelines.queries import pack_sequences_docs
+
+        out = pack_sequences_docs(SF)
+        assert out["n_docs"].sum() == 500
+        budget = 512
+        for part, g in out.groupby("part"):
+            g = g.sort_values("bin")
+            # contiguous non-overlapping doc ranges
+            assert (g["first_doc"].to_numpy()[1:]
+                    > g["last_doc"].to_numpy()[:-1]).all()
+            # bin ids strictly increase and match the cumulative offsets
+            cum = np.concatenate(
+                ([0], np.cumsum(g["sum_tokens"].to_numpy())[:-1])
+            )
+            assert (g["bin"].to_numpy() == cum // budget).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
