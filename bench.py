@@ -65,6 +65,8 @@ QUERY_SAMPLE = [
     "decontaminate_docs",
     "repetition_filter_docs",
     "redact_pii_docs",
+    "kmeans_embeddings",
+    "pack_sequences_docs",
 ]
 
 

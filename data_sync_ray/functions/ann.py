@@ -281,23 +281,74 @@ def ivf_topk(
 # --- distributed k-means clustering -----------------------------------------
 
 
+def _as_table(block) -> pa.Table:
+    """Blocks from parquet reads are pa.Table; from_pandas datasets hand
+    out pandas blocks — normalize for the block-ref kernels."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+@ray.remote
+def _km_block_min_k(t, k: int) -> pd.DataFrame:
+    """Per-block k smallest vec_ids (seed-candidate combiner)."""
+    t = _as_table(t)
+    ids = t.column("vec_id").to_numpy()
+    take = np.argsort(ids, kind="stable")[:k]
+    return t.take(pa.array(take)).to_pandas()
+
+
+@ray.remote
+def _km_block_partials(
+    t, Cm: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One Lloyd pass over one cached block: squared-L2 argmin assignment
+    (ties -> lowest cluster id) and per-cluster (count, sum_vec_id,
+    d-dim sum) partials."""
+    t = _as_table(t)
+    n = t.num_rows
+    X = _flatten_matrix(t.column("embedding"), n)
+    ids = t.column("vec_id").to_numpy()
+    d2 = np.empty((n, Cm.shape[0]), dtype=np.float64)
+    for j in range(Cm.shape[0]):
+        diff = X - Cm[j]  # (n, d) scratch stays cache-sized
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    a = d2.argmin(axis=1)
+    counts = np.bincount(a, minlength=Cm.shape[0]).astype(np.int64)
+    sum_id = np.rint(
+        np.bincount(
+            a, weights=ids.astype(np.float64), minlength=Cm.shape[0]
+        )
+    ).astype(np.int64)  # vec_ids << 2^53: exact in float64
+    sums = np.zeros_like(Cm)
+    for j in range(Cm.shape[0]):
+        if counts[j]:
+            sums[j] = X[a == j].sum(axis=0)
+    return counts, sum_id, sums
+
+
 def kmeans_embeddings(
     emb: rd.Dataset,
     k: int = 8,
     iters: int = 3,
     batch_size: int = 4096,
 ) -> pd.DataFrame:
-    """Full-corpus Lloyd's k-means as an iterative Ray Data pipeline.
+    """Full-corpus Lloyd's k-means: iterative refinement over cached blocks.
 
     Unlike `_kmeans` (driver-side, bounded sample — the IVF trainer), this
-    clusters EVERY vector: per iteration, centroids are broadcast once
-    (`ray.put`), each batch computes squared-L2 assignments plus per-cluster
-    partial sums in one vectorized pass, and the driver combines the tiny
-    partials (blocks x k rows of (count, sum_id, d-dim sum) — O(parallelism),
-    never O(corpus), the same bounded-merge tail `_topk_merge` uses). No
-    shuffle at any step; each iteration is one streaming pass that re-reads
-    the pruned source (materialize the Dataset first if the corpus fits
-    cluster memory and re-read dominates).
+    clusters EVERY vector. The pruned corpus is materialized ONCE into the
+    object store (the standard iterative-ML cache: blocks stay distributed
+    in plasma and spill to disk under pressure — NOT a driver gather);
+    iterations then run as plain Ray tasks over the cached block refs —
+    the one place here the Dataset API is deliberately bypassed, because
+    an iterative algorithm pays the streaming executor's per-execution
+    startup (a measured Ray 2.49 pitfall, see BASELINE.md) once per pass
+    while a block-ref task costs milliseconds. Per pass: centroids are
+    broadcast once (`ray.put`), each block task computes squared-L2
+    assignments plus per-cluster partial sums in one vectorized kernel,
+    and the driver combines the tiny partials (blocks x k rows of
+    (count, sum_id, d-dim sum) — O(parallelism), never O(corpus), the
+    same bounded-merge tail `_topk_merge` uses). No shuffle at any step.
 
     Deterministic and SQL-restatable: seeds are the k vectors with the
     smallest vec_ids (cluster j = j-th smallest), distances and means in
@@ -306,19 +357,33 @@ def kmeans_embeddings(
     passes; centroids update after each pass but the last. Returns integer
     per-cluster stats of the final assignment (cluster, n_vecs, sum_vec_id)
     — integer-exact, so the DuckDB-oracle hash cannot hinge on float
-    summation order.
+    summation order. `batch_size` is accepted for API symmetry; blocks
+    are the work unit (size them upstream via override_num_blocks /
+    repartition if a block's (n, d) kernel scratch would outgrow memory).
     """
+    del batch_size  # blocks are the work unit (see docstring)
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
+    emb = emb.select_columns(["vec_id", "embedding"]).materialize()
+    block_refs = [
+        br
+        for bundle in emb.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    if not block_refs:
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype=np.int64),
+                "n_vecs": pd.Series([], dtype=np.int64),
+                "sum_vec_id": pd.Series([], dtype=np.int64),
+            }
+        )
 
-    def local_min_k(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy()
-        take = np.argsort(ids, kind="stable")[:k]
-        return t.select(["vec_id", "embedding"]).take(pa.array(take))
-
+    seed_parts = ray.get(
+        [_km_block_min_k.remote(br, k) for br in block_refs]
+    )
     seeds = (
-        emb.map_batches(local_min_k, batch_format="pyarrow")
-        .to_pandas()  # <= blocks * k rows
+        pd.concat([p for p in seed_parts if len(p)], ignore_index=True)
         .sort_values("vec_id")
         .head(k)
     )
@@ -328,50 +393,16 @@ def kmeans_embeddings(
 
     for it in range(iters):
         c_ref = ray.put(C)
-
-        def partials(t: pa.Table) -> pa.Table:
-            Cm = ray.get(c_ref)
-            n = t.num_rows
-            X = _flatten_matrix(t.column("embedding"), n)
-            ids = t.column("vec_id").to_numpy()
-            d2 = np.empty((n, Cm.shape[0]), dtype=np.float64)
-            for j in range(Cm.shape[0]):
-                diff = X - Cm[j]  # (n, d) scratch stays cache-sized
-                d2[:, j] = np.einsum("ij,ij->i", diff, diff)
-            a = d2.argmin(axis=1)  # ties -> lowest cluster id
-            counts = np.bincount(a, minlength=Cm.shape[0])
-            sum_id = np.bincount(
-                a, weights=ids.astype(np.float64), minlength=Cm.shape[0]
-            )  # vec_ids << 2^53: exact in float64
-            sums = np.zeros_like(Cm)
-            for j in range(Cm.shape[0]):
-                if counts[j]:
-                    sums[j] = X[a == j].sum(axis=0)
-            return pa.table(
-                {
-                    "cluster": pa.array(
-                        np.arange(Cm.shape[0], dtype=np.int64)
-                    ),
-                    "n": pa.array(counts.astype(np.int64)),
-                    "sum_id": pa.array(
-                        np.rint(sum_id).astype(np.int64)
-                    ),
-                    "sums": _uniform_list_array(sums),
-                }
-            )
-
-        parts = emb.map_batches(
-            partials, batch_format="pyarrow", batch_size=batch_size
-        ).to_pandas()  # tiny: blocks * k rows
+        parts = ray.get(
+            [_km_block_partials.remote(br, c_ref) for br in block_refs]
+        )
         counts = np.zeros(kk, dtype=np.int64)
         sum_id = np.zeros(kk, dtype=np.int64)
         sums = np.zeros_like(C)
-        np.add.at(counts, parts["cluster"].to_numpy(), parts["n"].to_numpy())
-        np.add.at(
-            sum_id, parts["cluster"].to_numpy(), parts["sum_id"].to_numpy()
-        )
-        for cl, s in zip(parts["cluster"].to_numpy(), parts["sums"]):
-            sums[cl] += np.asarray(s, dtype=np.float64)
+        for pc_, ps_, pm_ in parts:
+            counts += pc_
+            sum_id += ps_
+            sums += pm_
         if it == iters - 1:
             stats = pd.DataFrame(
                 {
