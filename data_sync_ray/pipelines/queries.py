@@ -2848,6 +2848,53 @@ ORDER BY h, doc_id LIMIT 100
 """
 
 
+def split_assign_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split (90/5/5): each doc's split is a
+    pure function of md5('split:' || doc_id), so re-runs, resumed shards,
+    and different engines agree doc-by-doc, and adding corpus never moves
+    an existing doc across splits (the leakage guarantee random splits
+    lack). Thresholds compare the fixed-width 4-hex-char prefix as a
+    STRING — hex sorts lexicographically == numerically, so no engine
+    hex-to-int conversion is needed: train < 'e666' (0xe666/0x10000 =
+    90.0006%), val < 'f333' (~95%), else test. Embarrassingly parallel
+    map_batches; no shuffle, no driver state."""
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        h4 = np.array(
+            [
+                hashlib.md5(f"split:{int(i)}".encode()).hexdigest()[:4]
+                for i in ids
+            ]
+        )
+        split = np.where(
+            h4 < "e666", "train", np.where(h4 < "f333", "val", "test")
+        )
+        return pd.DataFrame({"doc_id": ids, "split": split})
+
+    return (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h4 < 'e666' THEN 'train'
+            WHEN h4 < 'f333' THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
 def hourly_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Windowed sketch composition: APPROXIMATE distinct users per hour
     via one HLL per hour — the streaming-analytics gauge ("how many
@@ -3027,6 +3074,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
+    "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
     "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
     "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
