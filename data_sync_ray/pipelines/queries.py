@@ -1053,6 +1053,106 @@ FROM w
 """
 
 
+def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source quality pruning (FineWeb-style): keep docs whose
+    stopword score reaches their source's exact 25th-percentile value —
+    low-stopword text is boilerplate/code-ish and gets cut per stratum,
+    not globally (sources have different baselines). Integer-exact
+    everywhere: score = stop_hits * 1e6 // max(n_words, 1) (pure integer
+    division on both engines), threshold = the k-th smallest score with
+    k = (m*25 + 99) // 100 (the rank formula event_value_percentiles
+    pins). Two streaming passes, no shuffle: pass 1 reduces per-batch
+    (source, score) histograms (bounded: sources x distinct integer
+    scores, independent of corpus rows) to per-source thresholds on the
+    driver; pass 2 filters with the broadcast thresholds."""
+    import re as _re
+
+    from ..functions.text import STOPWORDS
+
+    word_re = _re.compile(r"[A-Za-z]+")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.findall(word_re)
+        n_words = words.map(len).to_numpy(np.int64)
+        stops = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+        ).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": batch["source"],
+                "score_c": stops * 1_000_000 // np.maximum(n_words, 1),
+            }
+        )
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["source", "score_c"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    partials = (
+        docs.map_batches(score, batch_format="pandas", batch_size=4096)
+        .map_batches(hist, batch_format="pandas")
+        .to_pandas()  # bounded histogram, never corpus rows
+    )
+    merged = (
+        partials.groupby(["source", "score_c"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    thr: dict[str, int] = {}
+    for src, g in merged.groupby("source"):
+        m = int(g["n"].sum())
+        k = (m * 25 + 99) // 100
+        cum = g["n"].cumsum()
+        thr[str(src)] = int(
+            g.loc[cum >= k, "score_c"].iloc[0]
+        )  # k-th smallest score (histogram rank walk)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["source"].map(thr).to_numpy(np.int64)
+        return batch[batch["score_c"].to_numpy() >= t]
+
+    out = (
+        docs.map_batches(score, batch_format="pandas", batch_size=4096)
+        .map_batches(keep, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_PRUNE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[A-Za-z]+') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CAST(coalesce(list_sum(list_transform(ws, x -> CASE WHEN lower(x)
+             IN ('the','a','an','and','or','of','to','in','is','are','was',
+                 'were','be','been','on','at','by','for','with','as','it',
+                 'this','that','from') THEN 1 ELSE 0 END)), 0) * 1000000
+              // greatest(len(ws), 1) AS BIGINT) AS score_c
+  FROM w
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY score_c, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS m
+  FROM s
+),
+thr AS (SELECT source, score_c AS t FROM r WHERE rn = (m * 25 + 99) // 100)
+SELECT s.doc_id, s.source, s.score_c
+FROM s JOIN thr USING (source)
+WHERE s.score_c >= thr.t ORDER BY s.doc_id
+"""
+
+
 def lang_id_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.text import with_lang_id
 
@@ -3041,6 +3141,7 @@ QUERIES: dict[str, tuple] = {
     "top_tokens_docs": (top_tokens_docs, TOP_TOKENS_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
+    "quality_prune_docs": (quality_prune_docs, QUALITY_PRUNE_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "corpus_prep_stats": (corpus_prep_stats, CORPUS_PREP_SQL),
     "chunk_documents": (chunk_documents, CHUNK_SQL),
