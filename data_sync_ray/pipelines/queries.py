@@ -1053,6 +1053,137 @@ FROM w
 """
 
 
+def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact deterministic mixture resampling: downsample sources so the
+    kept corpus matches target mixing weights (here wt=2 for even-numbered
+    sources, 1 for odd — derived from the name so the oracle is
+    self-contained). The kept total T = min_s(count_s * sum_wt // wt_s)
+    and per-source quota needed_s = T * wt_s // sum_wt are pure integer
+    arithmetic; each source keeps its needed_s docs with the smallest
+    (md5('mix:'||doc_id), doc_id) — consistent-hash selection, so re-runs
+    and engines agree doc-by-doc.
+
+    Scale shape — exact distributed selection WITHOUT a sort shuffle:
+    pass 1 reduces per-(source, 4-hex-prefix) counts (bounded: sources x
+    65536); the driver walks each source's histogram to the boundary
+    bucket; a gather pass collects ONLY boundary-bucket rows (expected
+    count_s/65536 — tiny) to pick the in-bucket remainder exactly; pass 2
+    filters on (prefix < boundary) OR (doc_id in the tiny boundary keep
+    set). Three streaming passes, driver state O(sources x 65536)."""
+
+    def hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        h = np.array(
+            [
+                hashlib.md5(f"mix:{int(i)}".encode()).hexdigest()[:16]
+                for i in ids
+            ]
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "source": batch["source"], "h": h}
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    hashed = docs.map_batches(hashes, batch_format="pandas")
+
+    def bucket_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(h4=batch["h"].str[:4])
+        return (
+            b.groupby(["source", "h4"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    hist = (
+        hashed.map_batches(bucket_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["source", "h4"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    counts = hist.groupby("source")["n"].sum()
+    wt = {
+        s: 2 if int(s[3:]) % 2 == 0 else 1 for s in counts.index
+    }
+    sum_wt = sum(wt.values())
+    total = min(int(counts[s]) * sum_wt // wt[s] for s in counts.index)
+    needed = {s: total * wt[s] // sum_wt for s in counts.index}
+
+    boundary: dict[str, str] = {}
+    remainder: dict[str, int] = {}
+    for s, g in hist.groupby("source"):
+        cum = g["n"].cumsum()
+        pos = int(np.searchsorted(cum.to_numpy(), needed[s], side="left"))
+        if pos >= len(g):  # keep the whole source
+            boundary[s] = "ffff￿"  # above any 4-hex prefix
+            remainder[s] = 0
+            continue
+        below = int(cum.iloc[pos - 1]) if pos else 0
+        boundary[s] = str(g["h4"].iloc[pos])
+        remainder[s] = needed[s] - below
+
+    def in_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[
+            batch["h"].str[:4].to_numpy()
+            == batch["source"].map(boundary).to_numpy()
+        ]
+        return b[["doc_id", "source", "h"]]
+
+    edge = (
+        hashed.map_batches(in_boundary, batch_format="pandas")
+        .to_pandas()  # expected count_s/65536 rows per source
+        .sort_values(["source", "h", "doc_id"])
+    )
+    keep_edge: set[int] = set()
+    for s, g in edge.groupby("source"):
+        keep_edge.update(
+            int(i) for i in g["doc_id"].head(remainder.get(s, 0))
+        )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        below = (
+            batch["h"].str[:4].to_numpy()
+            < batch["source"].map(boundary).to_numpy()
+        )
+        edge_keep = batch["doc_id"].isin(keep_edge).to_numpy()
+        return batch.loc[below | edge_keep, ["doc_id", "source"]]
+
+    out = hashed.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 16) AS hh
+  FROM documents
+),
+w AS (
+  SELECT source,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 2 ELSE 1 END AS wt,
+         count(*) AS m
+  FROM documents GROUP BY source
+),
+t AS (SELECT min(m * (SELECT sum(wt) FROM w) // wt) AS total FROM w),
+needed AS (
+  SELECT source, (SELECT total FROM t) * wt // (SELECT sum(wt) FROM w)
+           AS need
+  FROM w
+),
+r AS (
+  SELECT h.doc_id, h.source,
+         row_number() OVER (PARTITION BY h.source
+                            ORDER BY h.hh, h.doc_id) AS rn
+  FROM h
+)
+SELECT r.doc_id, r.source
+FROM r JOIN needed USING (source)
+WHERE r.rn <= needed.need ORDER BY r.doc_id
+"""
+
+
 def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
     """Per-source quality pruning (FineWeb-style): keep docs whose
     stopword score reaches their source's exact 25th-percentile value —
@@ -3176,6 +3307,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
+    "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
     "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
     "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),

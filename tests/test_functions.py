@@ -479,6 +479,37 @@ class TestAnn:
         again = kmeans_embeddings(ds, k=k, iters=iters, batch_size=17)
         pd.testing.assert_frame_equal(out, again)
 
+    def test_mixture_resample_matches_bruteforce(self):
+        """Histogram-walk + boundary-bucket selection must equal the
+        brute-force 'needed_s smallest (md5, doc_id) per source' rule,
+        with quotas from the integer mixing formulas."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from data_sync_ray.pipelines.queries import mixture_resample_docs
+
+        got = mixture_resample_docs(SF)
+        t = pq.read_table(
+            SF + "/documents.parquet", columns=["doc_id", "source"]
+        ).to_pandas()
+        t["h"] = t["doc_id"].map(
+            lambda i: hashlib.md5(f"mix:{int(i)}".encode()).hexdigest()[:16]
+        )
+        wt = {s: 2 if int(s[3:]) % 2 == 0 else 1
+              for s in t["source"].unique()}
+        sw = sum(wt.values())
+        m = t.groupby("source").size()
+        total = min(int(m[s]) * sw // wt[s] for s in m.index)
+        want_ids: list[int] = []
+        for s, g in t.groupby("source"):
+            need = total * wt[s] // sw
+            assert need >= 1
+            want_ids.extend(
+                g.sort_values(["h", "doc_id"])["doc_id"].head(need)
+            )
+        assert sorted(got["doc_id"]) == sorted(want_ids)
+
     def test_pack_sequences_invariants(self):
         """Concat-and-chunk packing: every doc lands in exactly one bin,
         bins are contiguous doc_id ranges per partition, and each bin's
