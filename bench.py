@@ -67,6 +67,8 @@ QUERY_SAMPLE = [
     "redact_pii_docs",
     "kmeans_embeddings",
     "pack_sequences_docs",
+    "quality_prune_docs",
+    "mixture_resample_docs",
 ]
 
 

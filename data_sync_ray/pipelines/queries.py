@@ -47,6 +47,16 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+@ray.remote
+def _mix_block(fn, block) -> pd.DataFrame:
+    """Apply a pandas kernel to one cached block (block-ref task — the
+    iterative-pass pattern kmeans_embeddings documents: per-pass plain
+    tasks beat one streaming-executor startup per pass)."""
+    if not isinstance(block, pd.DataFrame):
+        block = block.to_pandas()
+    return fn(block)
+
+
 # --- TPC-H-flavored relational operators -----------------------------------
 
 
@@ -1069,7 +1079,10 @@ def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
     bucket; a gather pass collects ONLY boundary-bucket rows (expected
     count_s/65536 — tiny) to pick the in-bucket remainder exactly; pass 2
     filters on (prefix < boundary) OR (doc_id in the tiny boundary keep
-    set). Three streaming passes, driver state O(sources x 65536)."""
+    set). Driver state O(sources x 65536). The hashed projection is
+    materialized once; the three passes then run as plain Ray tasks over
+    the cached block refs (the kmeans_embeddings pattern — one streaming
+    execution total instead of paying executor startup per pass)."""
 
     def hashes(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(np.int64)
@@ -1084,7 +1097,16 @@ def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
         )
 
     docs = _t(sf_dir, "documents", ["doc_id", "source"])
-    hashed = docs.map_batches(hashes, batch_format="pandas")
+    # three passes reuse the hashed (doc_id, source, h) projection —
+    # materialize it once into the object store (3 narrow columns;
+    # blocks stay distributed and spill under pressure), then run each
+    # pass as plain tasks over the cached block refs
+    hashed = docs.map_batches(hashes, batch_format="pandas").materialize()
+    block_refs = [
+        br
+        for bundle in hashed.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
 
     def bucket_hist(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.assign(h4=batch["h"].str[:4])
@@ -1096,8 +1118,12 @@ def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
         )
 
     hist = (
-        hashed.map_batches(bucket_hist, batch_format="pandas")
-        .to_pandas()
+        pd.concat(
+            ray.get(
+                [_mix_block.remote(bucket_hist, br) for br in block_refs]
+            ),
+            ignore_index=True,
+        )
         .groupby(["source", "h4"], sort=True)["n"]
         .sum()
         .reset_index()
@@ -1130,11 +1156,10 @@ def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
         ]
         return b[["doc_id", "source", "h"]]
 
-    edge = (
-        hashed.map_batches(in_boundary, batch_format="pandas")
-        .to_pandas()  # expected count_s/65536 rows per source
-        .sort_values(["source", "h", "doc_id"])
-    )
+    edge = pd.concat(
+        ray.get([_mix_block.remote(in_boundary, br) for br in block_refs]),
+        ignore_index=True,  # expected count_s/65536 rows per source
+    ).sort_values(["source", "h", "doc_id"])
     keep_edge: set[int] = set()
     for s, g in edge.groupby("source"):
         keep_edge.update(
@@ -1149,7 +1174,10 @@ def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
         edge_keep = batch["doc_id"].isin(keep_edge).to_numpy()
         return batch.loc[below | edge_keep, ["doc_id", "source"]]
 
-    out = hashed.map_batches(keep, batch_format="pandas").to_pandas()
+    out = pd.concat(
+        ray.get([_mix_block.remote(keep, br) for br in block_refs]),
+        ignore_index=True,
+    )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
