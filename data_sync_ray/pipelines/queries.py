@@ -646,6 +646,77 @@ def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def token_commonness_docs(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM-style commonness scoring (the CCNet-ish quality
+    signal): build an exact top-1000 vocabulary with corpus counts
+    (reusing top_tokens' hash-partition heavy-hitters — no
+    vocabulary-sized sort), broadcast it once, then score every doc in
+    one map_batches probe: sum of vocabulary counts over its tokens plus
+    its out-of-vocabulary token count. Integer-only output, so the hash
+    cannot hinge on float log/probability rounding; a real LM would map
+    counts to -log p in the same probe. Zero-token docs are dropped
+    (the SQL explode produces no rows for them)."""
+    from ..functions.text import top_tokens
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    vocab_df = top_tokens(
+        _t(sf_dir, "documents", ["text"], num_blocks=16), k=1000
+    )
+    vocab = dict(
+        zip(vocab_df["token"], vocab_df["cnt"].astype(np.int64))
+    )
+    v_ref = ray.put(vocab)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(v_ref)
+        toks = batch.set_index("doc_id")["text"].str.split()
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tok": pd.Series([], dtype="int64"),
+                    "sum_freq": pd.Series([], dtype="int64"),
+                    "n_oov": pd.Series([], dtype="int64"),
+                }
+            )
+        freq = ex.map(v)
+        g = freq.groupby(level=0)
+        out = pd.DataFrame(
+            {
+                "n_tok": g.size().astype(np.int64),
+                "sum_freq": g.sum().astype(np.int64),
+                "n_oov": g.apply(lambda s: int(s.isna().sum())).astype(
+                    np.int64
+                ),
+            }
+        ).reset_index()
+        return out.astype({"doc_id": np.int64})
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_COMMONNESS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, count(*) AS cnt FROM w GROUP BY token
+  ORDER BY cnt DESC, token ASC LIMIT 1000
+)
+SELECT w.doc_id, count(*) AS n_tok,
+       CAST(coalesce(sum(v.cnt), 0) AS BIGINT) AS sum_freq,
+       CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM w LEFT JOIN vocab v USING (token)
+GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+
 # ties break (cnt DESC, token ASC) — stated identically in the engine
 TOP_TOKENS_SQL = r"""
 WITH w AS (
@@ -3298,6 +3369,7 @@ QUERIES: dict[str, tuple] = {
     "token_counts_docs": (token_counts_docs, TOKEN_COUNT_SQL),
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "top_tokens_docs": (top_tokens_docs, TOP_TOKENS_SQL),
+    "token_commonness_docs": (token_commonness_docs, TOKEN_COMMONNESS_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
     "quality_prune_docs": (quality_prune_docs, QUALITY_PRUNE_SQL),
