@@ -293,6 +293,9 @@ def _as_table(block) -> pa.Table:
 def _km_block_min_k(t, k: int) -> pd.DataFrame:
     """Per-block k smallest vec_ids (seed-candidate combiner)."""
     t = _as_table(t)
+    if t.num_rows == 0 or "vec_id" not in t.column_names:
+        # empty blocks after repartition may arrive COLUMN-LESS
+        return pd.DataFrame({"vec_id": [], "embedding": []})
     ids = t.column("vec_id").to_numpy()
     take = np.argsort(ids, kind="stable")[:k]
     return t.take(pa.array(take)).to_pandas()
@@ -307,6 +310,14 @@ def _km_block_partials(
     d-dim sum) partials."""
     t = _as_table(t)
     n = t.num_rows
+    if n == 0 or "vec_id" not in t.column_names:
+        # empty blocks after repartition may arrive COLUMN-LESS
+        k = Cm.shape[0]
+        return (
+            np.zeros(k, dtype=np.int64),
+            np.zeros(k, dtype=np.int64),
+            np.zeros_like(Cm),
+        )
     X = _flatten_matrix(t.column("embedding"), n)
     ids = t.column("vec_id").to_numpy()
     d2 = np.empty((n, Cm.shape[0]), dtype=np.float64)

@@ -54,6 +54,8 @@ def _mix_block(fn, block) -> pd.DataFrame:
     tasks beat one streaming-executor startup per pass)."""
     if not isinstance(block, pd.DataFrame):
         block = block.to_pandas()
+    if len(block) == 0:  # empty blocks may arrive COLUMN-LESS
+        return pd.DataFrame()
     return fn(block)
 
 

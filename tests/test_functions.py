@@ -478,6 +478,11 @@ class TestAnn:
         assert got["n_vecs"].sum() == len(X)
         again = kmeans_embeddings(ds, k=k, iters=iters, batch_size=17)
         pd.testing.assert_frame_equal(out, again)
+        # empty blocks (over-repartitioned tiny corpus) must be no-ops
+        sparse = kmeans_embeddings(
+            ds.repartition(200), k=k, iters=iters
+        )
+        pd.testing.assert_frame_equal(out, sparse)
 
     def test_mixture_resample_matches_bruteforce(self):
         """Histogram-walk + boundary-bucket selection must equal the
