@@ -26,7 +26,7 @@ if not os.path.isdir(ev_root):
     write_event_log(ev_root, epochs)
 
 cfg = SyncConfig(lake_root=os.path.join(workdir, "lake"), num_partitions=16,
-                 exchange_mode=mode)
+                 exchange_mode="spill" if mode == "compact" else mode)
 job = ReplayJob(cfg)
 
 if stop_after >= 0:
@@ -41,7 +41,21 @@ if stop_after >= 0:
     os._exit(137)
 
 done_before = job.lake.epochs_done()
-s = job.replay(ev_root, bootstrap=base)
+if mode == "compact":
+    # interleave aggressive auto-compaction between epochs so a chaos
+    # SIGKILL can land mid-compaction (tombstone retention, file_stats
+    # rewrite, and the time-travel guard must all survive the tear)
+    import ray.data as rd
+    job.bootstrap(base)
+    applied = 0
+    for e in range(spec.n_epochs):
+        rows = job.apply_epoch(
+            e, rd.read_parquet(os.path.join(ev_root, f"epoch={e:05d}")))
+        applied += sum(r["events_in"] for r in rows) if rows else 0
+        job.compact_if_needed(2)
+    s = {"epochs_run": spec.n_epochs, "events_applied": applied}
+else:
+    s = job.replay(ev_root, bootstrap=base)
 print(f"epochs_run={s['epochs_run']} events_applied={s['events_applied']} "
       f"skipped={sorted(done_before)}")
 
