@@ -25,8 +25,39 @@ ev_root = os.path.join(workdir, "events")
 if not os.path.isdir(ev_root):
     write_event_log(ev_root, epochs)
 
-cfg = SyncConfig(lake_root=os.path.join(workdir, "lake"), num_partitions=16,
-                 exchange_mode="spill" if mode == "compact" else mode)
+cfg = SyncConfig(
+    lake_root=os.path.join(workdir, "lake"), num_partitions=16,
+    exchange_mode="spill" if mode in ("compact", "multi") else mode,
+)
+
+if mode == "multi":
+    # single-pass two-table replay over the shared log; BOTH lakes must
+    # match their table-filtered oracles exactly (per-lake exactly-once
+    # commit logs resume independently after a kill)
+    from data_sync_ray.pipelines.multi import MultiTableReplay
+
+    multi = MultiTableReplay(cfg, ["docs", "ignored_tbl"])
+    s = multi.replay_single_pass(ev_root, bootstraps={"docs": base})
+    eq = True
+    for tbl, b in (("docs", base), ("ignored_tbl", None)):
+        got = multi.read_table(tbl).sort_by("doc_id")
+        want = replay_oracle(b, epochs, include_tables=(tbl,)).sort_by(
+            "doc_id"
+        )
+        ok = got.num_rows == want.num_rows
+        if ok:
+            g = got.select(want.column_names)
+            ok = g.combine_chunks().equals(want.combine_chunks())
+        print(f"table {tbl}: rows={got.num_rows} exact={ok}")
+        eq = eq and ok
+    print(f"exact_token_equality={eq} rows="
+          f"{sum(multi.read_table(t).num_rows for t in multi.tables)}")
+    ins = multi.inspect(ev_root)
+    worst = max(ins.values(), key=lambda r: r["lag"])
+    print(f"inspect: status {worst['status']}, lag {worst['lag']}")
+    ray.shutdown()
+    raise SystemExit(0)
+
 job = ReplayJob(cfg)
 
 if stop_after >= 0:
