@@ -106,23 +106,31 @@ def _gen_token_lists(
     return pa.chunked_array(chunks), lens.astype(np.int32)
 
 
-def _take_list32(
-    arr: pa.ListArray | pa.ChunkedArray, indices: pa.Array
-) -> pa.ListArray | pa.ChunkedArray:
-    """Chunk-safe random-access take over (possibly chunked) list<int32>.
-
-    ``ChunkedArray.take`` concatenates the chunks first, which overflows the
-    32-bit list offsets once the flat element count crosses 2^31 (measured:
-    the 96M-event soak fixture dies with "offset overflow while concatenating
-    arrays"). Route through large_list (64-bit offsets) for the concat+take,
-    then re-chunk the result back under LIST_OFFSET_BUDGET.
-    """
+def _as_takeable_list32(
+    arr: pa.ListArray | pa.ChunkedArray,
+) -> pa.Array:
+    """One-time conversion of a (possibly chunked) list<int32> column to a
+    single take-safe array. ``ChunkedArray.take`` concatenates the chunks
+    first, which overflows the 32-bit list offsets once the flat element
+    count crosses 2^31 (measured: the 96M-event soak fixture dies with
+    "offset overflow while concatenating arrays") — so multi-chunk input
+    concatenates ONCE through large_list (64-bit offsets). Hoist this out
+    of any per-epoch loop: the concat copies the whole flat buffer."""
     chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
     if len(chunks) == 1:
-        return chunks[0].take(indices)
-    big = pa.concat_arrays(
+        return chunks[0]
+    return pa.concat_arrays(
         [c.cast(pa.large_list(pa.int32())) for c in chunks]
-    ).take(indices)
+    )
+
+
+def _take_list32(takeable: pa.Array, indices: pa.Array):
+    """Random-access take over an `_as_takeable_list32` array, re-chunking
+    a large_list result back to list<int32> chunks under
+    LIST_OFFSET_BUDGET."""
+    if not pa.types.is_large_list(takeable.type):
+        return takeable.take(indices)
+    big = takeable.take(indices)
     offs = np.asarray(big.offsets, dtype=np.int64)
     values = big.values
     n = len(big)
@@ -231,6 +239,7 @@ def gen_change_stream(spec: StreamSpec) -> list[pa.Table]:
     table_col[decoy] = "ignored_tbl"
 
     tokens, n_tok = _gen_token_lists(rng, n, spec.min_tok, spec.max_tok)
+    tokens = _as_takeable_list32(tokens)  # one concat, reused every epoch
     # delete events carry only the key (ref: FilterDelete drops the payload,
     # /root/reference/src/service/mysql_filter_service.go:105-127) — the
     # payload columns are nulled per epoch after the take (nulling first and

@@ -368,7 +368,12 @@ def kmeans_embeddings(
     passes; centroids update after each pass but the last. Returns integer
     per-cluster stats of the final assignment (cluster, n_vecs, sum_vec_id)
     — integer-exact, so the DuckDB-oracle hash cannot hinge on float
-    summation order. `batch_size` is accepted for API symmetry; blocks
+    summation order. Residual cross-engine risk: centroid means are
+    float64 sums whose accumulation ORDER differs between engines, so a
+    vector within ulps of equidistant from two centroids could in
+    principle be assigned differently (same hazard class as any float
+    argmin oracle; with real-valued embeddings the min-distance gap is
+    ~1e-1 vs ~1e-15 noise). `batch_size` is accepted for API symmetry; blocks
     are the work unit (size them upstream via override_num_blocks /
     repartition if a block's (n, d) kernel scratch would outgrow memory).
     """
@@ -390,11 +395,23 @@ def kmeans_embeddings(
             }
         )
 
-    seed_parts = ray.get(
-        [_km_block_min_k.remote(br, k) for br in block_refs]
-    )
+    seed_parts = [
+        p
+        for p in ray.get(
+            [_km_block_min_k.remote(br, k) for br in block_refs]
+        )
+        if len(p)
+    ]
+    if not seed_parts:  # zero-row corpus can still materialize to blocks
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype=np.int64),
+                "n_vecs": pd.Series([], dtype=np.int64),
+                "sum_vec_id": pd.Series([], dtype=np.int64),
+            }
+        )
     seeds = (
-        pd.concat([p for p in seed_parts if len(p)], ignore_index=True)
+        pd.concat(seed_parts, ignore_index=True)
         .sort_values("vec_id")
         .head(k)
     )

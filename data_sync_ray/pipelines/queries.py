@@ -688,9 +688,7 @@ def token_commonness_docs(sf_dir: str) -> pd.DataFrame:
             {
                 "n_tok": g.size().astype(np.int64),
                 "sum_freq": g.sum().astype(np.int64),
-                "n_oov": g.apply(lambda s: int(s.isna().sum())).astype(
-                    np.int64
-                ),
+                "n_oov": (g.size() - g.count()).astype(np.int64),
             }
         ).reset_index()
         return out.astype({"doc_id": np.int64})
@@ -1175,6 +1173,14 @@ def mixture_resample_docs(sf_dir: str) -> pd.DataFrame:
     # blocks stay distributed and spill under pressure), then run each
     # pass as plain tasks over the cached block refs
     hashed = docs.map_batches(hashes, batch_format="pandas").materialize()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+        }
+    )
+    if hashed.count() == 0:  # _mix_block parts would be column-less
+        return empty
     block_refs = [
         br
         for bundle in hashed.iter_internal_ref_bundles()
@@ -1293,10 +1299,12 @@ def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
     everywhere: score = stop_hits * 1e6 // max(n_words, 1) (pure integer
     division on both engines), threshold = the k-th smallest score with
     k = (m*25 + 99) // 100 (the rank formula event_value_percentiles
-    pins). Two streaming passes, no shuffle: pass 1 reduces per-batch
-    (source, score) histograms (bounded: sources x distinct integer
-    scores, independent of corpus rows) to per-source thresholds on the
-    driver; pass 2 filters with the broadcast thresholds."""
+    pins). No shuffle: the scored 3-column projection materializes once
+    (the regex pass is the dominant cost — never run it twice); pass 1
+    reduces its per-batch (source, score) histograms (bounded: sources x
+    distinct integer scores, independent of corpus rows) to per-source
+    thresholds on the driver; pass 2 filters the cached blocks with the
+    broadcast thresholds."""
     import re as _re
 
     from ..functions.text import STOPWORDS
@@ -1327,9 +1335,11 @@ def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
         return g
 
     docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = docs.map_batches(
+        score, batch_format="pandas", batch_size=4096
+    ).materialize()
     partials = (
-        docs.map_batches(score, batch_format="pandas", batch_size=4096)
-        .map_batches(hist, batch_format="pandas")
+        scored.map_batches(hist, batch_format="pandas")
         .to_pandas()  # bounded histogram, never corpus rows
     )
     merged = (
@@ -1350,11 +1360,7 @@ def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
         t = batch["source"].map(thr).to_numpy(np.int64)
         return batch[batch["score_c"].to_numpy() >= t]
 
-    out = (
-        docs.map_batches(score, batch_format="pandas", batch_size=4096)
-        .map_batches(keep, batch_format="pandas")
-        .to_pandas()
-    )
+    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -34,6 +34,11 @@ if mode == "multi":
     # single-pass two-table replay over the shared log; BOTH lakes must
     # match their table-filtered oracles exactly (per-lake exactly-once
     # commit logs resume independently after a kill)
+    if stop_after >= 0:
+        raise SystemExit(
+            "multi mode has no stop_after crash probe — use chaos_kill's "
+            "random SIGKILL instead (refusing a silent full run)"
+        )
     from data_sync_ray.pipelines.multi import MultiTableReplay
 
     multi = MultiTableReplay(cfg, ["docs", "ignored_tbl"])
