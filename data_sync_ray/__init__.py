@@ -23,7 +23,12 @@ from .datamodel import (
     write_event_log,
 )
 from .pipelines.multi import MultiTableReplay
-from .pipelines.replay import ReplayJob, export_lake, read_lake
+from .pipelines.replay import (
+    ReplayJob,
+    export_lake,
+    export_lake_incremental,
+    read_lake,
+)
 from .sources.producer import EventLogProducer
 from .stages.merge import events_to_delta, fold_state, lww_winners, unify_concat
 from .stages.transform import (
@@ -72,6 +77,7 @@ __all__ = [
     "clear_custom_filters",
     "events_to_delta",
     "export_lake",
+    "export_lake_incremental",
     "fold_state",
     "gen_base_table",
     "gen_change_stream",

@@ -848,6 +848,102 @@ def export_lake(
     ).write_parquet(out_dir, partition_cols=partition_by)
 
 
+def export_lake_incremental(
+    lake_root: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """Incremental downstream publish: re-export ONLY the hash partitions
+    whose checkpoint fingerprint (md5 of the sorted `files` list — the
+    same invalidation key the materialized views use: the commit unit IS
+    the invalidation unit) moved since the last export. A tailing job can
+    keep a plain-Parquet mirror fresh at O(changed partitions) per round
+    instead of re-materializing the whole lake.
+
+    Layout: `out_dir/partition=P/part-0.parquet`, one file per hash
+    partition (resumable, partition-replaceable, never one giant file),
+    each padded to the lake's union schema so downstream readers see one
+    uniform table across schema evolution. `_EXPORT_MANIFEST.json`
+    records the per-partition fingerprints and is written atomically
+    AFTER all part files land — a crash mid-export leaves the manifest
+    at the previous version and the next run re-exports the changed
+    partitions (per-file tmp+rename writes make overwrite idempotent).
+    Partitions removed from the lake are swept from the mirror.
+
+    Returns {"exported": n_changed, "skipped": n_unchanged}."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from ..state.lake import atomic_write_json
+
+    lake = Lake(lake_root)
+    man_path = os.path.join(out_dir, "_EXPORT_MANIFEST.json")
+    try:
+        with open(man_path) as f:
+            man = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        man = {"partitions": {}}
+    schema = lake.union_schema()
+    if schema is not None and columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    fps: dict[int, str] = {}
+    todo: list[int] = []
+    for p in lake.partitions():
+        ck = lake.read_checkpoint(p)
+        fp = _hl.md5(
+            json.dumps(sorted(ck.get("files", []))).encode()
+        ).hexdigest()
+        fps[p] = fp
+        if man["partitions"].get(str(p), {}).get("fp") != fp:
+            todo.append(p)
+    if todo and schema is not None:
+        schema_ser = schema.serialize().to_pybytes()
+
+        def export_part(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            lk = Lake(lake_root)
+            sch = pa.ipc.read_schema(pa.py_buffer(schema_ser))
+            done = []
+            for p in t.column("partition").to_pylist():
+                part = lk.read_partition(p, columns=columns)
+                if part is None:
+                    part = sch.empty_table()
+                arrays = [
+                    part.column(f.name).cast(f.type)
+                    if f.name in part.column_names
+                    else pa.nulls(part.num_rows, f.type)
+                    for f in sch
+                ]
+                part = pa.Table.from_arrays(arrays, schema=sch)
+                pdir = os.path.join(out_dir, f"partition={p}")
+                os.makedirs(pdir, exist_ok=True)
+                final = os.path.join(pdir, "part-0.parquet")
+                tmp = f"{final}.tmp.{os.getpid()}"
+                _pq.write_table(part, tmp)
+                os.replace(tmp, final)
+                done.append(p)
+            return pa.table({"partition": pa.array(done, pa.int64())})
+
+        (
+            rd.from_items([{"partition": p} for p in todo])
+            .map_batches(export_part, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+    # sweep mirror dirs for partitions the lake no longer has
+    live = {f"partition={p}" for p in fps}
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("partition=") and name not in live:
+                _sh.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    atomic_write_json(
+        man_path,
+        {"partitions": {str(p): {"fp": fp} for p, fp in fps.items()}},
+    )
+    return {"exported": len(todo), "skipped": len(fps) - len(todo)}
+
+
 def read_lake(
     lake_root: str,
     concurrency: int | None = None,

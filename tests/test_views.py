@@ -300,3 +300,63 @@ def test_source_freshness_view(tmp_path):
     for s in got:
         if s != target_src:
             assert got3[s] == got[s]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_lake_incremental(tmp_path):
+    """Incremental mirror: first export writes every partition, steady
+    state writes none, a tiny epoch re-exports only its partitions, and
+    the mirror always reads back equal to the live lake state."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyarrow import concat_tables
+
+    from data_sync_ray.pipelines.replay import export_lake_incremental
+
+    spec = StreamSpec(n_events=600, n_docs=120, n_epochs=1, seed=41)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=120, seed=41)
+    job = make_job(str(tmp_path), num_partitions=8)
+    job.replay(ev_root, bootstrap=base)
+    out = os.path.join(str(tmp_path), "mirror")
+
+    def mirror_table():
+        parts = [
+            pq.read_table(os.path.join(out, d, "part-0.parquet"))
+            for d in sorted(os.listdir(out)) if d.startswith("partition=")
+        ]
+        return concat_tables(parts).sort_by("doc_id")
+
+    r1 = export_lake_incremental(job.cfg.lake_root, out)
+    assert r1 == {"exported": 8, "skipped": 0}
+    want = job.lake.read_all().sort_by("doc_id")
+    got = mirror_table().select(want.column_names)
+    assert got.combine_chunks().equals(want.combine_chunks())
+
+    # steady state: no checkpoint moved => nothing rewritten
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "part-0.parquet"))
+        for d in os.listdir(out) if d.startswith("partition=")
+    }
+    r2 = export_lake_incremental(job.cfg.lake_root, out)
+    assert r2 == {"exported": 0, "skipped": 8}
+
+    # a tiny epoch re-exports only the partitions it touched
+    tiny = gen_change_stream(
+        StreamSpec(n_events=6, n_docs=120, n_epochs=1, seed=43)
+    )[0]
+    tiny = tiny.filter(pc.equal(tiny.column("op"), "insert"))
+    assert tiny.num_rows > 0
+    job.apply_epoch(5, rd.from_arrow(tiny))
+    r3 = export_lake_incremental(job.cfg.lake_root, out)
+    assert 0 < r3["exported"] < 8
+    unchanged = [
+        d for d in mtimes
+        if os.path.getmtime(os.path.join(out, d, "part-0.parquet"))
+        == mtimes[d]
+    ]
+    assert len(unchanged) == 8 - r3["exported"]
+    want2 = job.lake.read_all().sort_by("doc_id")
+    got2 = mirror_table().select(want2.column_names)
+    assert got2.combine_chunks().equals(want2.combine_chunks())
