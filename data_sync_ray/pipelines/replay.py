@@ -405,6 +405,7 @@ class ReplayJob:
         inspect_every: int = 0,
         compact_over_fragments: int = 0,
         refresh_views: tuple[str, ...] = (),
+        export_dir: str | None = None,
     ) -> dict:
         """Continuous tailing loop — the reference's daemon mode (60s
         direct-sync ticker + 30s inspector, conf/iot.sync.toml:28-33) as a
@@ -476,6 +477,16 @@ class ReplayJob:
                     for name in refresh_views:
                         _, vr[name] = REGISTRY[name](self.cfg.lake_root)
                     totals["views_recomputed"] = vr
+                if export_dir is not None:
+                    # keep a plain-Parquet downstream mirror fresh at
+                    # O(changed partitions) per round (same fingerprint
+                    # gate as the views)
+                    er = export_lake_incremental(
+                        self.cfg.lake_root, export_dir
+                    )
+                    totals["exported_partitions"] = totals.get(
+                        "exported_partitions", 0
+                    ) + er["exported"]
             # sample EVERY round (pause included): a paused tail's rate
             # must decay to 0 for consume-rate alerting, not freeze at
             # its last running value — and the window must not span the

@@ -360,3 +360,29 @@ def test_export_lake_incremental(tmp_path):
     want2 = job.lake.read_all().sort_by("doc_id")
     got2 = mirror_table().select(want2.column_names)
     assert got2.combine_chunks().equals(want2.combine_chunks())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_keeps_export_mirror_fresh(tmp_path):
+    """tail(export_dir=...) republishes changed partitions per round and
+    the mirror ends equal to the lake."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyarrow import concat_tables
+
+    spec = StreamSpec(n_events=400, n_docs=80, n_epochs=2, seed=17)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=80, seed=17)
+    job = make_job(str(tmp_path), num_partitions=4)
+    out = os.path.join(str(tmp_path), "mirror")
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=2,
+                      bootstrap=base, export_dir=out)
+    # round 1 exports all 4 partitions; round 2 replays nothing new
+    assert totals["exported_partitions"] == 4
+    want = job.lake.read_all().sort_by("doc_id")
+    got = concat_tables([
+        pq.read_table(os.path.join(out, d, "part-0.parquet"))
+        for d in sorted(os.listdir(out)) if d.startswith("partition=")
+    ]).sort_by("doc_id").select(want.column_names)
+    assert got.combine_chunks().equals(want.combine_chunks())
