@@ -28,7 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", required=True, help="TOML job config")
     p.add_argument("--events", help="event-log root (epoch=K dirs)")
     p.add_argument("--snapshot", help="parquet snapshot path (bootstrap/repair)")
-    p.add_argument("--out", help="output dir (export)")
+    p.add_argument("--out", help="output dir (export; optional for tail: "
+                                  "incremental per-round mirror)")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--no-catch-up", action="store_true")
     p.add_argument("--poll-interval", type=float, default=5.0)
@@ -140,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         out = job.tail(args.events, poll_interval=args.poll_interval,
                        max_rounds=args.max_rounds, inspect_every=1,
                        compact_over_fragments=args.compact_over,
-                       refresh_views=views)
+                       refresh_views=views, export_dir=args.out)
     elif args.command == "bootstrap":
         out = {"partitions": len(job.bootstrap(rd.read_parquet(args.snapshot)))}
     elif args.command == "repair":
