@@ -390,3 +390,57 @@ class PIIRedactor:
 
 def redact_pii(ds, concurrency: int | None = None, batch_size: int = 2048):
     return _text_stage(ds, PIIRedactor, concurrency, batch_size)
+
+
+def bpe_merges(docs, n_merges: int = 40, vocab_words: int = 2000):
+    """Byte-pair-encoding merge training — the tokenizer-training step of
+    an LLM data pipeline.
+
+    Scale split is the standard one (SentencePiece/subword-nmt): the
+    corpus-scale work is EXACT word counting, which runs distributed
+    (top_tokens' hash-partition heavy-hitters — per-batch combiners, one
+    bounded exchange); the merge loop then trains on the bounded
+    (word, count) table driver-side, because pair statistics over a
+    capped vocabulary are O(vocab x word_len) per merge, independent of
+    corpus size. vocab_words caps the table with the deterministic
+    (count DESC, token ASC) tie rule — stated identically in the pinned
+    reference (tools/gen_fixtures.py bpe_ref), which shares no code with
+    this implementation.
+
+    Classic Sennrich formulation: each word is a symbol sequence of its
+    characters plus a terminal '</w>'; each round merges the most
+    frequent adjacent pair (count DESC, then lexicographically smallest
+    (left, right)) and records (rank, left, right, freq). Stops early
+    when no adjacent pair remains. Returns a pandas DataFrame — a small
+    result by contract (n_merges rows).
+    """
+    import pandas as pd
+
+    vocab = top_tokens(docs, k=vocab_words)
+    words = [
+        (list(w) + ["</w>"], int(c))
+        for w, c in zip(vocab["token"], vocab["cnt"])
+    ]
+    out = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((rank, left, right, freq))
+        merged = left + right
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return pd.DataFrame(
+        out, columns=["rank", "left", "right", "freq"]
+    ).astype({"rank": "int64", "freq": "int64"})

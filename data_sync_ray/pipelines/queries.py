@@ -717,6 +717,24 @@ GROUP BY w.doc_id ORDER BY w.doc_id
 """
 
 
+def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training: 40 merge rules learned from the corpus
+    (distributed exact word counting -> driver-side merge loop over the
+    bounded top-2000 word table — the standard tokenizer-training scale
+    split). Oracle: pinned fixture computed by the independent
+    Counter+re.sub reference in tools/gen_fixtures.py (tag-gated like
+    SIMHASH_SQL)."""
+    from ..functions.text import bpe_merges
+
+    return bpe_merges(
+        _t(sf_dir, "documents", ["text"], num_blocks=16),
+        n_merges=40, vocab_words=2000,
+    )
+
+
+# BPE_SQL is defined after _FIXTURE_DIR (tag-gated fixture oracle)
+
+
 # ties break (cnt DESC, token ASC) — stated identically in the engine
 TOP_TOKENS_SQL = r"""
 WITH w AS (
@@ -1948,6 +1966,21 @@ WITH t AS (
 SELECT f.doc_id, f.simhash_hex
 FROM read_parquet('{_FIXTURE_DIR}/simhash_*.parquet') f, t
 WHERE f.tag = t.tag
+"""
+
+
+#: pinned-fixture oracle for BPE merge training (tag-gated like
+#: SIMHASH_SQL); expected merges computed by the independent
+#: Counter+re.sub reference in tools/gen_fixtures.py bpe_ref
+BPE_SQL = f"""
+WITH t AS (
+  SELECT md5(text) AS tag FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+)
+SELECT f.rank, f.left, f.right, f.freq
+FROM read_parquet('{_FIXTURE_DIR}/bpe_*.parquet') f, t
+WHERE f.tag = t.tag
+ORDER BY f.rank
 """
 
 
@@ -3378,6 +3411,7 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "top_tokens_docs": (top_tokens_docs, TOP_TOKENS_SQL),
     "token_commonness_docs": (token_commonness_docs, TOKEN_COMMONNESS_SQL),
+    "bpe_merges_docs": (bpe_merges_docs, BPE_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
     "quality_prune_docs": (quality_prune_docs, QUALITY_PRUNE_SQL),

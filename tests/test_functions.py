@@ -755,3 +755,44 @@ class TestDecontaminationAndHygiene:
             "call [PHONE] or [PHONE]",
             "nothing sensitive here",
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpe:
+    def test_bpe_merges_match_independent_reference(self):
+        """Engine BPE (distributed counts + in-place list merges) must
+        equal tools/gen_fixtures.bpe_ref (Counter + re.sub strings) on a
+        corpus with known structure, including the greedy left-to-right
+        overlap rule ('aaaa') and the (count DESC, pair ASC) tie rule."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import importlib
+
+        gen_fixtures = importlib.import_module("gen_fixtures")
+
+        from data_sync_ray.functions.text import bpe_merges
+
+        rows = [
+            {"doc_id": 0, "text": "low low low lower lowest aaaa"},
+            {"doc_id": 1, "text": "new newer newest low aaaa aaaa"},
+            {"doc_id": 2, "text": "wider wide widest new low"},
+        ]
+        ds = _docs(rows)
+        got = bpe_merges(ds, n_merges=25, vocab_words=100)
+
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with tempfile.TemporaryDirectory() as d:
+            t = pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in rows],
+                                   pa.int64()),
+                "text": pa.array([r["text"] for r in rows]),
+            })
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            want = gen_fixtures.bpe_ref(d, n_merges=25, vocab_words=100)
+        assert [tuple(r) for r in got.itertuples(index=False)] == want

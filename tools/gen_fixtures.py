@@ -84,6 +84,46 @@ SELECT md5(embedding::VARCHAR) FROM read_parquet('{p}') WHERE vec_id = 0
 """
 
 
+def bpe_ref(sf_dir: str, n_merges: int = 40, vocab_words: int = 2000):
+    """Reference BPE merge training (Sennrich formulation), written from
+    first principles with Counter + the paper's space-joined-string
+    re.sub merge — deliberately sharing no code with
+    functions/text.bpe_merges. Word table: whitespace tokens, top
+    vocab_words by (count DESC, token ASC). Merge rule per round: most
+    frequent adjacent symbol pair, ties to the lexicographically
+    smallest (left, right); words start as chars + '</w>'."""
+    import re
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    counts = Counter()
+    for text in t.column("text").to_pylist():
+        counts.update(text.split())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:vocab_words]
+    table = {" ".join(list(w) + ["</w>"]): c for w, c in top}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for word, c in table.items():
+            syms = word.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), freq = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        merges.append((rank, left, right, freq))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)"
+        )
+        table = {
+            pat.sub(left + right, word): c for word, c in table.items()
+        }
+    return merges
+
+
 def gen_one(sf_dir: str, out_dir: str) -> None:
     import duckdb
 
@@ -124,6 +164,20 @@ def gen_one(sf_dir: str, out_dir: str) -> None:
     path2 = os.path.join(out_dir, f"lsh_topk_{emb_tag[:12]}.parquet")
     pq.write_table(out2, path2)
     print(f"wrote {path2}: {out2.num_rows} rows")
+
+    merges = bpe_ref(sf_dir)
+    out3 = pa.table(
+        {
+            "tag": pa.array([doc_tag] * len(merges)),
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges]),
+            "right": pa.array([m[2] for m in merges]),
+            "freq": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+    path3 = os.path.join(out_dir, f"bpe_{doc_tag[:12]}.parquet")
+    pq.write_table(out3, path3)
+    print(f"wrote {path3}: {out3.num_rows} rows")
 
 
 def gen_cdc_replay(out_dir: str) -> None:
