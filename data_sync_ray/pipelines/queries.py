@@ -747,40 +747,124 @@ ORDER BY cnt DESC, token ASC LIMIT 50
 """
 
 
-def asof_latest_order(sf_dir: str) -> pd.DataFrame:
+def asof_latest_order(
+    sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
+) -> pd.DataFrame:
     """As-of join: for each event, the most recent order of the same key
-    with o_orderdate <= ts. Ray path: broadcast the (small) orders side
-    sorted per key, pd.merge_asof per batch — the guide's as-of pattern;
-    at scale both sides bucket by key first."""
-    orders = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate", "o_orderkey"],
-    ).to_pandas()
-    # one row per (custkey, orderdate) — min orderkey — so the as-of match
-    # is deterministic on both sides (the SQL oracle dedups identically)
-    orders = (
-        orders.sort_values(["o_orderdate", "o_orderkey"])
-        .drop_duplicates(["o_custkey", "o_orderdate"], keep="first")
-        .reset_index(drop=True)
-    )
-    o_ref = ray.put(orders)
-
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(o_ref)
-        batch = batch.sort_values("ts").reset_index(drop=True)
-        out = pd.merge_asof(
-            batch, od, left_on="ts", right_on="o_orderdate",
-            left_by="user_id", right_by="o_custkey", direction="backward",
+    with o_orderdate <= ts. Size-based strategy selection (what a join
+    optimizer does): when the orders side is small by parquet METADATA
+    row count (no data read), broadcast it once (`ray.put`) and
+    merge_asof per event batch — no exchange at all; past
+    broadcast_limit, CO-PARTITION — both sides route to a fixed int
+    partition (key % P, the schema-aligned-union + single-key-groupby
+    co-group pattern the Jaccard verify uses) and one pd.merge_asof per
+    partition matches every key at once, so the join holds when orders
+    is as big as events. Both paths share the deterministic
+    (key, date) -> min-orderkey dedup and are pinned equal by pytest.
+    Partitioning assumption (copartition): one key's rows fit one task;
+    P scales with the data."""
+    if strategy == "auto":
+        meta_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "orders.parquet")
+        ).metadata.num_rows
+        strategy = (
+            "broadcast" if meta_rows <= broadcast_limit else "copartition"
         )
-        return out[["event_id", "user_id", "o_orderkey"]]
+    if strategy == "broadcast":
+        orders = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        ).to_pandas()
+        orders = (
+            orders.sort_values(["o_orderdate", "o_orderkey"])
+            .drop_duplicates(["o_custkey", "o_orderdate"], keep="first")
+            .reset_index(drop=True)
+        )
+        o_ref = ray.put(orders)
 
-    out = (
-        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .map_batches(join, batch_format="pandas")
+        def join(batch: pd.DataFrame) -> pd.DataFrame:
+            od = ray.get(o_ref)
+            batch = batch.sort_values("ts").reset_index(drop=True)
+            out = pd.merge_asof(
+                batch, od, left_on="ts", right_on="o_orderdate",
+                left_by="user_id", right_by="o_custkey",
+                direction="backward",
+            )
+            return out[["event_id", "user_id", "o_orderkey"]]
+
+        out = (
+            _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(join, batch_format="pandas")
+            .to_pandas()
+        )
+        out["o_orderkey"] = out["o_orderkey"].astype("float64")
+        return out
+
+    num_parts = 32
+
+    def route_events(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_part": key % num_parts,
+                "_tag": np.zeros(len(batch), dtype=np.int8),
+                "key": key,
+                "ts": batch["ts"].astype("datetime64[us]"),
+                "event_id": batch["event_id"].to_numpy(np.int64),
+                "o_orderkey": np.full(len(batch), np.nan),
+            }
+        )
+
+    def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["o_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_part": key % num_parts,
+                "_tag": np.ones(len(batch), dtype=np.int8),
+                "key": key,
+                "ts": pd.to_datetime(
+                    batch["o_orderdate"]
+                ).astype("datetime64[us]"),
+                "event_id": np.full(len(batch), -1, dtype=np.int64),
+                "o_orderkey": batch["o_orderkey"]
+                .to_numpy(np.int64)
+                .astype(np.float64),
+            }
+        )
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_tag"] == 0][["key", "ts", "event_id"]]
+        o = g[g["_tag"] == 1][["key", "ts", "o_orderkey"]]
+        # one row per (key, date) — min orderkey — so the as-of match is
+        # deterministic on both sides (the SQL oracle dedups identically)
+        o = (
+            o.sort_values(["ts", "o_orderkey"])
+            .drop_duplicates(["key", "ts"], keep="first")
+        )
+        out = pd.merge_asof(
+            e.sort_values("ts"), o.sort_values("ts"),
+            on="ts", by="key", direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].to_numpy(np.int64),
+                "user_id": out["key"].to_numpy(np.int64),
+                "o_orderkey": out["o_orderkey"].astype("float64"),
+            }
+        )
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        route_events, batch_format="pandas"
+    )
+    od = _t(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]
+    ).map_batches(route_orders, batch_format="pandas")
+    return (
+        ev.union(od)
+        .groupby("_part")
+        .map_groups(asof_part, batch_format="pandas")
         .to_pandas()
     )
-    out["o_orderkey"] = out["o_orderkey"].astype("float64")
-    return out
 
 
 ASOF_SQL = """

@@ -796,3 +796,18 @@ class TestBpe:
             pq.write_table(t, os.path.join(d, "documents.parquet"))
             want = gen_fixtures.bpe_ref(d, n_merges=25, vocab_words=100)
         assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_strategies_agree():
+    """The broadcast and co-partitioned as-of join paths must produce
+    identical matches (same dedup rule, same backward-inclusive
+    semantics)."""
+    from data_sync_ray.pipelines.queries import asof_latest_order
+
+    a = asof_latest_order(SF, strategy="broadcast")
+    b = asof_latest_order(SF, strategy="copartition")
+    key = ["event_id", "user_id", "o_orderkey"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
