@@ -2286,65 +2286,141 @@ WHERE f.tag = t.tag
 """
 
 
-def range_join_orders(sf_dir: str) -> pd.DataFrame:
-    """Range join: for each event, COUNT the user's orders in the
-    trailing 30-day window [ts - 30d, ts].
-
-    Expressed as TWO as-of joins over per-key cumulative order ranks:
-    count = rank_at(ts) - rank_at(ts - 30d - 1us). Both lookups are
-    vectorized pd.merge_asof against the broadcast (small) orders side;
-    at scale bucket both sides by the key first — the two-as-of
-    composition is unchanged per bucket (SURVEY §2 custom-operator
-    rule a)."""
-    orders = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate"],
-    ).to_pandas()
-    # ns units on both sides: merge_asof requires identical datetime dtypes
-    # (events' ts arrives as datetime64[us] from Arrow)
-    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"]).astype(
-        "datetime64[ns]"
-    )
-    # ONE stable sort by date serves both needs: per-key dates are then
-    # ascending (cumcount ranks correctly) and merge_asof's global
-    # on-key order holds
+def _rank_orders(orders: pd.DataFrame) -> pd.DataFrame:
+    """ONE stable sort by date serves both needs: per-key dates are then
+    ascending (cumcount ranks correctly) and merge_asof's global on-key
+    order holds."""
     od = orders.sort_values("o_orderdate", kind="stable").reset_index(
         drop=True
     )
     od["rank"] = od.groupby("o_custkey").cumcount() + 1
-    o_ref = ray.put(od)
+    return od
 
-    def count30(batch: pd.DataFrame) -> pd.DataFrame:
-        od_ = ray.get(o_ref)
 
-        def rank_at(ts_col: pd.Series) -> pd.Series:
-            probe = pd.DataFrame(
-                {"event_id": batch["event_id"], "user_id": batch["user_id"],
-                 "_ts": ts_col.astype("datetime64[ns]")}
-            ).sort_values("_ts", kind="stable")
-            m = pd.merge_asof(
-                probe, od_, left_on="_ts", right_on="o_orderdate",
-                left_by="user_id", right_by="o_custkey",
-                direction="backward",
-            )
-            return pd.Series(
-                m["rank"].fillna(0).to_numpy(),
-                index=m["event_id"].to_numpy(),
-            )
+def _count30_kernel(batch: pd.DataFrame, od_: pd.DataFrame) -> pd.DataFrame:
+    """count = rank_at(ts) - rank_at(ts - 30d - 1us): two vectorized
+    as-of lookups against a ranked orders frame."""
 
-        hi = rank_at(batch["ts"])
-        lo = rank_at(
-            batch["ts"] - pd.Timedelta(days=30) - pd.Timedelta(microseconds=1)
+    def rank_at(ts_col: pd.Series) -> pd.Series:
+        probe = pd.DataFrame(
+            {"event_id": batch["event_id"], "user_id": batch["user_id"],
+             "_ts": ts_col.astype("datetime64[ns]")}
+        ).sort_values("_ts", kind="stable")
+        m = pd.merge_asof(
+            probe, od_, left_on="_ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey",
+            direction="backward",
         )
-        ids = batch["event_id"].to_numpy()
-        n = (hi.loc[ids].to_numpy() - lo.loc[ids].to_numpy()).astype(
-            np.int64
+        return pd.Series(
+            m["rank"].fillna(0).to_numpy(),
+            index=m["event_id"].to_numpy(),
         )
-        return pd.DataFrame({"event_id": ids, "n_orders_30d": n})
 
+    hi = rank_at(batch["ts"])
+    lo = rank_at(
+        batch["ts"] - pd.Timedelta(days=30) - pd.Timedelta(microseconds=1)
+    )
+    ids = batch["event_id"].to_numpy()
+    n = (hi.loc[ids].to_numpy() - lo.loc[ids].to_numpy()).astype(np.int64)
+    return pd.DataFrame({"event_id": ids, "n_orders_30d": n})
+
+
+def range_join_orders(
+    sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
+) -> pd.DataFrame:
+    """Range join: for each event, COUNT the user's orders in the
+    trailing 30-day window [ts - 30d, ts].
+
+    Expressed as TWO as-of joins over per-key cumulative order ranks:
+    count = rank_at(ts) - rank_at(ts - 30d - 1us). Size-based strategy
+    selection like asof_latest_order: a small orders side (by parquet
+    metadata) is ranked once and broadcast; past broadcast_limit both
+    sides co-partition on key % P and the identical two-as-of
+    composition runs per partition (SURVEY §2 custom-operator rule a) —
+    no broadcast, no driver materialization. Both paths pinned equal by
+    pytest."""
+    if strategy == "auto":
+        meta_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "orders.parquet")
+        ).metadata.num_rows
+        strategy = (
+            "broadcast" if meta_rows <= broadcast_limit else "copartition"
+        )
+    if strategy == "broadcast":
+        orders = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate"],
+        ).to_pandas()
+        # ns units on both sides: merge_asof requires identical datetime
+        # dtypes (events' ts arrives as datetime64[us] from Arrow)
+        orders["o_orderdate"] = pd.to_datetime(
+            orders["o_orderdate"]
+        ).astype("datetime64[ns]")
+        o_ref = ray.put(_rank_orders(orders))
+
+        def count30(batch: pd.DataFrame) -> pd.DataFrame:
+            return _count30_kernel(batch, ray.get(o_ref))
+
+        return (
+            _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(count30, batch_format="pandas")
+            .to_pandas()
+        )
+
+    num_parts = 32
+
+    def route_events(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_part": key % num_parts,
+                "_tag": np.zeros(len(batch), dtype=np.int8),
+                "key": key,
+                "ts": batch["ts"].astype("datetime64[ns]"),
+                "event_id": batch["event_id"].to_numpy(np.int64),
+            }
+        )
+
+    def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["o_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_part": key % num_parts,
+                "_tag": np.ones(len(batch), dtype=np.int8),
+                "key": key,
+                "ts": pd.to_datetime(
+                    batch["o_orderdate"]
+                ).astype("datetime64[ns]"),
+                "event_id": np.full(len(batch), -1, dtype=np.int64),
+            }
+        )
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_tag"] == 0]
+        e = pd.DataFrame(
+            {"event_id": e["event_id"].to_numpy(np.int64),
+             "user_id": e["key"].to_numpy(np.int64),
+             "ts": e["ts"]}
+        )
+        o = g[g["_tag"] == 1]
+        od_ = _rank_orders(
+            pd.DataFrame(
+                {"o_custkey": o["key"].to_numpy(np.int64),
+                 "o_orderdate": o["ts"]}
+            )
+        )
+        return _count30_kernel(e, od_)
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        route_events, batch_format="pandas"
+    )
+    od = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        route_orders, batch_format="pandas"
+    )
     return (
-        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .map_batches(count30, batch_format="pandas")
+        ev.union(od)
+        .groupby("_part")
+        .map_groups(count_part, batch_format="pandas")
         .to_pandas()
     )
 

@@ -811,3 +811,15 @@ def test_asof_strategies_agree():
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_strategies_agree():
+    from data_sync_ray.pipelines.queries import range_join_orders
+
+    a = range_join_orders(SF, strategy="broadcast")
+    b = range_join_orders(SF, strategy="copartition")
+    key = ["event_id", "n_orders_30d"]
+    a = a[key].sort_values("event_id").reset_index(drop=True)
+    b = b[key].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
