@@ -905,7 +905,13 @@ def export_lake_incremental(
             json.dumps(sorted(ck.get("files", []))).encode()
         ).hexdigest()
         fps[p] = fp
-        if man["partitions"].get(str(p), {}).get("fp") != fp:
+        part_file = os.path.join(out_dir, f"partition={p}", "part-0.parquet")
+        # fingerprint match alone is not enough: a manually-deleted (or
+        # never-landed) part file must re-publish even when the lake
+        # hasn't moved
+        if man["partitions"].get(str(p), {}).get(
+            "fp"
+        ) != fp or not os.path.exists(part_file):
             todo.append(p)
     if todo and schema is not None:
         schema_ser = schema.serialize().to_pybytes()

@@ -386,3 +386,48 @@ def test_tail_keeps_export_mirror_fresh(tmp_path):
         for d in sorted(os.listdir(out)) if d.startswith("partition=")
     ]).sort_by("doc_id").select(want.column_names)
     assert got.combine_chunks().equals(want.combine_chunks())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_mirror_heals_torn_state(tmp_path):
+    """Crash-shaped damage heals on the next export round: a deleted
+    manifest re-publishes everything; a deleted part file re-publishes
+    just that partition (fingerprint match is not trusted over a
+    missing file); stray tmp files never shadow the real part."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyarrow import concat_tables
+
+    from data_sync_ray.pipelines.replay import export_lake_incremental
+
+    spec = StreamSpec(n_events=500, n_docs=100, n_epochs=1, seed=53)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec,
+                                          n_base=100, seed=53)
+    job = make_job(str(tmp_path), num_partitions=4)
+    job.replay(ev_root, bootstrap=base)
+    out = os.path.join(str(tmp_path), "mirror")
+    export_lake_incremental(job.cfg.lake_root, out)
+    want = job.lake.read_all().sort_by("doc_id")
+
+    def mirror():
+        return concat_tables([
+            pq.read_table(os.path.join(out, d, "part-0.parquet"))
+            for d in sorted(os.listdir(out)) if d.startswith("partition=")
+        ]).sort_by("doc_id").select(want.column_names)
+
+    # torn manifest: everything re-publishes, state unchanged
+    os.unlink(os.path.join(out, "_EXPORT_MANIFEST.json"))
+    r = export_lake_incremental(job.cfg.lake_root, out)
+    assert r["exported"] == 4
+    assert mirror().combine_chunks().equals(want.combine_chunks())
+
+    # missing part file with a CURRENT manifest: only it re-publishes
+    victim = os.path.join(out, "partition=2", "part-0.parquet")
+    os.unlink(victim)
+    with open(victim + ".tmp.999", "w") as f:
+        f.write("torn")  # stray tmp from a killed writer
+    r2 = export_lake_incremental(job.cfg.lake_root, out)
+    assert r2 == {"exported": 1, "skipped": 3}
+    assert os.path.exists(victim)
+    assert mirror().combine_chunks().equals(want.combine_chunks())
