@@ -6,8 +6,10 @@
 - LSH-bucketed ANN: seeded random-hyperplane signatures bucket the corpus;
   a query probes its own bucket (+ multiprobe neighbors). The scale path:
   the bucket stage is a hash shuffle; per-bucket search is local.
-- Embedding-cosine near-dup: block x corpus matmul, emit pairs over a
-  threshold (broadcast corpus here; IVF/LSH blocking is the 100 TB path).
+- Embedding-cosine near-dup: exact block-pair sweep (raw Ray task per
+  materialized block pair — no corpus broadcast), plus the linear-cost
+  hyperplane-band LSH variant for high thresholds (the 100 TB path).
+- Distributed k-means: full-corpus Lloyd over cached block refs.
 """
 
 from __future__ import annotations

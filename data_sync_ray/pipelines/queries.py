@@ -6,8 +6,11 @@ Column names (incl. aggregates) match EXACTLY between both sides; float
 aggregates are rounded identically on both sides so order-of-addition
 noise cannot flip the value hash.
 
-Queries marked oracle=None are non-SQL-expressible (approximate /
-stateful / full-engine pipelines) — the driver records rows-only checks.
+Non-SQL-expressible semantics (SimHash, LSH top-k, BPE, the full CDC
+replay) use pinned per-scale fixtures computed by independent reference
+implementations (tools/gen_fixtures.py), tag-gated so the static SQL
+self-selects the right fixture — every registered query carries an
+oracle; none fall back to rows-only checks.
 """
 
 from __future__ import annotations
