@@ -340,6 +340,9 @@ def orders_customer_hash_join(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out["sum_totalprice"] = out["sum_totalprice"] / 100.0
+    # Ray's hash-join/groupby promotes the int32 parquet key to int64;
+    # restore the source dtype so the frame matches the oracle exactly
+    out["c_nationkey"] = out["c_nationkey"].astype("int32")
     return out
 
 
@@ -476,7 +479,7 @@ WITH li AS (
                   AS BIGINT)) AS rev_c
   FROM lineitem GROUP BY 1
 )
-SELECT o_custkey, sum(rev_c) AS revenue_cents
+SELECT o_custkey, CAST(sum(rev_c) AS BIGINT) AS revenue_cents
 FROM li
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -580,8 +583,9 @@ WITH marked AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT *, sum(new_session) OVER
-            (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_id
+  SELECT *, CAST(sum(new_session) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT)
+            AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -636,9 +640,9 @@ def user_rolling_window(sf_dir: str) -> pd.DataFrame:
 
 ROLLING_SQL = """
 SELECT user_id, event_id,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_sum_cents
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3_sum_cents
 FROM events
 """
 
@@ -1197,7 +1201,7 @@ cum AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
   FROM tok
 )
-SELECT part, cum_excl // 512 AS bin, count(*) AS n_docs,
+SELECT part, CAST(cum_excl // 512 AS BIGINT) AS bin, count(*) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS sum_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM cum GROUP BY part, bin ORDER BY part, bin
@@ -1738,7 +1742,8 @@ lang AS (
             ELSE 'es' END AS pred_lang
   FROM h
 )
-SELECT pred_lang, count(*) AS n_docs, sum(n_words) AS total_words
+SELECT pred_lang, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
 FROM lang GROUP BY pred_lang
 """
 

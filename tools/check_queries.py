@@ -50,6 +50,15 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if len(g) == len(w):
         for c in g.columns:
             gc, wc = g[c], w[c]
+            # The driver hashes stringified values, so int64 4059 vs float64
+            # 4059.0 is a hard mismatch even when numerically identical —
+            # require exact dtype parity so that class can never pass locally
+            # (round-1 AND round-2 both shipped uncast HUGEINT oracle sums).
+            if gc.dtype != wc.dtype:
+                problems.append(
+                    f"col {c}: dtype mismatch ray={gc.dtype} sql={wc.dtype}"
+                )
+                continue
             try:
                 if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(wc):
                     ok = (
