@@ -470,7 +470,7 @@ def _block_pair_scores(
     )
     if ta.num_rows == 0 or (not same and tb.num_rows == 0):
         return empty  # repartition can hand out empty blocks
-    A = _stack(ta.column("embedding").to_pylist())
+    A = _flatten_matrix(ta.column("embedding"), ta.num_rows)
     ids_a = ta.column("vec_id").to_numpy()
     if same:
         S = A @ A.T
@@ -478,7 +478,7 @@ def _block_pair_scores(
         m = S[iu, ju] >= threshold
         a, b, c = ids_a[iu[m]], ids_a[ju[m]], S[iu, ju][m]
     else:
-        B = _stack(tb.column("embedding").to_pylist())
+        B = _flatten_matrix(tb.column("embedding"), tb.num_rows)
         ids_b = tb.column("vec_id").to_numpy()
         S = A @ B.T
         ai, bj = np.nonzero(S >= threshold)
@@ -508,11 +508,11 @@ def cosine_near_dup_pairs(
     """
 
     def pack(t: pa.Table) -> pa.Table:
-        M = _normalize(_stack(t.column("embedding").to_pylist()))
+        M = _normalize(_flatten_matrix(t.column("embedding"), t.num_rows))
         return pa.table(
             {
                 "vec_id": t.column("vec_id").combine_chunks().cast(pa.int64()),
-                "embedding": pa.array(list(M), pa.list_(pa.float64())),
+                "embedding": _uniform_list_array(M),
             }
         )
 

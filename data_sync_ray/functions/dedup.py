@@ -433,28 +433,22 @@ def _attach_shingles(
         # re-inferred as Ray's variable-shaped-tensor extension type, which
         # the next round's cast to list<int64> rejects
         is_sh = g["_is_sh"].to_numpy() == 1
-        lut = dict(zip(g.loc[is_sh, "_id"], g.loc[is_sh, "_sh"]))
-        m = g.loc[~is_sh]
+        sh = g.loc[is_sh, ["_id", "_sh"]]
+        m = g.loc[~is_sh].drop(columns=["_sh"])
         if dedup_pairs:
             # every copy of a pair shares `side`, hence this partition —
             # the in-group distinct is global, saving a dedicated
             # dedup exchange upstream
             m = m.drop_duplicates(["doc_a", "doc_b"])
-        att = [lut.get(i) for i in m["_id"]]
-        keep = np.array([a is not None for a in att], dtype=bool)
-        m = m.loc[keep]
+        # vectorized hash join; inner drops pairs whose doc has no shingles
+        m = m.merge(sh, on="_id", how="inner")
         cols = {
             "doc_a": pa.array(m["doc_a"].to_numpy(), pa.int64()),
             "doc_b": pa.array(m["doc_b"].to_numpy(), pa.int64()),
         }
         for c in carry:
-            cols[c] = pa.array(
-                [np.asarray(v, dtype=np.int64) for v in m[c]], _SH_TYPE
-            )
-        cols[out_col] = pa.array(
-            [np.asarray(a, dtype=np.int64) for a in att if a is not None],
-            _SH_TYPE,
-        )
+            cols[c] = pa.array(m[c].to_list(), _SH_TYPE)
+        cols[out_col] = pa.array(m["_sh"].to_list(), _SH_TYPE)
         return pa.table(cols)
 
     return unioned.groupby("_part").map_groups(attach, batch_format="pandas")
@@ -466,7 +460,7 @@ def verify_jaccard(
     threshold: float,
     k: int = 3,
     id_col: str = "doc_id",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Exact word-k-gram Jaccard on candidate pairs — DISTRIBUTED.
 
@@ -505,6 +499,15 @@ def verify_jaccard(
     shingles = docs.map_batches(
         shingles_of, batch_format="pandas"
     ).materialize()
+    if num_partitions is None:
+        # both inputs are materialized, so count() is metadata-free; one
+        # group task holds ~1/num_partitions of EVERY doc's shingle list
+        # (all docs route through the exchange, non-candidates drop at the
+        # join) plus its pair rows — size so a task sees ~64k rows instead
+        # of pinning a constant that a 100x corpus would overflow
+        num_partitions = int(
+            max(8, min(256, (shingles.count() + 2 * pairs.count()) // 65536 + 1))
+        )
     j1 = _attach_shingles(
         pairs, shingles, side="doc_a", out_col="sh_a", carry=(),
         num_parts=num_partitions, id_col=id_col, dedup_pairs=True,

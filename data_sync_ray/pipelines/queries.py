@@ -44,6 +44,24 @@ def _t(sf_dir: str, name: str, columns=None, num_blocks=None) -> rd.Dataset:
     )
 
 
+def _parts_for(
+    sf_dir: str, name: str, rows_per_part: int = 500_000,
+    lo: int | None = None, hi: int = 256,
+) -> int:
+    """Exchange partition count derived from parquet METADATA row count
+    (no data read) — replaces the bench-tuned constants round 2 pinned.
+    rows_per_part caps the group frame a task must hold (the memory
+    bound that governs at scale); lo floors parallelism at the cluster
+    CPU count so small inputs still spread (default when None); hi
+    bounds tiny-group scheduling overhead."""
+    if lo is None:
+        lo = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    meta_rows = pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")
+    ).metadata.num_rows
+    return int(max(lo, min(hi, meta_rows // rows_per_part + 1)))
+
+
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, n in cols.items():
         df[c] = df[c].astype("float64").round(n)
@@ -325,10 +343,15 @@ def orders_customer_hash_join(sf_dir: str) -> pd.DataFrame:
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     # Ray's hash join spins one aggregator per partition and its cost is
     # dominated by that fixed overhead at bench scale (measured 2.9s at
-    # 4 partitions vs 9.6s at 32 on the same input); size num_partitions
-    # to rows/cluster in a real deployment
+    # 4 partitions vs 9.6s at 32 on the same input), so the partition
+    # count grows with METADATA rows from a floor of 4 rather than
+    # pinning either extreme: ~2M join rows per partition keeps the
+    # per-partition build within a task heap at scale
     joined = orders.join(
-        cust, join_type="inner", num_partitions=4,
+        cust, join_type="inner",
+        num_partitions=_parts_for(
+            sf_dir, "orders", rows_per_part=2_000_000, lo=4, hi=64
+        ),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     out = (
@@ -355,28 +378,87 @@ GROUP BY c_nationkey
 """
 
 
-def top_customer_revenue(sf_dir: str) -> pd.DataFrame:
+def _bloom_mix(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) splitmix-style 64-bit hashes for double-hashing bloom
+    positions pos_i = (h1 + i*h2) & (nbits-1) — fully vectorized, no
+    per-key Python. Internal prefilter only (exactness comes from the
+    downstream co-partitioned membership check), so unlike sketch.py's
+    md5 blooms it needs no cross-engine reproducibility."""
+    k = k.astype(np.uint64)
+    h = k * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(29)
+    return h, (h >> np.uint64(32)) | np.uint64(1)
+
+
+def _bloom_build(keys: np.ndarray, nbits: int, d: int = 3) -> np.ndarray:
+    bits = np.zeros(nbits, dtype=bool)
+    h1, h2 = _bloom_mix(keys)
+    m = np.uint64(nbits - 1)
+    for i in range(d):
+        bits[(h1 + np.uint64(i) * h2) & m] = True
+    return np.packbits(bits)
+
+
+def _bloom_probe(keys: np.ndarray, packed: np.ndarray, nbits: int,
+                 d: int = 3) -> np.ndarray:
+    """Membership mask, probing the PACKED bitmap directly (no unpack:
+    at scale nbits is 10 bits/key and an unpacked copy per batch would
+    be the allocation hot spot)."""
+    h1, h2 = _bloom_mix(keys)
+    m = np.uint64(nbits - 1)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(d):
+        pos = ((h1 + np.uint64(i) * h2) & m).astype(np.int64)
+        ok &= (packed[pos >> 3] >> (7 - (pos & 7)) & 1).astype(bool)
+    return ok
+
+
+def top_customer_revenue(
+    sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
+) -> pd.DataFrame:
     """Three-way join (lineitem ⋈ orders ⋈ customer) a la TPC-H Q3:
     top-10 BUILDING-segment customers by lineitem revenue. Shapes by
     side size: lineitem pre-aggregates per order INSIDE map_batches (the
-    combiner — the biggest table never shuffles raw), orders⋈partials is
-    the one shuffle join, customer segment membership broadcasts as a
-    key set, and top-k reduces per-partition before a bounded driver
-    merge. Revenue in integer cents (identical expression in the SQL
-    oracle) so the hash is order-insensitive."""
+    combiner — the biggest table never shuffles raw) and orders⋈partials
+    is the one shuffle join on both paths. The segment membership side
+    switches by customer METADATA row count: small → broadcast the exact
+    key set; large → broadcast a constant-rate (10 bits/key) bloom
+    PREFILTER and co-partition the BUILDING keys into the final custkey
+    exchange for an exact membership check (bloom false positives drop
+    there), so nothing broadcast grows past bits-per-key. Top-k reduces
+    per-partition before a bounded driver merge. Revenue in integer
+    cents (identical expression in the SQL oracle) so the hash is
+    order-insensitive. Paths pytest-pinned equal."""
     import ray as _ray
 
-    num_parts = 16
-    building = set(
-        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(
-            lambda b: b.loc[b["c_mktsegment"] == "BUILDING",
-                            ["c_custkey"]],
-            batch_format="pandas",
-        )
-        .to_pandas()["c_custkey"]
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+    if strategy == "auto":
+        strategy = "broadcast" if n_cust <= broadcast_limit else "bloom"
+    num_parts = _parts_for(sf_dir, "orders")
+
+    building_ds = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
     )
-    b_ref = _ray.put(building)
+    if strategy == "broadcast":
+        building = set(building_ds.to_pandas()["c_custkey"])
+        b_ref = _ray.put(building)
+    else:
+        nbits = 1 << max(16, int(np.ceil(np.log2(n_cust * 10))))
+        parts = building_ds.map_batches(
+            lambda b: pd.DataFrame({"bm": [_bloom_build(
+                b["c_custkey"].to_numpy(dtype=np.int64), nbits
+            ).tobytes()]}),
+            batch_format="pandas", batch_size=262144,
+        ).take_all()  # nbits/8 bytes per build batch, OR-merged once
+        packed = np.zeros(nbits // 8, dtype=np.uint8)
+        for r in parts:
+            packed |= np.frombuffer(r["bm"], dtype=np.uint8)
+        b_ref = _ray.put(packed)
 
     def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(
@@ -410,7 +492,12 @@ def top_customer_revenue(sf_dir: str) -> pd.DataFrame:
 
     def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
         bs = _ray.get(b_ref)
-        batch = batch[batch["o_custkey"].isin(bs)]
+        if strategy == "broadcast":
+            batch = batch[batch["o_custkey"].isin(bs)]
+        else:
+            batch = batch[_bloom_probe(
+                batch["o_custkey"].to_numpy(dtype=np.int64), bs, nbits
+            )]
         k = batch["o_orderkey"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {"_part": k % num_parts, "okey": k,
@@ -424,21 +511,27 @@ def top_customer_revenue(sf_dir: str) -> pd.DataFrame:
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         is_o = g["custkey"].to_numpy() >= 0
-        lut = dict(zip(g.loc[is_o, "okey"], g.loc[is_o, "custkey"]))
-        li_rows = g.loc[~is_o]
-        ck = li_rows["okey"].map(lut)
-        keep = ck.notna()
-        out = pd.DataFrame(
-            {"o_custkey": ck[keep].astype("int64"),
-             "rev_c": li_rows.loc[keep, "rev_c"]}
+        om = g.loc[is_o, ["okey", "custkey"]]
+        # vectorized hash join (inner drops lineitems of non-candidate
+        # orders) — not a per-row dict LUT
+        m = g.loc[~is_o, ["okey", "rev_c"]].merge(om, on="okey", how="inner")
+        out = (
+            m.groupby("custkey", as_index=False)["rev_c"].sum()
+            .rename(columns={"custkey": "o_custkey"})
         )
-        out = out.groupby("o_custkey", as_index=False)["rev_c"].sum()
+        out["_mem"] = np.zeros(len(out), dtype=np.int8)
         out["_ppart"] = (
             out["o_custkey"].to_numpy(dtype=np.int64) % num_parts
         )
         return out
 
     def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        if strategy != "broadcast":
+            # exact membership check: bloom false positives die here
+            mem = g["_mem"].to_numpy() == 1
+            members = np.unique(g.loc[mem, "o_custkey"].to_numpy(np.int64))
+            g = g.loc[~mem]
+            g = g[np.isin(g["o_custkey"].to_numpy(np.int64), members)]
         s = (
             g.groupby("o_custkey", as_index=False)["rev_c"].sum()
             .sort_values(["rev_c", "o_custkey"],
@@ -447,12 +540,28 @@ def top_customer_revenue(sf_dir: str) -> pd.DataFrame:
         )
         return s[["o_custkey", "rev_c"]]
 
-    cand = (
+    pre = (
         li.map_batches(route_li, batch_format="pandas",
                        batch_size=65536)
         .union(orders)
         .groupby("_part")
         .map_groups(attach, batch_format="pandas")
+    )
+    if strategy != "broadcast":
+        def route_members(batch: pd.DataFrame) -> pd.DataFrame:
+            k = batch["c_custkey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"o_custkey": k,
+                 "rev_c": np.zeros(len(k), dtype=np.int64),
+                 "_mem": np.ones(len(k), dtype=np.int8),
+                 "_ppart": k % num_parts}
+            )
+
+        pre = pre.union(building_ds.map_batches(
+            route_members, batch_format="pandas", batch_size=65536
+        ))
+    cand = (
+        pre
         .map_batches(lambda b: b, batch_format="pyarrow",
                      batch_size=65536)  # coalesce pre-exchange blocks
         .groupby("_ppart")
@@ -490,20 +599,73 @@ LIMIT 10
 """
 
 
-def semi_anti_join_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast semi/anti filter: customers with vs without orders
-    (ref J1's existence-check semi-join, broadcast key set)."""
-    keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    key_ref = ray.put(keys)
+def semi_anti_join_orders(
+    sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
+) -> pd.DataFrame:
+    """Semi/anti filter: customers with vs without orders (ref J1's
+    existence-check semi-join). Size-based strategy selection like the
+    as-of join: while the build side is small by parquet METADATA row
+    count, broadcast its distinct key set once; past broadcast_limit the
+    key set is GBs, so CO-PARTITION instead — both sides route to
+    key % P (schema-aligned union + single-int-key groupby, the repo's
+    manual hash-join shape) and each group answers membership with one
+    vectorized isin. Both paths pytest-pinned equal."""
+    if strategy == "auto":
+        meta_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "orders.parquet")
+        ).metadata.num_rows
+        strategy = (
+            "broadcast" if meta_rows <= broadcast_limit else "copartition"
+        )
+    if strategy == "broadcast":
+        keys = set(_t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+        key_ref = ray.put(keys)
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(key_ref)
-        batch["has_orders"] = batch["c_custkey"].isin(ks)
-        return batch[["c_custkey", "has_orders"]]
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(key_ref)
+            batch["has_orders"] = batch["c_custkey"].isin(ks)
+            return batch[["c_custkey", "has_orders"]]
 
-    return _t(sf_dir, "customer", ["c_custkey"]).map_batches(
-        tag, batch_format="pandas"
-    ).to_pandas()
+        return _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+            tag, batch_format="pandas"
+        ).to_pandas()
+
+    num_parts = _parts_for(sf_dir, "orders")
+
+    def route_o(batch: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(batch["o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"_part": k % num_parts, "k": k,
+             "_is_probe": np.zeros(len(k), dtype=np.int8)}
+        )
+
+    def route_c(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"_part": k % num_parts, "k": k,
+             "_is_probe": np.ones(len(k), dtype=np.int8)}
+        )
+
+    def member(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g["_is_probe"].to_numpy() == 1
+        build = np.unique(g.loc[~probe, "k"].to_numpy(dtype=np.int64))
+        ck = g.loc[probe, "k"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"c_custkey": ck, "has_orders": np.isin(ck, build)}
+        )
+
+    return (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .map_batches(route_o, batch_format="pandas", batch_size=65536)
+        .union(
+            _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+                route_c, batch_format="pandas", batch_size=65536
+            )
+        )
+        .groupby("_part")
+        .map_groups(member, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 SEMI_ANTI_SQL = """
@@ -525,7 +687,7 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
     (identical floor(x*100+0.5) on the SQL side), then sums int64 —
     float-sum order across engines can flip a final round() at a .xx5
     boundary, which showed up as a round-1 hash mismatch."""
-    num_parts = 32
+    num_parts = _parts_for(sf_dir, "events")
 
     def route(batch: pd.DataFrame) -> pd.DataFrame:
         batch["value_c"] = np.floor(
@@ -602,7 +764,7 @@ def user_rolling_window(sf_dir: str) -> pd.DataFrame:
     one vectorized pandas grouped-rolling per partition; per-user
     history fitting one task is the same partitioning assumption as
     sessionize. Integer cents throughout — hash-exact across engines."""
-    num_parts = 32
+    num_parts = _parts_for(sf_dir, "events")
 
     def route(batch: pd.DataFrame) -> pd.DataFrame:
         batch["value_c"] = np.floor(
@@ -807,7 +969,7 @@ def asof_latest_order(
         out["o_orderkey"] = out["o_orderkey"].astype("float64")
         return out
 
-    num_parts = 32
+    num_parts = _parts_for(sf_dir, "events")
 
     def route_events(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch["user_id"].to_numpy().astype(np.int64)
@@ -2375,7 +2537,7 @@ def range_join_orders(
             .to_pandas()
         )
 
-    num_parts = 32
+    num_parts = _parts_for(sf_dir, "events")
 
     def route_events(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch["user_id"].to_numpy().astype(np.int64)
@@ -2453,7 +2615,7 @@ def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
     groupby.aggregate over the raw rows shuffles everything and measured
     ~20x slower on this shape."""
 
-    num_parts = 32
+    num_parts = _parts_for(sf_dir, "events")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch["hour"] = batch["ts"].dt.strftime("%Y-%m-%d %H")

@@ -106,6 +106,37 @@ class TestDedup:
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
 
+    def test_verify_jaccard_partition_count_invariant(self):
+        # the attach exchange auto-sizes num_partitions from materialized
+        # counts; the answer must not depend on the sizing
+        from data_sync_ray.functions.dedup import (
+            minhash_lsh_candidates,
+            verify_jaccard,
+        )
+
+        rng = np.random.default_rng(7)
+        base = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(30):
+            w = list(base)
+            for j in rng.integers(0, 60, size=int(rng.integers(0, 25))):
+                w[j] = f"r{i}_{j}"
+            rows.append({"doc_id": i, "text": " ".join(w)})
+        docs = _docs(rows)
+        cands = minhash_lsh_candidates(docs, k=3, distinct=False).materialize()
+
+        def run(np_):
+            out = verify_jaccard(
+                cands, docs, threshold=0.4, k=3, num_partitions=np_
+            ).to_pandas()
+            return sorted(
+                zip(out["doc_a"], out["doc_b"], out["jaccard"].round(12))
+            )
+
+        auto = run(None)
+        assert len(auto) > 0
+        assert auto == run(2) == run(16)
+
     def test_ngram_jaccard_exact_vs_brute_force(self):
         from data_sync_ray.functions.dedup import ngram_jaccard_pairs
 
@@ -810,6 +841,30 @@ def test_asof_strategies_agree():
     key = ["event_id", "user_id", "o_orderkey"]
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join_strategies_agree():
+    """Broadcast key set vs co-partitioned membership — same answer."""
+    from data_sync_ray.pipelines.queries import semi_anti_join_orders
+
+    a = semi_anti_join_orders(SF, strategy="broadcast")
+    b = semi_anti_join_orders(SF, strategy="copartition")
+    a = a.sort_values("c_custkey").reset_index(drop=True)
+    b = b.sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_revenue_strategies_agree():
+    """Exact-key-set broadcast vs bloom prefilter + co-partitioned exact
+    membership — bloom false positives must all die at the membership
+    check, leaving identical top-10s."""
+    from data_sync_ray.pipelines.queries import top_customer_revenue
+
+    a = top_customer_revenue(SF, strategy="broadcast")
+    b = top_customer_revenue(SF, strategy="bloom")
     pd.testing.assert_frame_equal(a, b)
 
 
