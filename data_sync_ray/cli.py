@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--refresh-views", default="",
                    help="tail: comma-separated view names refreshed "
                         "incrementally after every round")
+    p.add_argument("--http-port", type=int, default=None,
+                   help="tail: serve the HTTP control/metrics endpoints "
+                        "on this port (0 = pick a free one; omit = off)")
     args = p.parse_args(argv)
 
     # fail fast on missing per-command inputs — before paying ray.init
@@ -141,7 +144,8 @@ def main(argv: list[str] | None = None) -> int:
         out = job.tail(args.events, poll_interval=args.poll_interval,
                        max_rounds=args.max_rounds, inspect_every=1,
                        compact_over_fragments=args.compact_over,
-                       refresh_views=views, export_dir=args.out)
+                       refresh_views=views, export_dir=args.out,
+                       http_port=args.http_port)
     elif args.command == "bootstrap":
         out = {"partitions": len(job.bootstrap(rd.read_parquet(args.snapshot)))}
     elif args.command == "repair":

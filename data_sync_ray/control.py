@@ -176,6 +176,117 @@ class ControlPlane:
         atomic_write_json(self.status_path, payload)
 
 
+class ControlServer:
+    """Thin HTTP front over the file-based control plane — the reference
+    serves these over HTTP (src/server/http/server.go:59-158), so a
+    Prometheus/ops sidecar expects a port, not a file to tail:
+
+      GET  /status                 full status.json (raw JSON)
+      GET  /sync/getConfig         the config snapshot inside status.json
+      GET  /sync/monitor/metrics   Prometheus text exposition
+      POST /sync/setStrategyMode   {"strategy_mode": ..., "config": {...}}
+
+    Stdlib ThreadingHTTPServer on a daemon thread; state stays in the
+    control/status files underneath, so killing the server loses nothing
+    and a tail loop without it behaves identically. POST validates the
+    mode up front (400 on junk) and reports which overrides the next
+    round will apply vs reject (same validator the reload path runs)."""
+
+    def __init__(self, lake_root: str, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.cp = ControlPlane(lake_root)
+        self.host, self.port = host, port
+        self._httpd = None
+        self._thread = None
+
+    def start(self) -> int:
+        """Bind and serve in the background; returns the bound port
+        (port=0 picks a free one — tests and multi-job hosts)."""
+        import http.server
+        import threading
+
+        cp = self.cp
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: status goes to files
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, code: int, obj) -> None:
+                self._send(code, json.dumps(obj).encode(),
+                           "application/json")
+
+            def do_GET(self):
+                status = cp.get_status() or {}
+                if self.path == "/status":
+                    self._json(200, status)
+                elif self.path == "/sync/getConfig":
+                    self._json(200, status.get("config", {}))
+                elif self.path == "/sync/monitor/metrics":
+                    self._send(200, status_to_prometheus(status).encode(),
+                               "text/plain; version=0.0.4")
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/sync/setStrategyMode":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    assert isinstance(body, dict)
+                except Exception:
+                    self._json(400, {"error": "malformed JSON body"})
+                    return
+                mode = body.get("strategy_mode")
+                if mode not in STRATEGY_MODES:
+                    self._json(400, {
+                        "error": f"strategy_mode must be one of "
+                                 f"{STRATEGY_MODES}"})
+                    return
+                config = body.get("config")
+                if config is not None and not isinstance(config, dict):
+                    self._json(400, {"error": "config must be an object"})
+                    return
+                config = config or {}
+                cp.set_strategy_mode(mode, config)
+                will = {
+                    k: ControlPlane._valid_override(k, v)
+                    and k in MUTABLE_FIELDS
+                    for k, v in config.items()
+                }
+                self._json(200, {
+                    "queued": True,
+                    "strategy_mode": mode,
+                    "will_apply": sorted(k for k, ok in will.items() if ok),
+                    "will_reject": sorted(
+                        k for k, ok in will.items() if not ok),
+                })
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            (self.host, self.port), Handler
+        )
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
 def status_to_prometheus(status: dict) -> str:
     """Render a status snapshot as Prometheus text-exposition counters —
     the /sync/monitor/metrics analog (monitor.go:44-108: consume/handle/

@@ -406,6 +406,7 @@ class ReplayJob:
         compact_over_fragments: int = 0,
         refresh_views: tuple[str, ...] = (),
         export_dir: str | None = None,
+        http_port: int | None = None,
     ) -> dict:
         """Continuous tailing loop — the reference's daemon mode (60s
         direct-sync ticker + 30s inspector, conf/iot.sync.toml:28-33) as a
@@ -420,9 +421,16 @@ class ReplayJob:
         every round it writes <lake>/control/status.json with the config
         snapshot and cumulative counters (the getConfig/metrics scrape).
         """
-        from ..control import ControlPlane
+        from ..control import ControlPlane, ControlServer
 
         cp = ControlPlane(self.cfg.lake_root)
+        server = None
+        if http_port is not None:
+            # the reference's HTTP control surface (server.go:59-158);
+            # port 0 = pick a free one, bound port lands in the status
+            # payload so a scraper can discover it from the lake dir
+            server = ControlServer(self.cfg.lake_root, port=http_port)
+            self._http_port = server.start()
         rounds = 0
         totals = {"rounds": 0, "epochs_run": 0, "events_applied": 0}
         # streaming windowed throughput: (wall clock, cumulative events)
@@ -511,6 +519,9 @@ class ReplayJob:
             if max_rounds is None or rounds < max_rounds:
                 time.sleep(poll_interval)
         totals["strategy_mode"] = mode
+        if server is not None:
+            server.stop()  # daemon thread: leaks harmlessly on exception
+            totals["http_port"] = self._http_port
         return totals
 
     def _write_tail_status(
@@ -540,6 +551,7 @@ class ReplayJob:
                 ),
                 "applied_overrides": applied_overrides,
                 "rejected_overrides": rejected_overrides,
+                "http_port": getattr(self, "_http_port", None),
             }
         )
 
@@ -913,6 +925,12 @@ def export_lake_incremental(
             "fp"
         ) != fp or not os.path.exists(part_file):
             todo.append(p)
+    if todo and schema is None:
+        # checkpoints but zero data files (e.g. a lake of pure tombstone
+        # prunes): nothing exportable — report 0 instead of counting todo
+        # as exported with no part files written (they'd re-enter todo
+        # every round while "exported" kept climbing)
+        return {"exported": 0, "skipped": len(fps)}
     if todo and schema is not None:
         schema_ser = schema.serialize().to_pybytes()
 

@@ -61,7 +61,11 @@ def canal_to_maxwell(msg) -> list[dict]:
         return []  # row index would collide into the next message's id
     table = msg.get("table")
     table = table if isinstance(table, str) else ""
-    es = msg.get("es", msg.get("ts"))
+    # some Canal deployments send an explicit "es": null — fall through to
+    # "ts" on any non-numeric value, not only on an absent key
+    es = msg.get("es")
+    if not isinstance(es, (int, float)) or isinstance(es, bool):
+        es = msg.get("ts")
     # flat messages name their own key columns; forward them so the
     # Maxwell parser's composite-PK normalization ("\x1f"-joined canonical
     # key, mysql_filter_service.go:90-93 analog) applies — without this a

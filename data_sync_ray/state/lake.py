@@ -500,6 +500,13 @@ class Lake:
         deleted): hash-route to the owning partition, zone-map skip its
         fragments, fold only what intersects. The CDC analog of the
         reference's per-row SELECT-before-apply, served from the lake."""
+        kt = self._key_type(self.config().key_column)
+        if kt is not None:
+            # same cast route_partition applies: a type-mismatched probe
+            # (int vs string key column) must behave consistently in BOTH
+            # the hash route and the zone-map range compare, not route
+            # correctly and then TypeError inside files_for_range
+            key_value = pa.array([key_value]).cast(kt)[0].as_py()
         part = self.route_partition(key_value)
         t = self.read_partition(part, key_range=(key_value, key_value))
         if t is None:

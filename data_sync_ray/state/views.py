@@ -85,6 +85,16 @@ class MaterializedView:
                 out_p, out_j = [], []
                 for p in t.column("partition").to_pylist():
                     part = lk.read_partition(p, columns=columns)
+                    if part is None:
+                        # honor the documented partial_fn(pa.Table)
+                        # contract for empty partitions (built-ins treat
+                        # None and 0 rows identically; user partials may
+                        # not accept None)
+                        schema = lk.union_schema()
+                        part = (
+                            schema.empty_table() if schema is not None
+                            else pa.table({})
+                        )
                     out_p.append(p)
                     out_j.append(json.dumps(fn(part)))
                 return pa.table(

@@ -43,6 +43,15 @@ def test_op_mapping_and_ddl_skip():
     assert canal_to_maxwell(cn("insert"))[0]["type"] == "insert"  # case
 
 
+def test_explicit_null_es_falls_back_to_ts():
+    """Some Canal deployments send "es": null — the ts fallback must
+    trigger on any non-numeric es, not only on an absent key."""
+    evs = canal_to_maxwell(cn(es=None))
+    assert evs[0]["ts"] == 1700000000.477          # ts ms, not dropped
+    assert canal_to_maxwell(cn(es=True))[0]["ts"] == 1700000000.477
+    assert canal_to_maxwell(cn(es="oops"))[0]["ts"] == 1700000000.477
+
+
 def test_order_veto_rules():
     assert canal_to_maxwell(cn(id=None)) == []     # no delivery order
     assert canal_to_maxwell(cn(id=-3)) == []       # negative id

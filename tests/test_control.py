@@ -74,6 +74,83 @@ def test_tail_pause_and_stop_modes(tmp_path):
     assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_http_control_server_roundtrip(tmp_path):
+    """GET /status + /sync/getConfig + /sync/monitor/metrics and POST
+    /sync/setStrategyMode — the server.go:59-158 analog served for real
+    over a port, state backed by the same control/status files."""
+    import json as _json
+    import urllib.request
+
+    job, base, epochs, ev_root = _fixture(tmp_path)
+    # run one tail round with the server up so status.json exists
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=1,
+                      bootstrap=base, http_port=0)
+    port = totals["http_port"]
+    assert port > 0
+
+    from data_sync_ray.control import ControlServer
+
+    srv = ControlServer(job.cfg.lake_root)
+    port = srv.start()
+    try:
+        base_url = f"http://127.0.0.1:{port}"
+        st = _json.load(urllib.request.urlopen(f"{base_url}/status"))
+        assert st["events_applied"] > 0
+        cfg = _json.load(
+            urllib.request.urlopen(f"{base_url}/sync/getConfig")
+        )
+        assert cfg["num_partitions"] == 4
+        metrics = urllib.request.urlopen(
+            f"{base_url}/sync/monitor/metrics"
+        ).read().decode()
+        assert "data_sync_events_applied_total" in metrics
+
+        # POST: queue a pause + one valid and one immutable override
+        req = urllib.request.Request(
+            f"{base_url}/sync/setStrategyMode",
+            data=_json.dumps({
+                "strategy_mode": "pause",
+                "config": {"batch_size": 2048, "num_partitions": 64},
+            }).encode(),
+            method="POST",
+        )
+        resp = _json.load(urllib.request.urlopen(req))
+        assert resp["queued"] is True
+        assert resp["will_apply"] == ["batch_size"]
+        assert resp["will_reject"] == ["num_partitions"]
+        # the queued control is visible to the tail loop's reader
+        cp = ControlPlane(job.cfg.lake_root)
+        ctl = cp.read_control()
+        assert ctl["strategy_mode"] == "pause"
+        assert ctl["config"]["batch_size"] == 2048
+
+        # a bad mode must 400, never land in control.json
+        bad = urllib.request.Request(
+            f"{base_url}/sync/setStrategyMode",
+            data=b'{"strategy_mode": "bogus"}', method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert cp.read_control()["strategy_mode"] == "pause"
+
+        # unknown path -> 404
+        try:
+            urllib.request.urlopen(f"{base_url}/nope")
+            raise AssertionError("expected HTTP 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+
+    # the paused mode queued over HTTP governs the next tail run
+    totals = job.tail(ev_root, poll_interval=0.01, max_rounds=2)
+    assert totals["rounds"] == 0
+
+
 def test_invalid_mode_rejected(tmp_path):
     cp = ControlPlane(str(tmp_path / "lake"))
     with pytest.raises(ValueError):

@@ -132,6 +132,13 @@ class TestZoneMaps:
         assert hit.column("log_pos")[0].as_py() == 999
         assert lake.lookup(9).num_rows == 0    # tombstoned
         assert lake.lookup(4321).num_rows == 0  # never existed
+        # a type-mismatched probe casts to the key column type for BOTH
+        # the hash route and the zone-map range compare — same hit as the
+        # int probe, never a TypeError inside files_for_range
+        hit2 = lake.lookup("7")
+        assert hit2.num_rows == 1
+        assert hit2.column("log_pos")[0].as_py() == 999
+        assert lake.lookup(7.0).num_rows == 1
 
     def test_compaction_rewrites_stats(self, tmp_path):
         lake = _mk_lake(tmp_path)
