@@ -2223,6 +2223,18 @@ WHERE f.tag = t.tag
 """
 
 
+#: pinned-fixture oracle for the real multimodal decode: stats computed
+#: by the byte-level pure-Python reference decoder in
+#: tools/gen_fixtures.py media_ref. Spec (n/seed/size) is constant, so
+#: one fixture serves every scale; regenerate with gen_fixtures.py if
+#: the gen_real_media spec or the decoders change.
+MEDIA_DECODE_SQL = f"""
+SELECT media_id, media_type, dim1, dim2, checksum
+FROM read_parquet('{_FIXTURE_DIR}/media_stats_*.parquet')
+ORDER BY media_id
+"""
+
+
 #: pinned-fixture oracle for BPE merge training (tag-gated like
 #: SIMHASH_SQL); expected merges computed by the independent
 #: Counter+re.sub reference in tools/gen_fixtures.py bpe_ref
@@ -2236,6 +2248,56 @@ FROM read_parquet('{_FIXTURE_DIR}/bpe_*.parquet') f, t
 WHERE f.tag = t.tag
 ORDER BY f.rank
 """
+
+
+def media_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode, oracle-checked: a constant seeded media
+    table (PPM images + PCM WAV clips — the codec-free formats) decodes
+    through the actor/batch plumbing to integer-exact stats: image
+    (height, width, sum of all RGB bytes), audio (frames, sample rate,
+    sum of squared samples). The pinned fixture recomputes the same
+    stats with a byte-level pure-Python decoder (tools/gen_fixtures.py
+    media_ref — struct/int loops, no numpy reshaping shared with
+    functions/multimodal.py), so this is a genuine cross-check of the
+    real decode path, all in exact int64 (no float hash hazard). The
+    spec is sf-independent (like cdc_replay_lake's): one fixture serves
+    every scale."""
+    from ..functions.multimodal import decode_ppm, decode_wav, gen_real_media
+
+    media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+
+    def stats(t: pa.Table) -> pa.Table:
+        d1, d2, cks = [], [], []
+        for p, mt in zip(t.column("payload"), t.column("media_type")):
+            raw, kind = p.as_py(), mt.as_py()
+            if kind == "image/x-portable-pixmap":
+                arr = decode_ppm(raw)
+                d1.append(arr.shape[0])
+                d2.append(arr.shape[1])
+                cks.append(int(arr.astype(np.int64).sum()))
+            else:
+                samples, rate = decode_wav(raw)
+                d1.append(samples.shape[0])
+                d2.append(rate)
+                cks.append(int((samples.astype(np.int64) ** 2).sum()))
+        return pa.table(
+            {"media_id": t.column("media_id"),
+             "media_type": t.column("media_type"),
+             "dim1": pa.array(d1, pa.int64()),
+             "dim2": pa.array(d2, pa.int64()),
+             "checksum": pa.array(cks, pa.int64())}
+        )
+
+    out = (
+        rd.from_arrow(media)
+        .map_batches(stats, batch_format="pyarrow", batch_size=8)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+_MEDIA_N, _MEDIA_SEED, _MEDIA_SIZE = 48, 13, 16
+# MEDIA_DECODE_SQL is defined after _FIXTURE_DIR (pinned-fixture oracle)
 
 
 # --- similarity search ------------------------------------------------------
@@ -3785,6 +3847,7 @@ QUERIES: dict[str, tuple] = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
     "redact_pii_docs": (redact_pii_docs, REDACT_SQL),
+    "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
 }
 
 

@@ -219,6 +219,78 @@ def gen_cdc_replay(out_dir: str) -> None:
     print(f"wrote {path}: {out.num_rows} rows")
 
 
+def gen_media(out_dir: str) -> None:
+    """Pinned expected stats for `media_decode_stats`: the same seeded
+    media table decoded by a BYTE-LEVEL pure-Python reference — header
+    parsing with split/int, raster checksums with struct loops over the
+    raw bytes — sharing no numpy reshaping with the engine's decoders
+    (functions/multimodal.py). Integer-exact, so the driver hash is a
+    bit-for-bit cross-check of the real decode path."""
+    import struct
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from data_sync_ray.functions.multimodal import gen_real_media
+    from data_sync_ray.pipelines.queries import (
+        _MEDIA_N, _MEDIA_SEED, _MEDIA_SIZE,
+    )
+
+    media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+    rows = []
+    for mid, mt, payload in zip(
+        media.column("media_id").to_pylist(),
+        media.column("media_type").to_pylist(),
+        media.column("payload").to_pylist(),
+    ):
+        if mt == "image/x-portable-pixmap":
+            assert payload[:2] == b"P6"
+            # header: three whitespace-separated ints (no comments in
+            # the generated fixtures), then a single whitespace byte
+            parts = payload[2:].split(maxsplit=3)
+            w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+            assert maxval == 255
+            raster = parts[3] if len(parts) == 4 else b""
+            raster = raster[: w * h * 3]
+            checksum = sum(raster)  # pure-python byte sum
+            rows.append((mid, mt, h, w, checksum))
+        else:
+            assert mt == "audio/wav" and payload[:4] == b"RIFF"
+            # walk RIFF chunks by hand: fmt -> sample rate, data -> PCM
+            i, rate, data = 12, None, b""
+            while i + 8 <= len(payload):
+                cid, sz = payload[i : i + 4], struct.unpack_from(
+                    "<I", payload, i + 4
+                )[0]
+                body = payload[i + 8 : i + 8 + sz]
+                if cid == b"fmt ":
+                    rate = struct.unpack_from("<I", body, 4)[0]
+                elif cid == b"data":
+                    data = body
+                i += 8 + sz + (sz & 1)
+            n = len(data) // 2
+            sq = 0
+            for (s,) in struct.iter_unpack("<h", data[: n * 2]):
+                sq += s * s
+            rows.append((mid, mt, n, rate, sq))
+    tag = hashlib.md5(
+        b"".join(media.column("payload").to_pylist())
+    ).hexdigest()
+    out = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows]),
+            "media_type": pa.array([r[1] for r in rows]),
+            "dim1": pa.array([r[2] for r in rows], pa.int64()),
+            "dim2": pa.array([r[3] for r in rows], pa.int64()),
+            "checksum": pa.array([r[4] for r in rows], pa.int64()),
+            "tag": pa.array([tag] * len(rows)),
+        }
+    )
+    path = os.path.join(out_dir, f"media_stats_{tag[:12]}.parquet")
+    pq.write_table(out, path)
+    print(f"wrote {path}: {out.num_rows} rows")
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -228,6 +300,7 @@ def main() -> None:
     for sf_dir in SF_DIRS:
         gen_one(sf_dir, out_dir)
     gen_cdc_replay(out_dir)
+    gen_media(out_dir)
 
 
 if __name__ == "__main__":
