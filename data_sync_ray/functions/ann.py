@@ -102,6 +102,94 @@ def brute_force_topk(
     return _topk_merge(local, k)
 
 
+# --- int8 scalar quantization ------------------------------------------------
+
+
+def quantized_topk(
+    emb: rd.Dataset,
+    query_vec: np.ndarray,
+    query_id: int = 0,
+    k: int = 10,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """ANN top-k over SCALAR-QUANTIZED (8-bit) codes — the memory-scale
+    path: a 100 TB float64 embedding column is 8x smaller as uint8 codes,
+    and the similarity becomes an INTEGER dot product, so the whole
+    operator is bit-exact across engines (the SQL oracle restates the
+    identical floor arithmetic — no float-sum hash hazard).
+
+    Two streaming passes over a pruned, materialized corpus:
+      1. per-batch per-dimension min/max partials -> tiny driver merge
+         (one D-vector per batch) -> broadcast (mn, range);
+      2. quantize per batch with code = clip(floor((x-mn)/range*255+0.5))
+         (zero-range dims -> 0), integer dot against the broadcast query
+         codes, per-batch top-k, bounded driver merge.
+    Scores stay exact in float64 matmul up to 2^53 (255^2 * D < 2^53 for
+    any realistic D), cast back to int64.
+    """
+    pruned = emb.select_columns(["vec_id", "embedding"]).materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], _LIST_F64),
+                             "mx": pa.array([], _LIST_F64)})
+        M = _flatten_matrix(t.column("embedding"), t.num_rows)
+        return pa.table(
+            {"mn": _uniform_list_array(M.min(axis=0)[None, :]),
+             "mx": _uniform_list_array(M.max(axis=0)[None, :])}
+        )
+
+    parts = pruned.map_batches(
+        mm_partial, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()  # one (mn, mx) D-vector pair per batch
+    mn = np.min(np.vstack([np.asarray(r["mn"]) for r in parts]), axis=0)
+    mx = np.max(np.vstack([np.asarray(r["mx"]) for r in parts]), axis=0)
+    rng = mx - mn
+    safe = np.where(rng == 0.0, 1.0, rng)
+
+    def codes_of(M: np.ndarray) -> np.ndarray:
+        # same expression, same operation order, as the SQL oracle:
+        # floor((x - mn) / (mx - mn) * 255.0 + 0.5), zero-range dims -> 0
+        c = np.clip(np.floor((M - mn) / safe * 255.0 + 0.5), 0.0, 255.0)
+        c[:, rng == 0.0] = 0.0
+        return c
+
+    qcode = codes_of(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+    b_ref = ray.put((mn, safe, rng == 0.0, qcode))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        bmn, bsafe, bzero, bq = ray.get(b_ref)
+        keep = batch["vec_id"].to_numpy() != query_id
+        batch = batch.loc[keep]
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="int64")}
+            )
+        M = _stack(batch["embedding"])
+        c = np.clip(np.floor((M - bmn) / bsafe * 255.0 + 0.5), 0.0, 255.0)
+        c[:, bzero] = 0.0
+        s = (c @ bq).astype(np.int64)  # exact: integer values < 2^53
+        kk = min(k, len(s))
+        idx = np.argpartition(-s, kk - 1)[:kk]
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy()[idx].astype(np.int64),
+             "score": s[idx]}
+        )
+
+    cand = pruned.map_batches(
+        score, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    return (
+        cand.sort_values(["score", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+_LIST_F64 = pa.list_(pa.float64())
+
+
 # --- LSH-bucketed ANN -------------------------------------------------------
 
 

@@ -245,6 +245,76 @@ def top_tokens(
     )
 
 
+def bigram_lm(
+    docs, k: int = 50, num_parts: int = 32, batch_size: int = 4096
+):
+    """Distributed bigram language-model training: global bigram counts
+    plus the conditional probability P(w2|w1) in exact integer ppm
+    (cnt * 1e6 // left-context count), top-k by count.
+
+    Scale shape: per-batch bigram counting (the combiner — rows out are
+    bounded by the batch's DISTINCT bigrams), one exchange routed by the
+    LEFT word's hash, so each partition holds EVERY bigram of its left
+    words and computes the left-context totals locally — the conditional
+    probability needs no second exchange. Per-part top-k candidates
+    union into a bounded driver merge (<= num_parts * k rows; complete
+    because a bigram lives in exactly one partition). Ties break
+    (cnt DESC, w1 ASC, w2 ASC), stated identically in the SQL oracle."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = []
+        for t in batch["text"]:
+            ws = t.split(" ")
+            pairs.extend(zip(ws, ws[1:]))
+        if not pairs:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype="object"),
+                 "w2": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+        df = pd.DataFrame(pairs, columns=["w1", "w2"])
+        out = (
+            df.groupby(["w1", "w2"], sort=False).size()
+            .rename("cnt").reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        h = pd.util.hash_pandas_object(out["w1"], index=False)
+        out["_part"] = (h.to_numpy() % num_parts).astype(np.int64)
+        return out
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["w1", "w2"], sort=False)["cnt"].sum().reset_index()
+        )
+        left = s.groupby("w1", sort=False)["cnt"].sum().rename("left_cnt")
+        s = s.merge(left, on="w1")
+        s["cond_ppm"] = (
+            s["cnt"].to_numpy(dtype=np.int64) * 1_000_000
+            // s["left_cnt"].to_numpy(dtype=np.int64)
+        )
+        s = s.sort_values(["cnt", "w1", "w2"],
+                          ascending=[False, True, True]).head(k)
+        for c in ("cnt", "left_cnt", "cond_ppm"):
+            s[c] = s[c].astype("int64")
+        return s
+
+    cand = (
+        docs.map_batches(
+            partial, batch_format="pandas", batch_size=batch_size
+        )
+        .groupby("_part")
+        .map_groups(part_top, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["cnt", "w1", "w2"],
+                         ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def tfidf_top_term(docs, num_parts: int = 32, batch_size: int = 4096):
     """Most-distinctive term per document by an integer-exact TF-IDF:
     score = tf * 1_000_000 // df (log-free inverse-document-frequency

@@ -2312,6 +2312,72 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
+def quantized_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 neighbors of vec 0 over 8-bit scalar-quantized codes with
+    an INTEGER dot-product score — the vector-compression scale path
+    (8x smaller working set at 100 TB), bit-exact against the SQL
+    restatement of the identical floor((x-mn)/(mx-mn)*255+0.5)
+    quantizer."""
+    from ..functions.ann import quantized_topk
+
+    out = quantized_topk(
+        _t(sf_dir, "embeddings"), _query_vec(sf_dir), query_id=0, k=10
+    )
+    return out
+
+
+QUANTIZED_ANN_SQL = """
+WITH d AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+q AS (
+  SELECT d.vec_id, d.dim,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(255, greatest(0, CAST(
+                floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)))
+         END AS code
+  FROM d JOIN mm USING (dim)
+),
+qq AS (SELECT dim, code AS qcode FROM q WHERE vec_id = 0)
+SELECT q.vec_id, CAST(sum(q.code * qq.qcode) AS BIGINT) AS score
+FROM q JOIN qq USING (dim)
+WHERE q.vec_id <> 0
+GROUP BY q.vec_id
+ORDER BY score DESC, q.vec_id ASC
+LIMIT 10
+"""
+
+
+def bigram_lm_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-50 bigram LM table (count + exact integer-ppm conditional
+    probability) trained distributed: combiner counts, one left-word
+    exchange, local context totals."""
+    from ..functions.text import bigram_lm
+
+    return bigram_lm(
+        _t(sf_dir, "documents", ["text"], num_blocks=16), k=50
+    )
+
+
+BIGRAM_LM_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+lc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS left_cnt FROM bgc GROUP BY 1)
+SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS cnt, l.left_cnt,
+       CAST(b.cnt * 1000000 // l.left_cnt AS BIGINT) AS cond_ppm
+FROM bgc b JOIN lc l USING (w1)
+ORDER BY cnt DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
 def ann_topk_cosine(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import brute_force_topk
 
@@ -3848,6 +3914,8 @@ QUERIES: dict[str, tuple] = {
     "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
     "redact_pii_docs": (redact_pii_docs, REDACT_SQL),
     "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
+    "quantized_ann_topk": (quantized_ann_topk, QUANTIZED_ANN_SQL),
+    "bigram_lm_docs": (bigram_lm_docs, BIGRAM_LM_SQL),
 }
 
 

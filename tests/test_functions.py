@@ -329,6 +329,53 @@ class TestAgg:
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
+    def test_bigram_lm_matches_bruteforce(self):
+        from collections import Counter
+
+        from data_sync_ray.functions.text import bigram_lm
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            {"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=int(rng.integers(2, 40))))}
+            for i in range(60)
+        ] + [{"doc_id": 60, "text": "solo"}]  # <2 words -> no bigrams
+        got = bigram_lm(_docs(rows), k=20, num_parts=4)
+
+        bc, lc = Counter(), Counter()
+        for r in rows:
+            ws = r["text"].split(" ")
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] += 1
+                lc[a] += 1
+        want = sorted(
+            ((c, a, b) for (a, b), c in bc.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:20]
+        assert list(zip(got["cnt"], got["w1"], got["w2"])) == want
+        for _, r in got.iterrows():
+            assert r["left_cnt"] == lc[r["w1"]]
+            assert r["cond_ppm"] == r["cnt"] * 1_000_000 // r["left_cnt"]
+
+    def test_quantized_topk_matches_local_quantizer(self):
+        from data_sync_ray.functions.ann import quantized_topk
+
+        rng = np.random.default_rng(2)
+        M = rng.standard_normal((200, 8))
+        M[:, 3] = 7.0  # a zero-range dimension must code to 0, not NaN
+        rows = [{"vec_id": i, "embedding": M[i].tolist()} for i in range(200)]
+        got = quantized_topk(_docs(rows), M[0], query_id=0, k=10)
+
+        mn, mx = M.min(axis=0), M.max(axis=0)
+        safe = np.where(mx == mn, 1.0, mx - mn)
+        C = np.clip(np.floor((M - mn) / safe * 255.0 + 0.5), 0, 255)
+        C[:, mx == mn] = 0
+        s = (C @ C[0]).astype(np.int64)
+        order = sorted(range(1, 200), key=lambda i: (-s[i], i))[:10]
+        assert list(got["vec_id"]) == order
+        assert list(got["score"]) == [int(s[i]) for i in order]
+
     def test_brute_force_topk_exact(self):
         from data_sync_ray.functions.ann import brute_force_topk
 
