@@ -362,6 +362,32 @@ def test_export_lake_incremental(tmp_path):
     assert got2.combine_chunks().equals(want2.combine_chunks())
 
 
+def test_export_empty_lake_reports_zero(tmp_path):
+    """A lake with checkpoints but zero data files must export nothing
+    and say so — not count its partitions as exported every round while
+    never writing a part file."""
+    import os
+
+    from data_sync_ray import Lake, SyncConfig
+    from data_sync_ray.pipelines.replay import export_lake_incremental
+
+    cfg = SyncConfig(lake_root=os.path.join(str(tmp_path), "lake"),
+                     num_partitions=4)
+    lake = Lake.create(cfg)
+    # materialize checkpoints with empty files lists (the RMW path any
+    # commit uses) — a lake that has bookkeeping but no fragments yet
+    for p in range(4):
+        lake.record_failure(p, "probe")
+    assert len(lake.partitions()) == 4
+    for p in lake.partitions():
+        assert lake.read_checkpoint(p).get("files", []) == []
+    out = os.path.join(str(tmp_path), "mirror")
+    r = export_lake_incremental(cfg.lake_root, out)
+    assert r == {"exported": 0, "skipped": 4}
+    r2 = export_lake_incremental(cfg.lake_root, out)
+    assert r2 == {"exported": 0, "skipped": 4}
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_tail_keeps_export_mirror_fresh(tmp_path):
     """tail(export_dir=...) republishes changed partitions per round and
