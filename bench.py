@@ -250,13 +250,23 @@ def scaling() -> dict:
     # GRAFT_SCALE_LO/HI to measure any pair.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    r_lo, r_hi = run(lo), run(hi)
+    # best-of-two per leg, same practice as the headline's runs_sec: the
+    # host's page-fault service time swings 2-3x between fresh processes
+    # with unchanged code (BASELINE.md "VM page-fault erraticism"), and
+    # min() filters those storms out of a hardware-noise measurement
+    # while leaving the engine's own scaling visible
+    runs_lo = [run(lo), run(lo)]
+    runs_hi = [run(hi), run(hi)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "cdc_replay_scaling",
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
+        f"runs_sec_{lo}": [r["value"] for r in runs_lo],
+        f"runs_sec_{hi}": [r["value"] for r in runs_hi],
         f"events_per_sec_{lo}": r_lo["events_per_sec"],
         f"events_per_sec_{hi}": r_hi["events_per_sec"],
         "speedup": round(r_lo["value"] / r_hi["value"], 3),
