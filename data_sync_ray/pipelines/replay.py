@@ -304,13 +304,34 @@ class ReplayJob:
         committed = self.committed_map()
         if cfg.exchange_mode == "spill":
             all_epochs = list(pending)
+            boot_thread = None
+            boot_err: list[BaseException] = []
             if bootstrap is not None:
-                self.spill_bootstrap(bootstrap, committed or None)
+                # overlap the bootstrap spill with the stream spill: the
+                # two executions write DISJOINT spill dirs (epoch -1 vs
+                # pending epochs) and the fold starts only after both
+                # join, so durability ordering is unchanged while the
+                # ~0.8s serial bootstrap execution hides under the big
+                # one (measured phase profile, BASELINE.md round 3)
+                import threading
+
+                def run_boot():
+                    try:
+                        self.spill_bootstrap(bootstrap, committed or None)
+                    except BaseException as e:  # re-raised on join
+                        boot_err.append(e)
+
+                boot_thread = threading.Thread(target=run_boot)
+                boot_thread.start()
                 all_epochs = pending + [BOOTSTRAP_EPOCH]
             self._spill_phase(
                 ds.map_batches(keep_pending, batch_format="pyarrow"),
                 pending, None, committed or None, pending_filter=pending,
             )
+            if boot_thread is not None:
+                boot_thread.join()
+                if boot_err:
+                    raise boot_err[0]
             rows = self._fold_phase(all_epochs)
             for e in all_epochs:
                 self.lake.mark_epoch_done(e)
