@@ -245,6 +245,72 @@ def top_tokens(
     )
 
 
+#: process-level word -> piece-list memo for bpe_encode: words recur in
+#: every batch, so the merge scan runs once per DISTINCT word per worker
+#: (same trick as _WORD_CACHE). Keyed by (merges fingerprint, word) so a
+#: retrained merge table never serves stale pieces.
+_BPE_ENC_CACHE: dict = {}
+
+
+def bpe_encode(docs, merges, batch_size: int = 4096):
+    """Apply a trained BPE merge list to the corpus — the tokenize step
+    that follows bpe_merges' training step. Per doc returns doc_id,
+    n_pieces and pieces_fp (md5 of the space-joined piece stream), so
+    the full encoding is value-checked without shipping every piece row.
+
+    Task-mode map_batches (merge table is tiny and closes over the task);
+    per-word encoding is the classic greedy merge-by-rank scan, memoized
+    per distinct word at the process level. The pinned oracle fixture
+    re-encodes with the paper's space-joined-string re.sub formulation
+    (tools/gen_fixtures.py), sharing no scan code with this path."""
+    pairs = [(str(l), str(r)) for l, r in merges]
+    mtag = hashlib.md5(repr(pairs).encode()).hexdigest()[:12]
+
+    def encode_word(w: str) -> list[str]:
+        key = (mtag, w)
+        got = _BPE_ENC_CACHE.get(key)
+        if got is None:
+            syms = list(w) + ["</w>"]
+            for left, right in pairs:
+                i, out = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            if len(_BPE_ENC_CACHE) > 1_000_000:  # bound worker memory
+                _BPE_ENC_CACHE.clear()
+            _BPE_ENC_CACHE[key] = syms
+            got = syms
+        return got
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, n_pieces, fps = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            pieces: list[str] = []
+            for w in text.split():
+                pieces.extend(encode_word(w))
+            ids.append(doc_id)
+            n_pieces.append(len(pieces))
+            fps.append(hashlib.md5(" ".join(pieces).encode()).hexdigest())
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "n_pieces": pd.Series(n_pieces, dtype="int64"),
+             "pieces_fp": pd.Series(fps, dtype="object")}
+        )
+
+    return docs.map_batches(
+        stage, batch_format="pandas", batch_size=batch_size
+    )
+
+
 def bigram_lm(
     docs, k: int = 50, num_parts: int = 32, batch_size: int = 4096
 ):

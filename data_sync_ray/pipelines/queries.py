@@ -904,6 +904,25 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
 # BPE_SQL is defined after _FIXTURE_DIR (tag-gated fixture oracle)
 
 
+def bpe_encode_docs(sf_dir: str) -> pd.DataFrame:
+    """Tokenize the corpus with the merges bpe_merges_docs trains — the
+    apply half of the tokenizer pipeline. Per doc: piece count + md5 of
+    the full piece stream (value-checks the entire encoding). Oracle:
+    pinned fixture re-encoded by the independent re.sub formulation in
+    tools/gen_fixtures.py (tag-gated like BPE_SQL)."""
+    from ..functions.text import bpe_encode, bpe_merges
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    m = bpe_merges(docs, n_merges=40, vocab_words=2000)
+    out = bpe_encode(
+        docs, list(zip(m["left"], m["right"]))
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# BPE_ENCODE_SQL is defined after _FIXTURE_DIR (tag-gated fixture oracle)
+
+
 # ties break (cnt DESC, token ASC) — stated identically in the engine
 TOP_TOKENS_SQL = r"""
 WITH w AS (
@@ -2220,6 +2239,21 @@ WITH t AS (
 SELECT f.doc_id, f.simhash_hex
 FROM read_parquet('{_FIXTURE_DIR}/simhash_*.parquet') f, t
 WHERE f.tag = t.tag
+"""
+
+
+#: pinned-fixture oracle for BPE APPLY (tag-gated like BPE_SQL):
+#: expected per-doc piece counts + stream fingerprints re-encoded by the
+#: independent space-joined re.sub formulation in tools/gen_fixtures.py
+BPE_ENCODE_SQL = f"""
+WITH t AS (
+  SELECT md5(text) AS tag FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+)
+SELECT f.doc_id, f.n_pieces, f.pieces_fp
+FROM read_parquet('{_FIXTURE_DIR}/bpe_enc_*.parquet') f, t
+WHERE f.tag = t.tag
+ORDER BY f.doc_id
 """
 
 
@@ -3916,6 +3950,7 @@ QUERIES: dict[str, tuple] = {
     "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
     "quantized_ann_topk": (quantized_ann_topk, QUANTIZED_ANN_SQL),
     "bigram_lm_docs": (bigram_lm_docs, BIGRAM_LM_SQL),
+    "bpe_encode_docs": (bpe_encode_docs, BPE_ENCODE_SQL),
 }
 
 

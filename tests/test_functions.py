@@ -329,6 +329,24 @@ class TestAgg:
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
+    def test_bpe_encode_applies_merges_in_rank_order(self):
+        from data_sync_ray.functions.text import bpe_encode
+
+        # merges: (a,b)->ab rank 0, then (ab,c)->abc rank 1; "abc abc x"
+        docs = _docs([{"doc_id": 1, "text": "abc abc x"},
+                      {"doc_id": 2, "text": ""}])
+        out = (
+            bpe_encode(docs, [("a", "b"), ("ab", "c")])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # "abc" -> a b c </w> -> ab c </w> -> abc </w> = 2 pieces;
+        # "x" -> x </w> = 2 pieces; total 2+2+2 = 6
+        assert out.loc[0, "n_pieces"] == 6
+        assert out.loc[1, "n_pieces"] == 0
+        import hashlib as _h
+        want = " ".join(["abc", "</w>", "abc", "</w>", "x", "</w>"])
+        assert out.loc[0, "pieces_fp"] == _h.md5(want.encode()).hexdigest()
+
     def test_bigram_lm_matches_bruteforce(self):
         from collections import Counter
 

@@ -124,6 +124,41 @@ def bpe_ref(sf_dir: str, n_merges: int = 40, vocab_words: int = 2000):
     return merges
 
 
+def bpe_apply_ref(sf_dir: str, merges) -> list[tuple]:
+    """Reference BPE APPLY using the paper's space-joined-string re.sub
+    per merge (the same formulation bpe_ref trains with) — deliberately
+    sharing no code with functions/text.bpe_encode's list-scan path.
+    Returns (doc_id, n_pieces, md5-of-piece-stream) per doc."""
+    import re
+
+    pats = [
+        (re.compile(r"(?<!\S)" + re.escape(l + " " + r) + r"(?!\S)"),
+         l + r)
+        for _, l, r, _ in merges
+    ]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    cache: dict[str, list[str]] = {}
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        pieces: list[str] = []
+        for w in text.split():
+            got = cache.get(w)
+            if got is None:
+                s = " ".join(list(w) + ["</w>"])
+                for pat, rep in pats:
+                    s = pat.sub(rep, s)
+                got = s.split(" ")
+                cache[w] = got
+            pieces.extend(got)
+        rows.append(
+            (doc_id, len(pieces),
+             hashlib.md5(" ".join(pieces).encode()).hexdigest())
+        )
+    return rows
+
+
 def gen_one(sf_dir: str, out_dir: str) -> None:
     import duckdb
 
@@ -178,6 +213,19 @@ def gen_one(sf_dir: str, out_dir: str) -> None:
     path3 = os.path.join(out_dir, f"bpe_{doc_tag[:12]}.parquet")
     pq.write_table(out3, path3)
     print(f"wrote {path3}: {out3.num_rows} rows")
+
+    enc = bpe_apply_ref(sf_dir, merges)
+    out4 = pa.table(
+        {
+            "tag": pa.array([doc_tag] * len(enc)),
+            "doc_id": pa.array([r[0] for r in enc], pa.int64()),
+            "n_pieces": pa.array([r[1] for r in enc], pa.int64()),
+            "pieces_fp": pa.array([r[2] for r in enc]),
+        }
+    )
+    path4 = os.path.join(out_dir, f"bpe_enc_{doc_tag[:12]}.parquet")
+    pq.write_table(out4, path4)
+    print(f"wrote {path4}: {out4.num_rows} rows")
 
 
 def gen_cdc_replay(out_dir: str) -> None:
