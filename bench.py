@@ -69,6 +69,10 @@ QUERY_SAMPLE = [
     "pack_sequences_docs",
     "quality_prune_docs",
     "mixture_resample_docs",
+    "quantized_ann_topk",
+    "bigram_lm_docs",
+    "bpe_encode_docs",
+    "media_decode_stats",
 ]
 
 
