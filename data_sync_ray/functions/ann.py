@@ -180,6 +180,11 @@ def quantized_topk(
     cand = pruned.map_batches(
         score, batch_format="pandas", batch_size=batch_size
     ).to_pandas()
+    if cand.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="int64")}
+        )
     return (
         cand.sort_values(["score", "vec_id"], ascending=[False, True])
         .head(k)

@@ -373,6 +373,14 @@ def bigram_lm(
         .map_groups(part_top, batch_format="pandas")
         .to_pandas()
     )
+    if cand.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame(
+            {"w1": pd.Series([], dtype="object"),
+             "w2": pd.Series([], dtype="object"),
+             "cnt": pd.Series([], dtype="int64"),
+             "left_cnt": pd.Series([], dtype="int64"),
+             "cond_ppm": pd.Series([], dtype="int64")}
+        )
     return (
         cand.sort_values(["cnt", "w1", "w2"],
                          ascending=[False, True, True])

@@ -568,6 +568,11 @@ def top_customer_revenue(
         .map_groups(part_top, batch_format="pandas")
         .to_pandas()
     )
+    if cand.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame(
+            {"o_custkey": pd.Series([], dtype="int64"),
+             "revenue_cents": pd.Series([], dtype="int64")}
+        )
     out = (
         cand.sort_values(["rev_c", "o_custkey"], ascending=[False, True])
         .head(10)
