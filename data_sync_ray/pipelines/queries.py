@@ -448,7 +448,13 @@ def top_customer_revenue(
         building = set(building_ds.to_pandas()["c_custkey"])
         b_ref = _ray.put(building)
     else:
-        nbits = 1 << max(16, int(np.ceil(np.log2(n_cust * 10))))
+        # ~10 bits/key, CAPPED at 2^27 (16 MB bitmap): each build batch
+        # emits a full-bitmap partial, so an uncapped size would make the
+        # OR-merge traffic quadratic-ish in corpus size. Past the cap the
+        # prefilter saturates and passes more rows — selectivity degrades
+        # GRACEFULLY while exactness is untouched (false positives die at
+        # the co-partitioned membership check below).
+        nbits = 1 << max(16, min(27, int(np.ceil(np.log2(n_cust * 10)))))
         parts = building_ds.map_batches(
             lambda b: pd.DataFrame({"bm": [_bloom_build(
                 b["c_custkey"].to_numpy(dtype=np.int64), nbits
