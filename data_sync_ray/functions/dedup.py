@@ -500,14 +500,14 @@ def verify_jaccard(
         shingles_of, batch_format="pandas"
     ).materialize()
     if num_partitions is None:
-        # both inputs are materialized, so count() is metadata-free; one
-        # group task holds ~1/num_partitions of EVERY doc's shingle list
-        # (all docs route through the exchange, non-candidates drop at the
-        # join) plus its pair rows — size so a task sees ~64k rows instead
-        # of pinning a constant that a 100x corpus would overflow
-        num_partitions = int(
-            max(8, min(256, (shingles.count() + 2 * pairs.count()) // 65536 + 1))
-        )
+        # both inputs are materialized, so size_bytes() is metadata-free;
+        # one group task holds ~1/num_partitions of EVERY doc's shingle
+        # list (all docs route through the exchange, non-candidates drop
+        # at the join) plus its pair rows — size by BYTES (shingle rows
+        # are wide and variable) so a group frame targets ~256 MB instead
+        # of pinning a constant a 100x corpus would overflow
+        total = (shingles.size_bytes() or 0) + (pairs.size_bytes() or 0)
+        num_partitions = int(max(8, min(256, total // (256 << 20) + 1)))
     j1 = _attach_shingles(
         pairs, shingles, side="doc_a", out_col="sh_a", carry=(),
         num_parts=num_partitions, id_col=id_col, dedup_pairs=True,
