@@ -140,8 +140,9 @@ def quantized_topk(
         )
 
     parts = pruned.map_batches(
-        mm_partial, batch_format="pyarrow", batch_size=batch_size
-    ).take_all()  # one (mn, mx) D-vector pair per batch
+        mm_partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()  # one (mn, mx) D-vector pair per 64k rows — the
+    # driver merge is O(corpus/65536) tiny vectors, not O(corpus)
     mn = np.min(np.vstack([np.asarray(r["mn"]) for r in parts]), axis=0)
     mx = np.max(np.vstack([np.asarray(r["mx"]) for r in parts]), axis=0)
     rng = mx - mn
