@@ -2262,7 +2262,7 @@ WITH t AS (
   WHERE doc_id = (SELECT min(doc_id) FROM documents)
 )
 SELECT f.doc_id, f.n_pieces, f.pieces_fp
-FROM read_parquet('{_FIXTURE_DIR}/bpe_enc_*.parquet') f, t
+FROM read_parquet('{_FIXTURE_DIR}/bpeapply_*.parquet') f, t
 WHERE f.tag = t.tag
 ORDER BY f.doc_id
 """

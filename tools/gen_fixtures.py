@@ -223,7 +223,7 @@ def gen_one(sf_dir: str, out_dir: str) -> None:
             "pieces_fp": pa.array([r[2] for r in enc]),
         }
     )
-    path4 = os.path.join(out_dir, f"bpe_enc_{doc_tag[:12]}.parquet")
+    path4 = os.path.join(out_dir, f"bpeapply_{doc_tag[:12]}.parquet")
     pq.write_table(out4, path4)
     print(f"wrote {path4}: {out4.num_rows} rows")
 
