@@ -240,6 +240,9 @@ class ControlServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > 1 << 20:  # a control payload is never 1 MB
+                        self._json(400, {"error": "body too large"})
+                        return
                     body = json.loads(self.rfile.read(n) or b"{}")
                     assert isinstance(body, dict)
                 except Exception:
