@@ -172,11 +172,13 @@ def quantized_topk(
         c[:, bzero] = 0.0
         s = (c @ bq).astype(np.int64)  # exact: integer values < 2^53
         kk = min(k, len(s))
-        idx = np.argpartition(-s, kk - 1)[:kk]
-        return pd.DataFrame(
-            {"vec_id": batch["vec_id"].to_numpy()[idx].astype(np.int64),
-             "score": s[idx]}
-        )
+        # integer scores TIE for real (unlike cosine floats) — per-batch
+        # selection must use the oracle's exact (score DESC, vec_id ASC)
+        # order, or a boundary tie's required vec_id can be dropped
+        # before the driver merge
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        idx = np.lexsort((ids, -s))[:kk]
+        return pd.DataFrame({"vec_id": ids[idx], "score": s[idx]})
 
     cand = pruned.map_batches(
         score, batch_format="pandas", batch_size=batch_size

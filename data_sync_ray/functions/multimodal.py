@@ -305,8 +305,8 @@ class FrameSampler:
 def gen_real_media(n: int, seed: int = 42, size: int = 16) -> pa.Table:
     """Media table whose payloads are REAL encoded bytes the codec-free
     decoders read back: PPM and BMP images plus PCM WAV clips. Every
-    third row duplicates the previous payload so near-dup pipelines have
-    planted exact matches."""
+    ODD row duplicates the previous payload so near-dup pipelines have
+    planted exact matches in both modalities."""
     rng = np.random.default_rng(seed)
     ids, types, payloads, metas = [], [], [], []
     for i in range(n):

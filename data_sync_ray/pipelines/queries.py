@@ -448,6 +448,10 @@ def top_customer_revenue(
         building = set(building_ds.to_pandas()["c_custkey"])
         b_ref = _ray.put(building)
     else:
+        # the bloom build AND route_members both consume this pruned
+        # 1-column scan — materialize so the customer parquet is read
+        # and segment-filtered once, not twice
+        building_ds = building_ds.materialize()
         # ~10 bits/key, CAPPED at 2^27 (16 MB bitmap): each build batch
         # emits a full-bitmap partial, so an uncapped size would make the
         # OR-merge traffic quadratic-ish in corpus size. Past the cap the
@@ -2273,9 +2277,26 @@ ORDER BY f.doc_id
 #: tools/gen_fixtures.py media_ref. Spec (n/seed/size) is constant, so
 #: one fixture serves every scale; regenerate with gen_fixtures.py if
 #: the gen_real_media spec or the decoders change.
+_MEDIA_N, _MEDIA_SEED, _MEDIA_SIZE = 48, 13, 16
+
+
+def _media_tag() -> str:
+    """Content tag of the CURRENT gen_real_media spec — computed at
+    import (48 tiny payloads, ~ms) and baked into the oracle SQL so a
+    regenerated fixture lingering next to a stale one self-selects,
+    exactly like the tag-gated BPE/simhash oracles."""
+    from ..functions.multimodal import gen_real_media
+
+    media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+    return hashlib.md5(
+        b"".join(media.column("payload").to_pylist())
+    ).hexdigest()
+
+
 MEDIA_DECODE_SQL = f"""
 SELECT media_id, media_type, dim1, dim2, checksum
 FROM read_parquet('{_FIXTURE_DIR}/media_stats_*.parquet')
+WHERE tag = '{_media_tag()}'
 ORDER BY media_id
 """
 
@@ -2341,8 +2362,7 @@ def media_decode_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
-_MEDIA_N, _MEDIA_SEED, _MEDIA_SIZE = 48, 13, 16
-# MEDIA_DECODE_SQL is defined after _FIXTURE_DIR (pinned-fixture oracle)
+# _MEDIA_* constants live above _media_tag (import-order dependency)
 
 
 # --- similarity search ------------------------------------------------------

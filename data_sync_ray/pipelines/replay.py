@@ -324,14 +324,20 @@ class ReplayJob:
                 boot_thread = threading.Thread(target=run_boot)
                 boot_thread.start()
                 all_epochs = pending + [BOOTSTRAP_EPOCH]
-            self._spill_phase(
-                ds.map_batches(keep_pending, batch_format="pyarrow"),
-                pending, None, committed or None, pending_filter=pending,
-            )
-            if boot_thread is not None:
-                boot_thread.join()
-                if boot_err:
-                    raise boot_err[0]
+            try:
+                self._spill_phase(
+                    ds.map_batches(keep_pending, batch_format="pyarrow"),
+                    pending, None, committed or None,
+                    pending_filter=pending,
+                )
+            finally:
+                # join on the FAILURE path too: an in-process retry would
+                # otherwise prepare_spill_dirs (rmtree epoch -1) while the
+                # orphaned thread is still writing into it
+                if boot_thread is not None:
+                    boot_thread.join()
+            if boot_err:
+                raise boot_err[0]
             rows = self._fold_phase(all_epochs)
             for e in all_epochs:
                 self.lake.mark_epoch_done(e)
@@ -949,9 +955,13 @@ def export_lake_incremental(
     if todo and schema is None:
         # checkpoints but zero data files (e.g. a lake of pure tombstone
         # prunes): nothing exportable — report 0 instead of counting todo
-        # as exported with no part files written (they'd re-enter todo
-        # every round while "exported" kept climbing)
-        return {"exported": 0, "skipped": len(fps)}
+        # as exported with no part files written, and REMOVE any stale
+        # part files from a pre-emptying export so the mirror converges
+        # to empty instead of serving deleted rows forever (the sweep +
+        # manifest write below still run)
+        for p in todo:
+            _sh.rmtree(os.path.join(out_dir, f"partition={p}"),
+                       ignore_errors=True)
     if todo and schema is not None:
         schema_ser = schema.serialize().to_pybytes()
 
@@ -997,6 +1007,8 @@ def export_lake_incremental(
         man_path,
         {"partitions": {str(p): {"fp": fp} for p, fp in fps.items()}},
     )
+    if schema is None:
+        return {"exported": 0, "skipped": len(fps)}
     return {"exported": len(todo), "skipped": len(fps) - len(todo)}
 
 

@@ -462,17 +462,21 @@ class Lake:
             out.append(rel)  # bases (fold <= comp <= as_of) + old deltas
         return out
 
-    def route_partition(self, key_value) -> int:
+    def route_partition(self, key_value, key_type=None) -> int:
         """The hash partition owning `key_value` — the SAME hash and type
         the write path used (assign_partition), so point reads go to one
         partition. The probe is cast to the lake key column's type first:
         the hash is type-sensitive and a mistyped probe would silently
-        route to a wrong (empty) partition."""
+        route to a wrong (empty) partition. key_type: pass a
+        pre-resolved _key_type() to skip the footer metadata read
+        (lookup() already resolved it for its own cast)."""
         from ..stages.transform import stable_hash_strings
 
         cfg = self.config()
         arr = pa.array([key_value])
-        kt = self._key_type(cfg.key_column)
+        kt = key_type if key_type is not None else self._key_type(
+            cfg.key_column
+        )
         if kt is not None:
             arr = arr.cast(kt)
         # int() BEFORE the modulo: np.uint64 % python-int promotes to
@@ -507,7 +511,7 @@ class Lake:
             # the hash route and the zone-map range compare, not route
             # correctly and then TypeError inside files_for_range
             key_value = pa.array([key_value]).cast(kt)[0].as_py()
-        part = self.route_partition(key_value)
+        part = self.route_partition(key_value, key_type=kt)
         t = self.read_partition(part, key_range=(key_value, key_value))
         if t is None:
             schema = self.union_schema()

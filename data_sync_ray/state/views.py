@@ -89,8 +89,14 @@ class MaterializedView:
                         # honor the documented partial_fn(pa.Table)
                         # contract for empty partitions (built-ins treat
                         # None and 0 rows identically; user partials may
-                        # not accept None)
+                        # not accept None) — PROJECTED to the view's
+                        # columns, same shape non-empty partitions get
                         schema = lk.union_schema()
+                        if schema is not None and columns:
+                            schema = pa.schema(
+                                [schema.field(c) for c in columns
+                                 if c in schema.names]
+                            )
                         part = (
                             schema.empty_table() if schema is not None
                             else pa.table({})

@@ -292,14 +292,18 @@ def gen_media(out_dir: str) -> None:
         media.column("payload").to_pylist(),
     ):
         if mt == "image/x-portable-pixmap":
-            assert payload[:2] == b"P6"
-            # header: three whitespace-separated ints (no comments in
-            # the generated fixtures), then a single whitespace byte
-            parts = payload[2:].split(maxsplit=3)
-            w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
-            assert maxval == 255
-            raster = parts[3] if len(parts) == 4 else b""
-            raster = raster[: w * h * 3]
+            # exact header grammar of encode_ppm ("P6\n{w} {h}\n255\n"):
+            # a bytes.split(maxsplit=3) here would also consume leading
+            # WHITESPACE-CLASS RASTER BYTES (0x09-0x0D, 0x20) as header
+            # delimiter — ~2.3% of images start with one — shifting the
+            # reference raster and pinning a WRONG oracle checksum
+            import re as _re
+
+            m = _re.match(rb"P6\n(\d+) (\d+)\n255\n", payload)
+            assert m, "unexpected PPM header"
+            w, h = int(m.group(1)), int(m.group(2))
+            raster = payload[m.end() : m.end() + w * h * 3]
+            assert len(raster) == w * h * 3
             checksum = sum(raster)  # pure-python byte sum
             rows.append((mid, mt, h, w, checksum))
         else:
