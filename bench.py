@@ -52,6 +52,7 @@ QUERY_SAMPLE = [
     "ngram_jaccard_pairs",
     "corpus_prep_stats",
     "top_customer_revenue",
+    "local_supplier_volume",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

@@ -614,6 +614,235 @@ LIMIT 10
 """
 
 
+def local_supplier_volume(
+    sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000,
+    region: str = "ASIA",
+) -> pd.DataFrame:
+    """TPC-H-Q5-style local-supplier volume: revenue per nation for
+    orders in 1995-1996 where the customer and the line's supplier sit
+    in the SAME nation of one region — the 6-table join shape
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) the
+    query library lacked. Shapes by side size:
+
+    - region/nation load on the driver (≤ dozens of rows, fixed);
+    - supplier → region-filtered suppkey→nationkey frame, broadcast once
+      (supplier is TPC-H's smallest fact-adjacent table, 1:600 of
+      lineitem rows; the region filter keeps ~1/5 of that);
+    - lineitem pre-aggregates rev_c per (orderkey, supplier-nation)
+      INSIDE map_batches after the broadcast merge drops out-of-region
+      suppliers — the biggest table never shuffles raw rows;
+    - customer switches by parquet METADATA row count like
+      top_customer_revenue: small → broadcast the region-filtered
+      custkey→nationkey frame into the orders scan; large → co-partition
+      orders ⋈ customer on custkey % P1 first (exchange #1), so nothing
+      broadcast grows with scale;
+    - one okey % P exchange (exchange #2; the only one on the broadcast
+      path) joins lineitem partials to (okey, cust_nation), keeps
+      cust_nation == supp_nation, and folds to ≤25-row per-partition
+      partials; the driver sums those and attaches n_name.
+
+    Revenue in integer cents floored per lineitem row (identical
+    expression in the SQL oracle) so the hash is order-insensitive.
+    Both strategies pytest-pinned equal."""
+    import ray as _ray
+
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(set(rkeys))]
+    nk_names = dict(zip(nat["n_nationkey"].astype("int64"),
+                        nat["n_name"]))
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "revenue_cents": pd.Series([], dtype="int64")})
+    if not nk_names:
+        return empty
+    nk_arr = np.fromiter(nk_names, dtype=np.int64)
+
+    # driver pyarrow read, not a Ray execution: supplier is the
+    # broadcast side by design, and each execution costs ~0.6-1.2s of
+    # streaming-executor startup (CLAUDE.md) — 2 columns of the small
+    # table don't justify one
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    if supp.empty:
+        return empty
+    supp = pd.DataFrame({
+        "skey": supp["s_suppkey"].to_numpy(dtype=np.int64),
+        "snat": supp["s_nationkey"].to_numpy(dtype=np.int64)})
+    supp = supp[np.isin(supp["snat"].to_numpy(), nk_arr)]
+    s_ref = _ray.put(supp)
+
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    if strategy == "auto":
+        strategy = "broadcast" if n_cust <= broadcast_limit else "copartition"
+    num_parts = _parts_for(sf_dir, "orders")
+    lo_ts = np.datetime64("1995-01-01")
+    hi_ts = np.datetime64("1997-01-01")
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = _ray.get(s_ref)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        m = pd.DataFrame({
+            "okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+            "skey": batch["l_suppkey"].to_numpy(dtype=np.int64),
+            "rev_c": cents,
+        }).merge(sm, on="skey", how="inner")  # drops out-of-region supps
+        out = (m.groupby(["okey", "snat"], sort=False, as_index=False)
+               ["rev_c"].sum())
+        k = out["okey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "_part": k % num_parts, "okey": k,
+            "snat": out["snat"].to_numpy(dtype=np.int64),
+            "cnat": np.full(len(out), -1, dtype=np.int64),
+            "rev_c": out["rev_c"].to_numpy(dtype=np.int64)})
+
+    cust_cols = pd.DataFrame({
+        "ckey": pd.Series([], dtype="int64"),
+        "cnat": pd.Series([], dtype="int64")})
+
+    def cust_frame(batch: pd.DataFrame) -> pd.DataFrame:
+        cn = batch["c_nationkey"].to_numpy(dtype=np.int64)
+        keep = np.isin(cn, nk_arr)
+        return pd.DataFrame({
+            "ckey": batch["c_custkey"].to_numpy(dtype=np.int64)[keep],
+            "cnat": cn[keep]})
+
+    def orders_window(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy()
+        keep = (d >= lo_ts) & (d < hi_ts)
+        batch = batch.loc[keep]
+        return pd.DataFrame({
+            "okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+            "ckey": batch["o_custkey"].to_numpy(dtype=np.int64)})
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_window, batch_format="pandas", batch_size=65536)
+
+    if strategy == "broadcast":
+        # broadcast is only chosen while customer metadata rows are
+        # <= broadcast_limit, so this driver read is bounded by the same
+        # gate that bounds the broadcast itself (past it: copartition)
+        cm = cust_frame(pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"]).to_pandas())
+        if cm.empty:
+            cm = cust_cols
+        c_ref = _ray.put(cm)
+
+        def attach_cust(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(_ray.get(c_ref), on="ckey", how="inner")
+            k = m["okey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "_part": k % num_parts, "okey": k,
+                "snat": np.full(len(m), -1, dtype=np.int64),
+                "cnat": m["cnat"].to_numpy(dtype=np.int64),
+                "rev_c": np.zeros(len(m), dtype=np.int64)})
+
+        orders_nat = orders.map_batches(
+            attach_cust, batch_format="pandas", batch_size=65536)
+    else:
+        p1 = _parts_for(sf_dir, "customer")
+
+        def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
+            k = batch["ckey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "_cpart": k % p1, "ckey": k,
+                "okey": batch["okey"].to_numpy(dtype=np.int64),
+                "cnat": np.full(len(batch), -1, dtype=np.int64)})
+
+        def route_cust(batch: pd.DataFrame) -> pd.DataFrame:
+            b = cust_frame(batch)
+            k = b["ckey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "_cpart": k % p1, "ckey": k,
+                "okey": np.full(len(b), -1, dtype=np.int64),
+                "cnat": b["cnat"].to_numpy(dtype=np.int64)})
+
+        def attach1(g: pd.DataFrame) -> pd.DataFrame:
+            is_c = g["cnat"].to_numpy() >= 0
+            cmap = g.loc[is_c, ["ckey", "cnat"]]
+            m = g.loc[~is_c, ["ckey", "okey"]].merge(
+                cmap, on="ckey", how="inner")
+            k = m["okey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "_part": k % num_parts, "okey": k,
+                "snat": np.full(len(m), -1, dtype=np.int64),
+                "cnat": m["cnat"].to_numpy(dtype=np.int64),
+                "rev_c": np.zeros(len(m), dtype=np.int64)})
+
+        orders_nat = (
+            orders.map_batches(route_orders, batch_format="pandas",
+                               batch_size=65536)
+            .union(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+                      ).map_batches(route_cust, batch_format="pandas"))
+            .groupby("_cpart")
+            .map_groups(attach1, batch_format="pandas")
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=65536)
+
+    def attach2(g: pd.DataFrame) -> pd.DataFrame:
+        is_o = g["cnat"].to_numpy() >= 0
+        om = g.loc[is_o, ["okey", "cnat"]]
+        m = g.loc[~is_o, ["okey", "snat", "rev_c"]].merge(
+            om, on="okey", how="inner")
+        m = m[m["snat"].to_numpy() == m["cnat"].to_numpy()]
+        out = m.groupby("snat", as_index=False)["rev_c"].sum()
+        out["rev_c"] = out["rev_c"].astype("int64")
+        return out[["snat", "rev_c"]]
+
+    parts = (
+        li.union(orders_nat)
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=65536)  # coalesce pre-exchange blocks
+        .groupby("_part")
+        .map_groups(attach2, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return empty
+    out = parts.groupby("snat", as_index=False)["rev_c"].sum()
+    out["n_name"] = out["snat"].map(nk_names)
+    out = out.sort_values(["rev_c", "n_name"], ascending=[False, True])
+    return pd.DataFrame({
+        "n_name": out["n_name"].to_numpy(dtype=object),
+        "revenue_cents": out["rev_c"].to_numpy(dtype=np.int64)})
+
+
+LOCAL_SUPPLIER_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem
+)
+SELECT n_name, CAST(sum(li.rev_c) AS BIGINT) AS revenue_cents
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = li.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name ASC
+"""
+
+
 def semi_anti_join_orders(
     sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
 ) -> pd.DataFrame:
@@ -3914,6 +4143,7 @@ QUERIES: dict[str, tuple] = {
     "orders_customer_hash_join": (orders_customer_hash_join, HASH_JOIN_SQL),
     "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
     "top_customer_revenue": (top_customer_revenue, TOP_REVENUE_SQL),
+    "local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),

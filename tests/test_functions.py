@@ -1041,6 +1041,20 @@ def test_top_revenue_strategies_agree():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_local_supplier_volume_strategies_agree():
+    """Broadcast custkey→nationkey map vs co-partitioned orders⋈customer
+    exchange — identical per-nation revenue, and a non-empty answer so
+    the equality isn't vacuous."""
+    from data_sync_ray.pipelines.queries import local_supplier_volume
+
+    a = local_supplier_volume(SF, strategy="broadcast")
+    b = local_supplier_volume(SF, strategy="copartition")
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_range_join_strategies_agree():
     from data_sync_ray.pipelines.queries import range_join_orders
 
