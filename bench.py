@@ -53,6 +53,7 @@ QUERY_SAMPLE = [
     "corpus_prep_stats",
     "top_customer_revenue",
     "local_supplier_volume",
+    "promo_revenue_share",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

@@ -843,6 +843,160 @@ ORDER BY revenue_cents DESC, n_name ASC
 """
 
 
+def promo_revenue_share(
+    sf_dir: str, strategy: str = "auto", broadcast_limit: int = 4_000_000,
+) -> pd.DataFrame:
+    """TPC-H-Q14-style promo revenue share per ship month
+    (lineitem ⋈ part on partkey) — the query library's first use of
+    p_type. The share is exact integer BASIS POINTS
+    (promo_cents * 10000 // total_cents, the BIGINT floor-division
+    convention TF-IDF uses) so the answer hashes deterministically with
+    no float division on either side. Side shapes:
+
+    - broadcast (part metadata rows <= broadcast_limit): partkey→promo
+      flag frame broadcast once; each lineitem batch merges it and
+      reduces to (month, promo_cents, total_cents) partials — bounded
+      cardinality (months x 1), folded by tree_sum_by_key with NO
+      groupby exchange;
+    - copartition (part too big to ship): both sides route partkey % P;
+      each group joins vectorized and emits per-month partials, driver
+      sums <= P x months tiny rows.
+
+    Per-row cents floor matches the SQL oracle exactly; the final
+    basis-point division runs in Python ints on the <= months-sized
+    driver frame (promo_cents * 10000 can exceed int64 at extreme
+    scale; DuckDB's side is HUGEINT). Both paths pytest-pinned equal."""
+    import ray as _ray
+
+    n_part = pq.ParquetFile(
+        os.path.join(sf_dir, "part.parquet")).metadata.num_rows
+    if strategy == "auto":
+        strategy = "broadcast" if n_part <= broadcast_limit else "copartition"
+
+    def li_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pkey": batch["l_partkey"].to_numpy(dtype=np.int64),
+            "month": batch["l_shipdate"].to_numpy()
+            .astype("datetime64[M]").astype(str),
+            "rev_c": np.floor(
+                batch["l_extendedprice"].to_numpy()
+                * (1.0 - batch["l_discount"].to_numpy()) * 100.0 + 0.5
+            ).astype(np.int64)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    if strategy == "broadcast":
+        pm = pq.read_table(  # bounded by the strategy gate, like
+            os.path.join(sf_dir, "part.parquet"),  # local_supplier_volume
+            columns=["p_partkey", "p_type"]).to_pandas()
+        pm = pd.DataFrame({
+            "pkey": pm["p_partkey"].to_numpy(dtype=np.int64),
+            "promo": (pm["p_type"] == "PROMO").to_numpy(dtype=np.int64)})
+        p_ref = _ray.put(pm)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            m = li_cents(batch).merge(_ray.get(p_ref), on="pkey",
+                                      how="inner")
+            m["promo_cents"] = m["rev_c"] * m["promo"]
+            out = (m.groupby("month", as_index=False)
+                   .agg(promo_cents=("promo_cents", "sum"),
+                        total_cents=("rev_c", "sum")))
+            out["promo_cents"] = out["promo_cents"].astype("int64")
+            out["total_cents"] = out["total_cents"].astype("int64")
+            return out
+
+        months = tree_sum_by_key(
+            li.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+            ["month"])
+    else:
+        num_parts = _parts_for(sf_dir, "part")
+
+        def route_li(batch: pd.DataFrame) -> pd.DataFrame:
+            b = li_cents(batch)
+            out = (b.groupby(["pkey", "month"], sort=False,
+                             as_index=False)["rev_c"].sum())
+            k = out["pkey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "_ppart": k % num_parts, "pkey": k,
+                "month": out["month"],
+                "rev_c": out["rev_c"].to_numpy(dtype=np.int64),
+                "promo": np.full(len(out), -1, dtype=np.int64)})
+
+        def route_part(batch: pd.DataFrame) -> pd.DataFrame:
+            k = batch["p_partkey"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "_ppart": k % num_parts, "pkey": k,
+                "month": np.full(len(batch), "", dtype=object),
+                "rev_c": np.zeros(len(batch), dtype=np.int64),
+                "promo": (batch["p_type"] == "PROMO")
+                .to_numpy(dtype=np.int64)})
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            is_p = g["promo"].to_numpy() >= 0
+            pmap = g.loc[is_p, ["pkey", "promo"]]
+            m = g.loc[~is_p, ["pkey", "month", "rev_c"]].merge(
+                pmap, on="pkey", how="inner")
+            m["promo_cents"] = m["rev_c"] * m["promo"]
+            out = (m.groupby("month", as_index=False)
+                   .agg(promo_cents=("promo_cents", "sum"),
+                        total_cents=("rev_c", "sum")))
+            out["promo_cents"] = out["promo_cents"].astype("int64")
+            out["total_cents"] = out["total_cents"].astype("int64")
+            return out
+
+        grouped = (
+            li.map_batches(route_li, batch_format="pandas",
+                           batch_size=65536)
+            .union(_t(sf_dir, "part", ["p_partkey", "p_type"])
+                   .map_batches(route_part, batch_format="pandas"))
+            .map_batches(lambda b: b, batch_format="pyarrow",
+                         batch_size=65536)  # coalesce pre-exchange
+            .groupby("_ppart")
+            .map_groups(attach, batch_format="pandas")
+            .to_pandas()
+        )
+        if grouped.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+            months = pd.DataFrame({
+                "month": pd.Series([], dtype="object"),
+                "promo_cents": pd.Series([], dtype="int64"),
+                "total_cents": pd.Series([], dtype="int64")})
+        else:
+            months = (grouped.groupby("month", as_index=False)
+                      [["promo_cents", "total_cents"]].sum())
+
+    months = months.sort_values("month").reset_index(drop=True)
+    share = [int(p) * 10000 // int(t) if t else 0
+             for p, t in zip(months["promo_cents"],
+                             months["total_cents"])]
+    return pd.DataFrame({
+        "month": months["month"].to_numpy(dtype=object),
+        "promo_cents": months["promo_cents"].to_numpy(dtype=np.int64),
+        "total_cents": months["total_cents"].to_numpy(dtype=np.int64),
+        "share_bp": np.asarray(share, dtype=np.int64)})
+
+
+PROMO_SHARE_SQL = """
+WITH li AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem
+)
+SELECT month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+            AS BIGINT) AS promo_cents,
+       CAST(sum(rev_c) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+            * 10000 // sum(rev_c) AS BIGINT) AS share_bp
+FROM li
+JOIN part ON p_partkey = l_partkey
+GROUP BY month
+ORDER BY month
+"""
+
+
 def semi_anti_join_orders(
     sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
 ) -> pd.DataFrame:
@@ -4144,6 +4298,7 @@ QUERIES: dict[str, tuple] = {
     "semi_anti_join_orders": (semi_anti_join_orders, SEMI_ANTI_SQL),
     "top_customer_revenue": (top_customer_revenue, TOP_REVENUE_SQL),
     "local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
+    "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),

@@ -1055,6 +1055,19 @@ def test_local_supplier_volume_strategies_agree():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_promo_share_strategies_agree():
+    """Broadcast partkey→promo-flag frame vs co-partitioned
+    lineitem ⋈ part exchange — identical monthly basis points."""
+    from data_sync_ray.pipelines.queries import promo_revenue_share
+
+    a = promo_revenue_share(SF, strategy="broadcast")
+    b = promo_revenue_share(SF, strategy="copartition")
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_range_join_strategies_agree():
     from data_sync_ray.pipelines.queries import range_join_orders
 
