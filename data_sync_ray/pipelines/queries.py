@@ -703,10 +703,6 @@ def local_supplier_volume(
             "cnat": np.full(len(out), -1, dtype=np.int64),
             "rev_c": out["rev_c"].to_numpy(dtype=np.int64)})
 
-    cust_cols = pd.DataFrame({
-        "ckey": pd.Series([], dtype="int64"),
-        "cnat": pd.Series([], dtype="int64")})
-
     def cust_frame(batch: pd.DataFrame) -> pd.DataFrame:
         cn = batch["c_nationkey"].to_numpy(dtype=np.int64)
         keep = np.isin(cn, nk_arr)
@@ -733,8 +729,6 @@ def local_supplier_volume(
         cm = cust_frame(pq.read_table(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_nationkey"]).to_pandas())
-        if cm.empty:
-            cm = cust_cols
         c_ref = _ray.put(cm)
 
         def attach_cust(batch: pd.DataFrame) -> pd.DataFrame:
@@ -749,7 +743,9 @@ def local_supplier_volume(
         orders_nat = orders.map_batches(
             attach_cust, batch_format="pandas", batch_size=65536)
     else:
-        p1 = _parts_for(sf_dir, "customer")
+        # size exchange #1 by ORDERS (the dominant routed side: several
+        # in-window orders per customer land in each custkey group)
+        p1 = _parts_for(sf_dir, "orders")
 
         def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
             k = batch["ckey"].to_numpy(dtype=np.int64)
@@ -911,7 +907,11 @@ def promo_revenue_share(
                            batch_size=65536),
             ["month"])
     else:
-        num_parts = _parts_for(sf_dir, "part")
+        # size the exchange by LINEITEM rows: its (pkey, month) partials
+        # dominate every group frame (random partkeys barely dedup
+        # within a batch), so sizing by the small part table would blow
+        # the 500k-rows/task bound _parts_for exists to enforce
+        num_parts = _parts_for(sf_dir, "lineitem")
 
         def route_li(batch: pd.DataFrame) -> pd.DataFrame:
             b = li_cents(batch)
@@ -966,7 +966,16 @@ def promo_revenue_share(
             months = (grouped.groupby("month", as_index=False)
                       [["promo_cents", "total_cents"]].sum())
 
+    if months.empty or "month" not in months.columns:
+        # zero-row to_pandas is COLUMN-LESS (CLAUDE.md) — tree_sum_by_key
+        # passes that frame through verbatim on the broadcast path
+        months = pd.DataFrame({
+            "month": pd.Series([], dtype="object"),
+            "promo_cents": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64")})
     months = months.sort_values("month").reset_index(drop=True)
+    # t == 0 yields 0 — the oracle states the same CASE explicitly
+    # (bare `// 0` in DuckDB would be NULL and flip the column to float)
     share = [int(p) * 10000 // int(t) if t else 0
              for p, t in zip(months["promo_cents"],
                              months["total_cents"])]
@@ -988,8 +997,10 @@ SELECT month,
        CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
             AS BIGINT) AS promo_cents,
        CAST(sum(rev_c) AS BIGINT) AS total_cents,
-       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
-            * 10000 // sum(rev_c) AS BIGINT) AS share_bp
+       CAST(CASE WHEN sum(rev_c) = 0 THEN 0
+                 ELSE sum(CASE WHEN p_type = 'PROMO' THEN rev_c
+                          ELSE 0 END) * 10000 // sum(rev_c)
+            END AS BIGINT) AS share_bp
 FROM li
 JOIN part ON p_partkey = l_partkey
 GROUP BY month
