@@ -54,6 +54,7 @@ QUERY_SAMPLE = [
     "top_customer_revenue",
     "local_supplier_volume",
     "promo_revenue_share",
+    "corpus_pipeline_docs",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

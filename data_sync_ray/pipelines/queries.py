@@ -2354,6 +2354,205 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def corpus_pipeline_docs(
+    sf_dir: str, budget: int = 512, num_parts: int = 16,
+    dedup_parts: int = 32,
+) -> pd.DataFrame:
+    """Flagship COMPOSED prep pipeline — the chain a pretraining corpus
+    actually runs, as one engine entry: lang-ID filter (keep 'en') →
+    per-source quality prune (exact 25th-percentile integer stopword
+    score) → exact dedup keep-first (md5, min doc_id) → fixed-budget
+    sequence packing. Each stage's semantics are IDENTICAL to its
+    standalone query (lang_id_docs / quality_prune_docs /
+    dedup_exact_docs / pack_sequences_docs), and the oracle restates the
+    whole chain as one SQL pipeline, so the composition itself is
+    hash-checked end to end.
+
+    Cost shape: the text column is read and regex-scanned ONCE — stage A
+    computes pred_lang, the integer stopword score, the whitespace token
+    count and the md5 dedup key in the same pass, then DROPS text; the
+    scored 5-column projection materializes once because the exact
+    percentile needs two passes over it (the quality_prune pattern);
+    the final execution chains the dedup-bucket and packing exchanges
+    (2 barriers, the measured per-execution sweet spot)."""
+    import hashlib
+    import re as _re
+
+    from ..functions.text import STOPWORDS, LangId
+
+    lid = LangId()
+    word_re = _re.compile(r"[A-Za-z]+")
+    ws_re = _re.compile(r"\s+")
+
+    def stage_a(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["text"].map(lid._predict) == "en"]
+        texts = batch["text"]
+        words = texts.str.findall(word_re)
+        n_w = words.map(len).to_numpy(np.int64)
+        stops = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)
+        ).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "source": batch["source"],
+            "score_c": stops * 1_000_000 // np.maximum(n_w, 1),
+            "n_words": texts.str.split(ws_re)
+            .map(lambda t: sum(1 for w in t if w))
+            .to_numpy(np.int64),
+            "content_hash": texts.map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()),
+        })
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = docs.map_batches(
+        stage_a, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    partials = (
+        scored.map_batches(
+            lambda b: b.groupby(["source", "score_c"], sort=False)
+            .size().rename("n").reset_index(),
+            batch_format="pandas",
+        ).to_pandas()  # bounded histogram, never corpus rows
+    )
+    empty = pd.DataFrame({
+        "part": pd.Series([], dtype="int64"),
+        "bin": pd.Series([], dtype="int64"),
+        "n_docs": pd.Series([], dtype="int64"),
+        "sum_tokens": pd.Series([], dtype="int64"),
+        "first_doc": pd.Series([], dtype="int64"),
+        "last_doc": pd.Series([], dtype="int64")})
+    if partials.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return empty
+    merged = (partials.groupby(["source", "score_c"], sort=True)["n"]
+              .sum().reset_index())
+    thr: dict[str, int] = {}
+    for src, g in merged.groupby("source"):
+        m = int(g["n"].sum())
+        k = (m * 25 + 99) // 100
+        cum = g["n"].cumsum()
+        thr[str(src)] = int(g.loc[cum >= k, "score_c"].iloc[0])
+
+    def keep_route(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["source"].map(thr).to_numpy(np.int64)
+        batch = batch[batch["score_c"].to_numpy() >= t]
+        # local keep-first combiner before the hash-bucket exchange
+        batch = batch.sort_values("doc_id").drop_duplicates(
+            "content_hash", keep="first")
+        return pd.DataFrame({
+            "_dpart": batch["content_hash"].str.slice(0, 8)
+            .apply(lambda s: int(s, 16) % dedup_parts).astype("int64"),
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "n_words": batch["n_words"].to_numpy(np.int64),
+            "content_hash": batch["content_hash"]})
+
+    def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates(
+            "content_hash", keep="first")
+        ids = g["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "_part": ids % num_parts, "doc_id": ids,
+            "n_words": g["n_words"].to_numpy(np.int64)})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        n = g["n_words"].to_numpy(dtype=np.int64)
+        cum_excl = np.concatenate(([0], np.cumsum(n)[:-1]))
+        b = cum_excl // budget
+        starts = np.flatnonzero(
+            np.concatenate(([True], b[1:] != b[:-1])))
+        counts = np.diff(np.append(starts, len(b)))
+        return pd.DataFrame({
+            "part": np.full(starts.size, int(g["_part"].iloc[0]),
+                            dtype=np.int64),
+            "bin": b[starts],
+            "n_docs": counts.astype(np.int64),
+            "sum_tokens": np.add.reduceat(n, starts),
+            "first_doc": ids[starts],
+            "last_doc": ids[np.append(starts[1:] - 1, len(ids) - 1)]})
+
+    out = (
+        scored.map_batches(keep_route, batch_format="pandas")
+        .groupby("_dpart").map_groups(dedup_first, batch_format="pandas")
+        .groupby("_part").map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return empty
+    return out.sort_values(["part", "bin"]).reset_index(drop=True)
+
+
+def _stop_in() -> str:
+    from ..functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+# the full chain restated: en filter (LANG_ID_SQL's rule) → per-source
+# exact 25th-pct stopword-score prune (QUALITY_PRUNE_SQL's rule) → md5
+# keep-first (DEDUP_EXACT_SQL's rule) → 512-token packing (PACK_SQL's
+# rule) — one oracle hash-checks the whole composition
+CORPUS_PIPELINE_SQL = rf"""
+WITH lw AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(text, '[a-zA-ZÀ-ÿäöüßñ]+') AS ws,
+         regexp_matches(text, '[一-鿿]') AS cjk
+  FROM documents
+),
+lh AS (
+  SELECT doc_id, source, text, cjk,
+         {_profile_hits("en")} AS e, {_profile_hits("fr")} AS f,
+         {_profile_hits("de")} AS d, {_profile_hits("es")} AS s
+  FROM lw
+),
+en AS (
+  SELECT doc_id, source, text FROM lh
+  WHERE NOT cjk AND greatest(e, f, d, s) > 0
+    AND e = greatest(e, f, d, s)
+),
+sc AS (
+  SELECT doc_id, source, text,
+         CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(text, '[A-Za-z]+'),
+                x -> CASE WHEN lower(x) IN ({_stop_in()})
+                     THEN 1 ELSE 0 END)), 0) * 1000000
+              // greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
+              AS BIGINT) AS score_c
+  FROM en
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY score_c, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS m
+  FROM sc
+),
+thr AS (SELECT source, score_c AS t FROM r WHERE rn = (m * 25 + 99) // 100),
+q AS (
+  SELECT sc.doc_id, sc.text
+  FROM sc JOIN thr USING (source) WHERE sc.score_c >= thr.t
+),
+dd AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+tok AS (
+  SELECT q.doc_id, q.doc_id % 16 AS part,
+         len(list_filter(regexp_split_to_array(q.text, '\s+'),
+             x -> x <> '')) AS n_words
+  FROM q JOIN dd ON q.doc_id = dd.doc_id
+),
+cum AS (
+  SELECT doc_id, part, n_words,
+         coalesce(sum(n_words) OVER (
+           PARTITION BY part ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM tok
+)
+SELECT part, CAST(cum_excl // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY part, bin ORDER BY part, bin
+"""
+
+
 def minhash_near_dup_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import minhash_dedup_pairs
 
@@ -4310,6 +4509,7 @@ QUERIES: dict[str, tuple] = {
     "top_customer_revenue": (top_customer_revenue, TOP_REVENUE_SQL),
     "local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
+    "corpus_pipeline_docs": (corpus_pipeline_docs, CORPUS_PIPELINE_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
