@@ -55,6 +55,7 @@ QUERY_SAMPLE = [
     "local_supplier_volume",
     "promo_revenue_share",
     "corpus_pipeline_docs",
+    "lm_coverage_prune_docs",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

@@ -3036,6 +3036,87 @@ LIMIT 50
 """
 
 
+def lm_coverage_prune_docs(
+    sf_dir: str, k: int = 50, min_bp: int = 500,
+) -> pd.DataFrame:
+    """LM-based quality filter, integer-exact: train the top-k bigram
+    table distributed (bigram_lm — combiner counts, one left-word
+    exchange), broadcast the k (w1, w2) pairs once, and keep docs whose
+    bigram coverage — lm_hits * 10000 // n_bigrams, exact basis
+    points — reaches min_bp. The CCNet/KenLM-style perplexity prune
+    reshaped to integer arithmetic so both engines hash identically
+    (a float log-prob would be at the mercy of libm rounding).
+    Tokenization matches the trained LM exactly: single-space split,
+    empty tokens kept. Two executions: the LM train and the streamed
+    coverage scan (broadcast probe via one vectorized merge per batch,
+    no exchange — at any corpus size the shipped state is k pairs)."""
+    import ray as _ray
+
+    from ..functions.text import bigram_lm
+
+    lm = bigram_lm(_t(sf_dir, "documents", ["text"], num_blocks=16), k=k)
+    top = _ray.put(lm[["w1", "w2"]].drop_duplicates())
+
+    def cover(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        n_bi = np.empty(len(ids), dtype=np.int64)
+        pairs: list[tuple[int, str, str]] = []
+        for i, t in enumerate(batch["text"]):
+            ws = t.split(" ")
+            n_bi[i] = max(len(ws) - 1, 0)
+            pairs.extend((ids[i], a, b) for a, b in zip(ws, ws[1:]))
+        hits = np.zeros(len(ids), dtype=np.int64)
+        if pairs:
+            bg = pd.DataFrame(pairs, columns=["doc_id", "w1", "w2"])
+            hit = (bg.merge(_ray.get(top), on=["w1", "w2"], how="inner")
+                   .groupby("doc_id").size())
+            idx = pd.Series(np.arange(len(ids)), index=ids)
+            hits[idx[hit.index].to_numpy()] = hit.to_numpy()
+        out = pd.DataFrame({
+            "doc_id": ids, "n_bigrams": n_bi, "lm_hits": hits,
+            "coverage_bp": hits * 10000 // np.maximum(n_bi, 1)})
+        return out[out["coverage_bp"] >= min_bp]
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+        .map_batches(cover, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_bigrams": pd.Series([], dtype="int64"),
+            "lm_hits": pd.Series([], dtype="int64"),
+            "coverage_bp": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+LM_COVERAGE_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+top50 AS (SELECT w1, w2 FROM bgc ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 50),
+cov AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams, count(t5.w1) AS lm_hits
+  FROM bg LEFT JOIN top50 t5 USING (w1, w2) GROUP BY 1
+),
+c2 AS (
+  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         coalesce(lm_hits, 0) AS lm_hits,
+         CAST(coalesce(lm_hits, 0) * 10000
+              // greatest(coalesce(n_bigrams, 0), 1) AS BIGINT)
+           AS coverage_bp
+  FROM documents d LEFT JOIN cov USING (doc_id)
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(lm_hits AS BIGINT) AS lm_hits, coverage_bp
+FROM c2 WHERE coverage_bp >= 500 ORDER BY doc_id
+"""
+
+
 def ann_topk_cosine(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import brute_force_topk
 
@@ -4510,6 +4591,7 @@ QUERIES: dict[str, tuple] = {
     "local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
     "corpus_pipeline_docs": (corpus_pipeline_docs, CORPUS_PIPELINE_SQL),
+    "lm_coverage_prune_docs": (lm_coverage_prune_docs, LM_COVERAGE_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
