@@ -56,6 +56,7 @@ QUERY_SAMPLE = [
     "promo_revenue_share",
     "corpus_pipeline_docs",
     "lm_coverage_prune_docs",
+    "props_json_stats",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

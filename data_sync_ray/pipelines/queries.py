@@ -1604,6 +1604,64 @@ def watermark_max(sf_dir: str) -> pd.DataFrame:
 WATERMARK_SQL = "SELECT max(event_id) AS watermark FROM events"
 
 
+def props_json_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type aggregates over the JSON props payload (ref §2.8's json
+    scalar utils, exercised at scale): parse `{"k": N}` per event, then
+    n / sum / max / exact distinct-count of k per event_type. The
+    per-row json.loads is intrinsic (opaque payloads); everything after
+    is a bounded (event_type, k) COUNT HISTOGRAM folded by
+    tree_sum_by_key — no groupby exchange, and the exact distinct count
+    falls out of the histogram for free. Partitioning assumption: the
+    histogram is bounded by |types| x |k domain| (independent of event
+    rows); an unbounded k domain would need the sessionize-style
+    fixed-int-bucket exchange instead."""
+    import json as _json
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = batch["props"].map(
+            lambda s: _json.loads(s).get("k") if s else None)
+        out = pd.DataFrame({
+            "event_type": batch["event_type"], "k": ks})
+        out = out[out["k"].notna()]
+        out["k"] = out["k"].astype("int64")
+        return (out.groupby(["event_type", "k"], sort=False)
+                .size().rename("n").reset_index())
+
+    hist = tree_sum_by_key(
+        _t(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "k"])
+    if hist.empty or "event_type" not in hist.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_events": pd.Series([], dtype="int64"),
+            "sum_k": pd.Series([], dtype="int64"),
+            "max_k": pd.Series([], dtype="int64"),
+            "n_distinct_k": pd.Series([], dtype="int64")})
+    hist["kn"] = hist["k"].to_numpy(np.int64) * hist["n"].to_numpy(np.int64)
+    out = (hist.groupby("event_type", sort=True)
+           .agg(n_events=("n", "sum"), sum_k=("kn", "sum"),
+                max_k=("k", "max"), n_distinct_k=("k", "size"))
+           .reset_index())
+    for c in ("n_events", "sum_k", "max_k", "n_distinct_k"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+PROPS_JSON_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def event_type_counts(sf_dir: str) -> pd.DataFrame:
     def cents(t: pa.Table) -> pa.Table:
         # integer cents pre-shuffle: grouped sum is order-of-addition-
@@ -4592,6 +4650,7 @@ QUERIES: dict[str, tuple] = {
     "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
     "corpus_pipeline_docs": (corpus_pipeline_docs, CORPUS_PIPELINE_SQL),
     "lm_coverage_prune_docs": (lm_coverage_prune_docs, LM_COVERAGE_SQL),
+    "props_json_stats": (props_json_stats, PROPS_JSON_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
