@@ -415,6 +415,63 @@ def _bloom_probe(keys: np.ndarray, packed: np.ndarray, nbits: int,
     return ok
 
 
+def _stop_in() -> str:
+    """The one SQL source of truth for the STOPWORDS set — every oracle
+    that restates the stopword rule interpolates this, so an edit to
+    functions.text.STOPWORDS can never leave a stale hardcoded copy."""
+    from ..functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+def _pack_bins(g: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Concat-and-chunk bin assignment for ONE packing partition: sort by
+    doc_id, exclusive-cumsum token counts, bin = cum_excl // budget —
+    shared by pack_sequences_docs and corpus_pipeline_docs so the
+    composed pipeline's packing stage cannot drift from the standalone
+    query (both oracles restate this exact rule)."""
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    n = g["n_words"].to_numpy(dtype=np.int64)
+    cum_excl = np.concatenate(([0], np.cumsum(n)[:-1]))
+    b = cum_excl // budget
+    starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+    counts = np.diff(np.append(starts, len(b)))
+    return pd.DataFrame({
+        "part": np.full(starts.size, int(g["_part"].iloc[0]),
+                        dtype=np.int64),
+        "bin": b[starts],
+        "n_docs": counts.astype(np.int64),
+        "sum_tokens": np.add.reduceat(n, starts),
+        "first_doc": ids[starts],
+        "last_doc": ids[np.append(starts[1:] - 1, len(ids) - 1)]})
+
+
+def _source_percentile_thresholds(scored) -> dict[str, int]:
+    """Exact per-source 25th-percentile score thresholds from a scored
+    Dataset with (source, score_c) columns: bounded per-batch histogram
+    partials -> driver rank walk with k = (m * 25 + 99) // 100 — the one
+    engine copy of the prune rule quality_prune_docs and
+    corpus_pipeline_docs share (their oracles restate it identically).
+    Returns {} when the scored set is empty."""
+    partials = scored.map_batches(
+        lambda b: b.groupby(["source", "score_c"], sort=False)
+        .size().rename("n").reset_index(),
+        batch_format="pandas",
+    ).to_pandas()  # bounded histogram, never corpus rows
+    if partials.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return {}
+    merged = (partials.groupby(["source", "score_c"], sort=True)["n"]
+              .sum().reset_index())
+    thr: dict[str, int] = {}
+    for src, g in merged.groupby("source"):
+        m = int(g["n"].sum())
+        k = (m * 25 + 99) // 100
+        cum = g["n"].cumsum()
+        thr[str(src)] = int(g.loc[cum >= k, "score_c"].iloc[0])
+    return thr
+
+
 def top_customer_revenue(
     sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
 ) -> pd.DataFrame:
@@ -1617,11 +1674,21 @@ def props_json_stats(sf_dir: str) -> pd.DataFrame:
     fixed-int-bucket exchange instead."""
     import json as _json
 
+    def parse_k(s):
+        # degrade to a dropped row on anything non-'{"k": int}' — the
+        # oracle's TRY_CAST(... AS BIGINT) does the same, so malformed
+        # payloads stay an agreement, not a crash/divergence
+        try:
+            o = _json.loads(s) if s else None
+        except (TypeError, ValueError):
+            return None
+        k = o.get("k") if isinstance(o, dict) else None
+        return k if isinstance(k, int) and not isinstance(k, bool) else None
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = batch["props"].map(
-            lambda s: _json.loads(s).get("k") if s else None)
         out = pd.DataFrame({
-            "event_type": batch["event_type"], "k": ks})
+            "event_type": batch["event_type"],
+            "k": batch["props"].map(parse_k)})
         out = out[out["k"].notna()]
         out["k"] = out["k"].astype("int64")
         return (out.groupby(["event_type", "k"], sort=False)
@@ -1651,7 +1718,7 @@ def props_json_stats(sf_dir: str) -> pd.DataFrame:
 PROPS_JSON_SQL = """
 WITH e AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -1802,27 +1869,7 @@ def pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
         return batch[["doc_id", "n_words", "_part"]]
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        n = g["n_words"].to_numpy(dtype=np.int64)
-        cum_excl = np.concatenate(([0], np.cumsum(n)[:-1]))
-        b = cum_excl // budget
-        starts = np.flatnonzero(
-            np.concatenate(([True], b[1:] != b[:-1]))
-        )
-        counts = np.diff(np.append(starts, len(b)))
-        return pd.DataFrame(
-            {
-                "part": np.full(
-                    starts.size, int(g["_part"].iloc[0]), dtype=np.int64
-                ),
-                "bin": b[starts],
-                "n_docs": counts.astype(np.int64),
-                "sum_tokens": np.add.reduceat(n, starts),
-                "first_doc": ids[starts],
-                "last_doc": ids[np.append(starts[1:] - 1, len(ids) - 1)],
-            }
-        )
+        return _pack_bins(g, budget)
 
     out = (
         with_token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
@@ -1875,17 +1922,16 @@ def text_quality_docs(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
 
 
-QUALITY_SQL = """
+QUALITY_SQL = f"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws FROM documents
 )
 SELECT doc_id, len(ws) AS n_words,
   round(list_sum(list_transform(ws, x -> len(x))) * 1.0
         / greatest(len(ws), 1), 6) AS mean_word_len,
-  round(list_sum(list_transform(ws, x -> CASE WHEN lower(x) IN
-      ('the','a','an','and','or','of','to','in','is','are','was','were',
-       'be','been','on','at','by','for','with','as','it','this','that',
-       'from') THEN 1 ELSE 0 END)) * 1.0 / greatest(len(ws), 1), 6)
+  round(list_sum(list_transform(ws, x -> CASE WHEN lower(x)
+      IN ({_stop_in()}) THEN 1 ELSE 0 END)) * 1.0
+        / greatest(len(ws), 1), 6)
     AS stopword_ratio
 FROM w
 """
@@ -2082,36 +2128,11 @@ def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def hist(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            batch.groupby(["source", "score_c"], sort=False)
-            .size()
-            .rename("n")
-            .reset_index()
-        )
-        return g
-
     docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
     scored = docs.map_batches(
         score, batch_format="pandas", batch_size=4096
     ).materialize()
-    partials = (
-        scored.map_batches(hist, batch_format="pandas")
-        .to_pandas()  # bounded histogram, never corpus rows
-    )
-    merged = (
-        partials.groupby(["source", "score_c"], sort=True)["n"]
-        .sum()
-        .reset_index()
-    )
-    thr: dict[str, int] = {}
-    for src, g in merged.groupby("source"):
-        m = int(g["n"].sum())
-        k = (m * 25 + 99) // 100
-        cum = g["n"].cumsum()
-        thr[str(src)] = int(
-            g.loc[cum >= k, "score_c"].iloc[0]
-        )  # k-th smallest score (histogram rank walk)
+    thr = _source_percentile_thresholds(scored)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["source"].map(thr).to_numpy(np.int64)
@@ -2121,7 +2142,7 @@ def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-QUALITY_PRUNE_SQL = """
+QUALITY_PRUNE_SQL = f"""
 WITH w AS (
   SELECT doc_id, source, regexp_extract_all(text, '[A-Za-z]+') AS ws
   FROM documents
@@ -2129,9 +2150,7 @@ WITH w AS (
 s AS (
   SELECT doc_id, source,
          CAST(coalesce(list_sum(list_transform(ws, x -> CASE WHEN lower(x)
-             IN ('the','a','an','and','or','of','to','in','is','are','was',
-                 'were','be','been','on','at','by','for','with','as','it',
-                 'this','that','from') THEN 1 ELSE 0 END)), 0) * 1000000
+             IN ({_stop_in()}) THEN 1 ELSE 0 END)), 0) * 1000000
               // greatest(len(ws), 1) AS BIGINT) AS score_c
   FROM w
 ),
@@ -2466,13 +2485,6 @@ def corpus_pipeline_docs(
         stage_a, batch_format="pandas", batch_size=4096
     ).materialize()
 
-    partials = (
-        scored.map_batches(
-            lambda b: b.groupby(["source", "score_c"], sort=False)
-            .size().rename("n").reset_index(),
-            batch_format="pandas",
-        ).to_pandas()  # bounded histogram, never corpus rows
-    )
     empty = pd.DataFrame({
         "part": pd.Series([], dtype="int64"),
         "bin": pd.Series([], dtype="int64"),
@@ -2480,16 +2492,9 @@ def corpus_pipeline_docs(
         "sum_tokens": pd.Series([], dtype="int64"),
         "first_doc": pd.Series([], dtype="int64"),
         "last_doc": pd.Series([], dtype="int64")})
-    if partials.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+    thr = _source_percentile_thresholds(scored)
+    if not thr:
         return empty
-    merged = (partials.groupby(["source", "score_c"], sort=True)["n"]
-              .sum().reset_index())
-    thr: dict[str, int] = {}
-    for src, g in merged.groupby("source"):
-        m = int(g["n"].sum())
-        k = (m * 25 + 99) // 100
-        cum = g["n"].cumsum()
-        thr[str(src)] = int(g.loc[cum >= k, "score_c"].iloc[0])
 
     def keep_route(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["source"].map(thr).to_numpy(np.int64)
@@ -2513,22 +2518,7 @@ def corpus_pipeline_docs(
             "n_words": g["n_words"].to_numpy(np.int64)})
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        n = g["n_words"].to_numpy(dtype=np.int64)
-        cum_excl = np.concatenate(([0], np.cumsum(n)[:-1]))
-        b = cum_excl // budget
-        starts = np.flatnonzero(
-            np.concatenate(([True], b[1:] != b[:-1])))
-        counts = np.diff(np.append(starts, len(b)))
-        return pd.DataFrame({
-            "part": np.full(starts.size, int(g["_part"].iloc[0]),
-                            dtype=np.int64),
-            "bin": b[starts],
-            "n_docs": counts.astype(np.int64),
-            "sum_tokens": np.add.reduceat(n, starts),
-            "first_doc": ids[starts],
-            "last_doc": ids[np.append(starts[1:] - 1, len(ids) - 1)]})
+        return _pack_bins(g, budget)
 
     out = (
         scored.map_batches(keep_route, batch_format="pandas")
@@ -2539,12 +2529,6 @@ def corpus_pipeline_docs(
     if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
         return empty
     return out.sort_values(["part", "bin"]).reset_index(drop=True)
-
-
-def _stop_in() -> str:
-    from ..functions.text import STOPWORDS
-
-    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 
 # the full chain restated: en filter (LANG_ID_SQL's rule) → per-source
