@@ -57,6 +57,7 @@ QUERY_SAMPLE = [
     "corpus_pipeline_docs",
     "lm_coverage_prune_docs",
     "props_json_stats",
+    "late_shipment_priority_counts",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

@@ -1065,6 +1065,91 @@ ORDER BY month
 """
 
 
+def late_shipment_priority_counts(
+    sf_dir: str, late_days: int = 60,
+) -> pd.DataFrame:
+    """TPC-H-Q4-style predicate semi-join: count orders per priority
+    having AT LEAST ONE lineitem shipped more than late_days after the
+    order date. The correlated EXISTS collapses to an aggregate —
+    `max(l_shipdate) per order > o_orderdate + late_days` — so lineitem
+    pre-aggregates its per-batch MAX shipdate per orderkey (the
+    combiner; raw lineitems never shuffle), one okey % P exchange joins
+    it to orders, each group compares vectorized in int64 microseconds
+    and emits a bounded (priority → count) partial, and the driver sums
+    <= P x |priorities| tiny rows. Orders with no lineitem drop at the
+    inner merge (EXISTS false), identical to the SQL."""
+    num_parts = _parts_for(sf_dir, "orders")
+    late_us = late_days * 86_400 * 1_000_000
+
+    def route_li(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+            "ship_us": batch["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+        }).groupby("okey", as_index=False)["ship_us"].max()
+        k = out["okey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "_part": k % num_parts, "okey": k,
+            "prio": np.full(len(out), "", dtype=object),
+            "odate_us": np.zeros(len(out), dtype=np.int64),
+            "ship_us": out["ship_us"].to_numpy(dtype=np.int64)})
+
+    def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "_part": k % num_parts, "okey": k,
+            "prio": batch["o_orderpriority"].to_numpy(dtype=object),
+            "odate_us": batch["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "ship_us": np.full(len(batch), -1, dtype=np.int64)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_o = g["prio"].to_numpy() != ""
+        lm = (g.loc[~is_o, ["okey", "ship_us"]]
+              .groupby("okey", as_index=False)["ship_us"].max())
+        m = g.loc[is_o, ["okey", "prio", "odate_us"]].merge(
+            lm, on="okey", how="inner")
+        late = (m["ship_us"].to_numpy(np.int64)
+                > m["odate_us"].to_numpy(np.int64) + late_us)
+        out = (m.loc[late].groupby("prio", sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(route_li, batch_format="pandas", batch_size=65536)
+        .union(_t(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_orderdate"])
+               .map_batches(route_orders, batch_format="pandas",
+                            batch_size=65536))
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=65536)  # coalesce pre-exchange blocks
+        .groupby("_part")
+        .map_groups(attach, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "n_late": pd.Series([], dtype="int64")})
+    out = (parts.groupby("prio", sort=True)["n"].sum().reset_index()
+           .rename(columns={"prio": "o_orderpriority", "n": "n_late"}))
+    out["n_late"] = out["n_late"].astype("int64")
+    return out
+
+
+LATE_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def semi_anti_join_orders(
     sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
 ) -> pd.DataFrame:
@@ -4635,6 +4720,8 @@ QUERIES: dict[str, tuple] = {
     "corpus_pipeline_docs": (corpus_pipeline_docs, CORPUS_PIPELINE_SQL),
     "lm_coverage_prune_docs": (lm_coverage_prune_docs, LM_COVERAGE_SQL),
     "props_json_stats": (props_json_stats, PROPS_JSON_SQL),
+    "late_shipment_priority_counts": (
+        late_shipment_priority_counts, LATE_PRIORITY_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
