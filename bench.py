@@ -58,6 +58,7 @@ QUERY_SAMPLE = [
     "lm_coverage_prune_docs",
     "props_json_stats",
     "late_shipment_priority_counts",
+    "global_sales_opportunity",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

@@ -1150,6 +1150,116 @@ ORDER BY o_orderpriority
 """
 
 
+def global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q22-style anti-join report: per nation, count and total
+    balance of customers whose account balance is ABOVE the global
+    positive-balance average and who have placed NO orders. Two
+    integer-exactness tricks make the answer hash-stable:
+
+    - 'above average' never divides: bal_c * cnt > total_c compares by
+      CROSS-MULTIPLY in int64 (bal ~1e8 cents x 1e9 customers stays
+      under 2^63), identical in the SQL;
+    - balances are floored to cents before any sum.
+
+    Shape: the 3-column positive-balance projection materializes once
+    (scalar partials AND the candidate filter both read it — the
+    quality_prune two-pass pattern); the NOT-EXISTS side pre-dedups
+    o_custkey per batch (combiner) and co-partitions with candidates on
+    custkey % P — ONE exchange; each group anti-joins vectorized and
+    emits bounded (nationkey, n, sum) partials."""
+    num_parts = _parts_for(sf_dir, "orders")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        bal_c = np.floor(
+            batch["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        keep = bal_c > 0
+        return pd.DataFrame({
+            "ckey": batch["c_custkey"].to_numpy(np.int64)[keep],
+            "nkey": batch["c_nationkey"].to_numpy(np.int64)[keep],
+            "bal_c": bal_c[keep]})
+
+    pos = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+             ).map_batches(project, batch_format="pandas").materialize()
+    parts = pos.map_batches(
+        lambda b: pd.DataFrame({"tot": [b["bal_c"].sum()],
+                                "cnt": [len(b)]}),
+        batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "c_nationkey": pd.Series([], dtype="int64"),
+        "n_cust": pd.Series([], dtype="int64"),
+        "sum_bal_cents": pd.Series([], dtype="int64")})
+    if parts.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return empty
+    tot, cnt = int(parts["tot"].sum()), int(parts["cnt"].sum())
+
+    def cand(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["bal_c"].to_numpy(np.int64) * cnt > tot]
+        k = batch["ckey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "_part": k % num_parts, "ckey": k,
+            "nkey": batch["nkey"].to_numpy(np.int64),
+            "bal_c": batch["bal_c"].to_numpy(np.int64)})
+
+    def route_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(batch["o_custkey"].to_numpy(np.int64))  # combiner
+        return pd.DataFrame({
+            "_part": k % num_parts, "ckey": k,
+            "nkey": np.full(len(k), -1, dtype=np.int64),
+            "bal_c": np.zeros(len(k), dtype=np.int64)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        has_ord = g["nkey"].to_numpy() < 0
+        members = np.unique(g.loc[has_ord, "ckey"].to_numpy(np.int64))
+        c = g.loc[~has_ord]
+        c = c[~np.isin(c["ckey"].to_numpy(np.int64), members)]
+        out = (c.groupby("nkey", as_index=False)
+               .agg(n_cust=("ckey", "size"), sum_bal_cents=("bal_c", "sum")))
+        out["n_cust"] = out["n_cust"].astype("int64")
+        out["sum_bal_cents"] = out["sum_bal_cents"].astype("int64")
+        return out
+
+    res = (
+        pos.map_batches(cand, batch_format="pandas")
+        .union(_t(sf_dir, "orders", ["o_custkey"])
+               .map_batches(route_orders, batch_format="pandas",
+                            batch_size=65536))
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=65536)  # coalesce pre-exchange blocks
+        .groupby("_part")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if res.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return empty
+    out = (res.groupby("nkey", sort=True)[["n_cust", "sum_bal_cents"]]
+           .sum().reset_index().rename(columns={"nkey": "c_nationkey"}))
+    for c in ("c_nationkey", "n_cust", "sum_bal_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SALES_OPPORTUNITY_SQL = """
+WITH pos AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer WHERE floor(c_acctbal * 100 + 0.5) > 0
+),
+s AS (SELECT CAST(sum(bal_c) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS cnt FROM pos),
+cand AS (
+  SELECT c_custkey, c_nationkey, bal_c FROM pos, s
+  WHERE bal_c * cnt > tot
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bal_c) AS BIGINT) AS sum_bal_cents
+FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cand.c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def semi_anti_join_orders(
     sf_dir: str, strategy: str = "auto", broadcast_limit: int = 2_000_000
 ) -> pd.DataFrame:
@@ -4722,6 +4832,8 @@ QUERIES: dict[str, tuple] = {
     "props_json_stats": (props_json_stats, PROPS_JSON_SQL),
     "late_shipment_priority_counts": (
         late_shipment_priority_counts, LATE_PRIORITY_SQL),
+    "global_sales_opportunity": (
+        global_sales_opportunity, SALES_OPPORTUNITY_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
