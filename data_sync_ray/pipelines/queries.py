@@ -1065,8 +1065,14 @@ ORDER BY month
 """
 
 
+#: the one source of the Q4-style lateness window — the engine default
+#: and the SQL oracle both derive from it, so a non-default call can't
+#: silently diverge from the registered oracle
+LATE_DAYS = 60
+
+
 def late_shipment_priority_counts(
-    sf_dir: str, late_days: int = 60,
+    sf_dir: str, late_days: int = LATE_DAYS,
 ) -> pd.DataFrame:
     """TPC-H-Q4-style predicate semi-join: count orders per priority
     having AT LEAST ONE lineitem shipped more than late_days after the
@@ -1090,6 +1096,9 @@ def late_shipment_priority_counts(
         k = out["okey"].to_numpy(dtype=np.int64)
         return pd.DataFrame({
             "_part": k % num_parts, "okey": k,
+            # explicit side discriminator (the semi_anti_join_orders
+            # _is_probe pattern) — never an in-band data sentinel
+            "_is_o": np.zeros(len(out), dtype=np.int8),
             "prio": np.full(len(out), "", dtype=object),
             "odate_us": np.zeros(len(out), dtype=np.int64),
             "ship_us": out["ship_us"].to_numpy(dtype=np.int64)})
@@ -1098,13 +1107,14 @@ def late_shipment_priority_counts(
         k = batch["o_orderkey"].to_numpy(dtype=np.int64)
         return pd.DataFrame({
             "_part": k % num_parts, "okey": k,
+            "_is_o": np.ones(len(batch), dtype=np.int8),
             "prio": batch["o_orderpriority"].to_numpy(dtype=object),
             "odate_us": batch["o_orderdate"].to_numpy()
             .astype("datetime64[us]").astype(np.int64),
             "ship_us": np.full(len(batch), -1, dtype=np.int64)})
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        is_o = g["prio"].to_numpy() != ""
+        is_o = g["_is_o"].to_numpy() == 1
         lm = (g.loc[~is_o, ["okey", "ship_us"]]
               .groupby("okey", as_index=False)["ship_us"].max())
         m = g.loc[is_o, ["okey", "prio", "odate_us"]].merge(
@@ -1139,12 +1149,13 @@ def late_shipment_priority_counts(
     return out
 
 
-LATE_PRIORITY_SQL = """
+LATE_PRIORITY_SQL = f"""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                AND l.l_shipdate > o.o_orderdate
+                    + INTERVAL {LATE_DAYS} DAY)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -1197,6 +1208,9 @@ def global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
         k = batch["ckey"].to_numpy(np.int64)
         return pd.DataFrame({
             "_part": k % num_parts, "ckey": k,
+            # explicit side discriminator (the semi_anti_join_orders
+            # _is_probe pattern) — never an in-band data sentinel
+            "_is_ord": np.zeros(len(batch), dtype=np.int8),
             "nkey": batch["nkey"].to_numpy(np.int64),
             "bal_c": batch["bal_c"].to_numpy(np.int64)})
 
@@ -1204,11 +1218,12 @@ def global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
         k = np.unique(batch["o_custkey"].to_numpy(np.int64))  # combiner
         return pd.DataFrame({
             "_part": k % num_parts, "ckey": k,
-            "nkey": np.full(len(k), -1, dtype=np.int64),
+            "_is_ord": np.ones(len(k), dtype=np.int8),
+            "nkey": np.zeros(len(k), dtype=np.int64),
             "bal_c": np.zeros(len(k), dtype=np.int64)})
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
-        has_ord = g["nkey"].to_numpy() < 0
+        has_ord = g["_is_ord"].to_numpy() == 1
         members = np.unique(g.loc[has_ord, "ckey"].to_numpy(np.int64))
         c = g.loc[~has_ord]
         c = c[~np.isin(c["ckey"].to_numpy(np.int64), members)]

@@ -1055,6 +1055,50 @@ def test_local_supplier_volume_strategies_agree():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_global_sales_opportunity_nonempty(tmp_path):
+    """The generated sf tables leave the anti-join nearly empty (almost
+    every customer has orders), so pin the NON-empty path on synthetic
+    tables: orderless above-average customers must group per nation with
+    exact cent sums, checked against the registered SQL oracle."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from data_sync_ray.pipelines.queries import (
+        SALES_OPPORTUNITY_SQL,
+        global_sales_opportunity,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n), type=pa.int64()),
+        "c_nationkey": pa.array(rng.integers(0, 5, n), type=pa.int32()),
+        "c_acctbal": pa.array(
+            np.round(rng.uniform(-100, 1000, n), 2), type=pa.float64()),
+    })
+    # only even custkeys ever order -> every odd candidate is orderless
+    okeys = np.repeat(np.arange(0, n, 2), 3)
+    orders = pa.table({
+        "o_custkey": pa.array(okeys, type=pa.int64()),
+        "o_orderkey": pa.array(np.arange(len(okeys)), type=pa.int64()),
+    })
+    pq_.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq_.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    got = global_sales_opportunity(str(tmp_path))
+    assert len(got) > 1 and got["n_cust"].sum() > 10  # non-vacuous
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(SALES_OPPORTUNITY_SQL).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_promo_share_strategies_agree():
     """Broadcast partkey→promo-flag frame vs co-partitioned
     lineitem ⋈ part exchange — identical monthly basis points."""
