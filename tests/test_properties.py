@@ -307,3 +307,88 @@ def test_repetition_stats_kernel_matches_bruteforce(word_lists):
         import numpy as np
 
         assert np.unique(hs).size == len(set(grams))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 300)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 64),
+)
+@settings(max_examples=100, deadline=None)
+def test_pack_bins_invariants(docs, budget):
+    """_pack_bins (the kernel pack_sequences_docs and
+    corpus_pipeline_docs share) must, for ANY doc set and budget:
+    conserve every doc and token, assign bins by the exclusive-cumsum
+    rule (a doc counts wholly toward the bin where it starts), keep
+    bins contiguous in doc_id order, and never overrun the budget by
+    a full doc (bin start offset < budget by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_sync_ray.pipelines.queries import _pack_bins
+
+    g = pd.DataFrame({
+        "doc_id": [d for d, _ in docs],
+        "n_words": [n for _, n in docs],
+        "_part": np.zeros(len(docs), dtype=np.int64),
+    })
+    out = _pack_bins(g, budget)
+    assert int(out["n_docs"].sum()) == len(docs)
+    assert int(out["sum_tokens"].sum()) == sum(n for _, n in docs)
+    # reference: sequential exclusive-cumsum bin assignment
+    ordered = sorted(docs)
+    cum = 0
+    want_bins = []
+    for _, n in ordered:
+        want_bins.append(cum // budget)
+        cum += n
+    # bins must appear in order with matching doc counts/ranges
+    ids = [d for d, _ in ordered]
+    row = 0
+    for b in sorted(set(want_bins)):
+        members = [i for i, wb in zip(ids, want_bins) if wb == b]
+        r = out.iloc[row]
+        assert int(r["bin"]) == b
+        assert int(r["n_docs"]) == len(members)
+        assert int(r["first_doc"]) == members[0]
+        assert int(r["last_doc"]) == members[-1]
+        row += 1
+    assert row == len(out)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.integers(0, 50)),
+        min_size=1, max_size=80,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_percentile_threshold_rank_rule(rows):
+    """The shared per-source 25th-percentile rule — threshold = the
+    k-th smallest score with k = (m*25+99)//100, computed via the
+    histogram walk — must equal the naive sorted-rank definition for
+    any score multiset (ties, single rows, all-equal)."""
+    import pandas as pd
+
+    merged = (
+        pd.DataFrame(rows, columns=["source", "score_c"])
+        .groupby(["source", "score_c"], sort=True).size().rename("n")
+        .reset_index()
+    )
+    # the driver-side walk, lifted verbatim from the helper
+    thr = {}
+    for src, g in merged.groupby("source"):
+        m = int(g["n"].sum())
+        k = (m * 25 + 99) // 100
+        cum = g["n"].cumsum()
+        thr[str(src)] = int(g.loc[cum >= k, "score_c"].iloc[0])
+    by_src = {}
+    for s, v in rows:
+        by_src.setdefault(s, []).append(v)
+    for s, vals in by_src.items():
+        m = len(vals)
+        k = (m * 25 + 99) // 100
+        assert thr[s] == sorted(vals)[k - 1]
