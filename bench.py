@@ -59,6 +59,7 @@ QUERY_SAMPLE = [
     "props_json_stats",
     "late_shipment_priority_counts",
     "global_sales_opportunity",
+    "cdc_epoch_diff",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -4077,6 +4078,118 @@ WHERE tag = '{_cdc_replay_tag()}'
 """
 
 
+def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
+    """Time-travel DIFF of the replayed lake: what changed after epoch 1?
+    Builds the same pinned CDC fixture lake as cdc_replay_lake, reads
+    the state AS OF epoch 1 (read_lake(as_of_epoch=1) — served from the
+    immutable epoch-named deltas) and the final state, and reports per
+    doc_id: 'added' (absent → present), 'deleted' (present → absent,
+    i.e. a tombstone landed), or 'changed' (log_pos moved — any LWW
+    rewrite). The diff itself is DISTRIBUTED: both reads union with a
+    side tag and exchange once on a doc_id hash bucket, each group
+    diffing vectorized — at scale nothing driver-side holds the full
+    state, only the (bounded-by-change-volume) diff rows. Oracle:
+    full-outer-join of the two sequential-oracle fixtures
+    (cdcasof_* = epochs ≤ 1, cdc_replay_* = final)."""
+    from ..datamodel import (
+        StreamSpec,
+        gen_base_table,
+        gen_change_stream,
+        write_event_log,
+    )
+    from .replay import ReplayJob, read_lake
+
+    n_docs = 500
+    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    base = gen_base_table(n_docs, seed=42)
+    work = tempfile.mkdtemp(prefix="cdc_diff_")
+    ev_root = os.path.join(work, "events")
+    write_event_log(ev_root, gen_change_stream(spec))
+    cfg = SyncConfig(
+        lake_root=os.path.join(work, "lake"), num_partitions=16,
+        apply_concurrency=4,
+    )
+    job = ReplayJob(cfg)
+    job.bootstrap(base)
+    job.replay(ev_root)
+
+    def side(tag: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(batch["doc_id"], index=False)
+            return pd.DataFrame({
+                "_part": (h.to_numpy() % num_parts).astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy(dtype=object),
+                "n_tok": batch["n_tok"].to_numpy(np.int64),
+                "log_pos": batch["log_pos"].to_numpy(np.int64),
+                "_side": np.full(len(batch), tag, dtype=np.int8)})
+        return f
+
+    cols = ["doc_id", "n_tok", "log_pos"]
+    before = read_lake(cfg.lake_root, columns=cols, as_of_epoch=1
+                       ).map_batches(side(0), batch_format="pandas")
+    after = read_lake(cfg.lake_root, columns=cols
+                      ).map_batches(side(1), batch_format="pandas")
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        is_b = g["_side"].to_numpy() == 0
+        m = g.loc[is_b, ["doc_id", "n_tok", "log_pos"]].merge(
+            g.loc[~is_b, ["doc_id", "n_tok", "log_pos"]],
+            on="doc_id", how="outer", suffixes=("_b", "_a"),
+            indicator=True)
+        mer = m["_merge"].to_numpy()
+        changed = ((mer == "both")
+                   & (m["log_pos_b"].to_numpy() != m["log_pos_a"].to_numpy()))
+        keep = (mer != "both") | changed
+        m = m.loc[keep]
+        mer = m["_merge"].to_numpy()
+        status = np.where(mer == "left_only", "deleted",
+                          np.where(mer == "right_only", "added", "changed"))
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(dtype=object),
+            "status": status.astype(object),
+            "n_tok_before": m["n_tok_b"].fillna(-1).to_numpy(np.int64),
+            "n_tok_after": m["n_tok_a"].fillna(-1).to_numpy(np.int64)})
+
+    out = (
+        before.union(after)
+        .groupby("_part")
+        .map_groups(diff, batch_format="pandas")
+        .to_pandas()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="object"),
+            "status": pd.Series([], dtype="object"),
+            "n_tok_before": pd.Series([], dtype="int64"),
+            "n_tok_after": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CDC_DIFF_SQL = f"""
+WITH before AS (
+  SELECT doc_id, n_tok, log_pos
+  FROM read_parquet('{_FIXTURE_DIR}/cdcasof_*.parquet')
+  WHERE tag = '{_cdc_replay_tag()}'
+),
+after AS (
+  SELECT doc_id, n_tok, log_pos
+  FROM read_parquet('{_FIXTURE_DIR}/cdc_replay_*.parquet')
+  WHERE tag = '{_cdc_replay_tag()}'
+)
+SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'added'
+            WHEN a.doc_id IS NULL THEN 'deleted'
+            ELSE 'changed' END AS status,
+       CAST(coalesce(b.n_tok, -1) AS BIGINT) AS n_tok_before,
+       CAST(coalesce(a.n_tok, -1) AS BIGINT) AS n_tok_after
+FROM before b FULL OUTER JOIN after a ON b.doc_id = a.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR b.log_pos <> a.log_pos
+ORDER BY doc_id
+"""
+
+
 def cdc_lake_hll_view(sf_dir: str) -> pd.DataFrame:
     """The incremental HLL cardinality view, hash-checked end to end:
     replay the pinned CDC fixture into a lake, refresh the
@@ -4849,6 +4962,7 @@ QUERIES: dict[str, tuple] = {
         late_shipment_priority_counts, LATE_PRIORITY_SQL),
     "global_sales_opportunity": (
         global_sales_opportunity, SALES_OPPORTUNITY_SQL),
+    "cdc_epoch_diff": (cdc_epoch_diff, CDC_DIFF_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),

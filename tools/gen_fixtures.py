@@ -267,6 +267,36 @@ def gen_cdc_replay(out_dir: str) -> None:
     print(f"wrote {path}: {out.num_rows} rows")
 
 
+def gen_cdc_asof(out_dir: str) -> None:
+    """Pinned expected AS-OF-EPOCH-1 lake state for the `cdc_epoch_diff`
+    query: the same sequential replay_oracle reference and the same
+    StreamSpec constants as gen_cdc_replay, but folding only the
+    bootstrap + epochs 0..1 slice — the diff oracle full-outer-joins
+    this against the final-state fixture. File prefix `cdcasof_` is
+    deliberately NOT matched by the `cdc_replay_*` glob (the bpe/bpeapply
+    collision lesson)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from data_sync_ray import (
+        StreamSpec, gen_base_table, gen_change_stream, replay_oracle,
+    )
+
+    spec = StreamSpec(n_events=5000, n_docs=500, n_epochs=3, seed=42,
+                      evolve_from_epoch=2)
+    tag = hashlib.md5(repr(spec).encode()).hexdigest()
+    base = gen_base_table(500, seed=42)
+    want = replay_oracle(base, gen_change_stream(spec)[:2])  # epochs 0..1
+    out = want.select(["doc_id", "n_tok", "source", "log_pos"]).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("n_tok", pa.int64()),
+             ("source", pa.string()), ("log_pos", pa.int64())]
+        )
+    )
+    out = out.append_column("tag", pa.array([tag] * out.num_rows))
+    path = os.path.join(out_dir, f"cdcasof_{tag[:12]}.parquet")
+    pq.write_table(out, path)
+    print(f"wrote {path}: {out.num_rows} rows")
+
+
 def gen_media(out_dir: str) -> None:
     """Pinned expected stats for `media_decode_stats`: the same seeded
     media table decoded by a BYTE-LEVEL pure-Python reference — header
@@ -352,6 +382,7 @@ def main() -> None:
     for sf_dir in SF_DIRS:
         gen_one(sf_dir, out_dir)
     gen_cdc_replay(out_dir)
+    gen_cdc_asof(out_dir)
     gen_media(out_dir)
 
 
