@@ -3963,18 +3963,26 @@ FROM r GROUP BY event_type
 # --- the engine itself as a query (rows-only check) -------------------------
 
 
-def cdc_replay_lake(sf_dir: str) -> pa.Table:
-    """Full CDC engine end-to-end on a seeded fixture sized from sf_dir:
-    bootstrap + replay + merge-on-read fold. Deterministic; the pytest
-    suite pins it against the sequential oracle."""
-    from ..datamodel import StreamSpec, gen_base_table, gen_change_stream, write_event_log
+def _build_cdc_fixture_lake(prefix: str):
+    """Replay the ONE pinned CDC fixture spec (the same constants
+    _cdc_replay_tag hashes and tools/gen_fixtures.py folds sequentially)
+    into a fresh lake — the shared builder every cdc_* fixture query
+    uses, so the lake builders can never diverge from each other or
+    from the oracle spec. Returns (cfg, work_dir); the caller removes
+    work_dir when done."""
+    from ..datamodel import (
+        StreamSpec,
+        gen_base_table,
+        gen_change_stream,
+        write_event_log,
+    )
     from .replay import ReplayJob
 
     n_docs = 500
     spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
                       evolve_from_epoch=2)
     base = gen_base_table(n_docs, seed=42)
-    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    work = tempfile.mkdtemp(prefix=prefix)
     ev_root = os.path.join(work, "events")
     write_event_log(ev_root, gen_change_stream(spec))
     cfg = SyncConfig(
@@ -3984,7 +3992,17 @@ def cdc_replay_lake(sf_dir: str) -> pa.Table:
     job = ReplayJob(cfg)
     job.bootstrap(base)
     job.replay(ev_root)
-    out = job.lake.read_all()
+    return cfg, work
+
+
+def cdc_replay_lake(sf_dir: str) -> pa.Table:
+    """Full CDC engine end-to-end on a seeded fixture sized from sf_dir:
+    bootstrap + replay + merge-on-read fold. Deterministic; the pytest
+    suite pins it against the sequential oracle."""
+    from ..state.lake import Lake
+
+    cfg, work = _build_cdc_fixture_lake("cdc_replay_")
+    out = Lake(cfg.lake_root).read_all()
     # token arrays don't hash portably through every converter; project the
     # verifiable scalar shape (tokens equality is pinned by pytest) and
     # cast to the canonical fixture schema
@@ -3994,8 +4012,6 @@ def cdc_replay_lake(sf_dir: str) -> pa.Table:
              ("source", pa.string()), ("log_pos", pa.int64())]
         )
     )
-    import shutil
-
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -4037,30 +4053,14 @@ def cdc_lake_range_read(sf_dir: str) -> pa.Table:
     min/max (recorded at commit) cannot intersect the band, and filter
     the folded rows to it. Hash-checked against the sequential-oracle
     fixture filtered by the same bounds."""
-    from ..datamodel import StreamSpec, gen_base_table, gen_change_stream, write_event_log
-    from .replay import ReplayJob, read_lake
+    from .replay import read_lake
 
-    n_docs = 500
-    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
-                      evolve_from_epoch=2)
-    base = gen_base_table(n_docs, seed=42)
-    work = tempfile.mkdtemp(prefix="cdc_range_")
-    ev_root = os.path.join(work, "events")
-    write_event_log(ev_root, gen_change_stream(spec))
-    cfg = SyncConfig(
-        lake_root=os.path.join(work, "lake"), num_partitions=16,
-        apply_concurrency=4,
-    )
-    job = ReplayJob(cfg)
-    job.bootstrap(base)
-    job.replay(ev_root)
+    cfg, work = _build_cdc_fixture_lake("cdc_range_")
     out = (
         read_lake(cfg.lake_root, key_range=(_RANGE_LO, _RANGE_HI))
         .select_columns(["doc_id", "n_tok", "source", "log_pos"])
         .to_pandas()
     )
-    import shutil
-
     shutil.rmtree(work, ignore_errors=True)
     return pa.Table.from_pandas(out, preserve_index=False).cast(
         pa.schema(
@@ -4091,28 +4091,9 @@ def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
     state, only the (bounded-by-change-volume) diff rows. Oracle:
     full-outer-join of the two sequential-oracle fixtures
     (cdcasof_* = epochs ≤ 1, cdc_replay_* = final)."""
-    from ..datamodel import (
-        StreamSpec,
-        gen_base_table,
-        gen_change_stream,
-        write_event_log,
-    )
-    from .replay import ReplayJob, read_lake
+    from .replay import read_lake
 
-    n_docs = 500
-    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
-                      evolve_from_epoch=2)
-    base = gen_base_table(n_docs, seed=42)
-    work = tempfile.mkdtemp(prefix="cdc_diff_")
-    ev_root = os.path.join(work, "events")
-    write_event_log(ev_root, gen_change_stream(spec))
-    cfg = SyncConfig(
-        lake_root=os.path.join(work, "lake"), num_partitions=16,
-        apply_concurrency=4,
-    )
-    job = ReplayJob(cfg)
-    job.bootstrap(base)
-    job.replay(ev_root)
+    cfg, work = _build_cdc_fixture_lake("cdc_diff_")
 
     def side(tag: int):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4198,29 +4179,12 @@ def cdc_lake_hll_view(sf_dir: str) -> pd.DataFrame:
     incremental contract is part of the checked answer), and emit the
     estimator row. The oracle rebuilds the identical 256-register HLL
     in SQL over the pinned fixture's live doc_ids."""
-    from ..datamodel import StreamSpec, gen_base_table, gen_change_stream, write_event_log
     from ..state.views import hll_distinct_view
-    from .replay import ReplayJob
 
-    n_docs = 500
-    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
-                      evolve_from_epoch=2)
-    base = gen_base_table(n_docs, seed=42)
-    work = tempfile.mkdtemp(prefix="cdc_hll_")
-    ev_root = os.path.join(work, "events")
-    write_event_log(ev_root, gen_change_stream(spec))
-    cfg = SyncConfig(
-        lake_root=os.path.join(work, "lake"), num_partitions=16,
-        apply_concurrency=4,
-    )
-    job = ReplayJob(cfg)
-    job.bootstrap(base)
-    job.replay(ev_root)
+    cfg, work = _build_cdc_fixture_lake("cdc_hll_")
     df1, _ = hll_distinct_view(cfg.lake_root)
     df2, n2 = hll_distinct_view(cfg.lake_root)
     assert n2 == 0 and df2["int_sum"].iloc[0] == df1["int_sum"].iloc[0]
-    import shutil
-
     shutil.rmtree(work, ignore_errors=True)
     return df2
 
@@ -4275,29 +4239,9 @@ def cdc_lake_dup_gauge(sf_dir: str) -> pd.DataFrame:
     md5(content_key) over the pinned fixture — token-level content
     equality between the distributed lake and the sequential reference
     is part of the checked answer."""
-    from ..datamodel import (
-        StreamSpec,
-        gen_base_table,
-        gen_change_stream,
-        write_event_log,
-    )
     from ..state.views import MaterializedView, _content_dup_partial_text
-    from .replay import ReplayJob
 
-    n_docs = 500
-    spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3, seed=42,
-                      evolve_from_epoch=2)
-    base = gen_base_table(n_docs, seed=42)
-    work = tempfile.mkdtemp(prefix="cdc_dupg_")
-    ev_root = os.path.join(work, "events")
-    write_event_log(ev_root, gen_change_stream(spec))
-    cfg = SyncConfig(
-        lake_root=os.path.join(work, "lake"), num_partitions=16,
-        apply_concurrency=4,
-    )
-    job = ReplayJob(cfg)
-    job.bootstrap(base)
-    job.replay(ev_root)
+    cfg, work = _build_cdc_fixture_lake("cdc_dupg_")
 
     from ..functions.sketch import _HLL_M, hll_estimate
 
@@ -4320,8 +4264,6 @@ def cdc_lake_dup_gauge(sf_dir: str) -> pd.DataFrame:
             if r > m_j[b]:
                 m_j[b] = r
     est = hll_estimate(m_j)
-    import shutil
-
     shutil.rmtree(work, ignore_errors=True)
     return pd.DataFrame(
         {

@@ -228,15 +228,14 @@ def gen_one(sf_dir: str, out_dir: str) -> None:
     print(f"wrote {path4}: {out4.num_rows} rows")
 
 
-def gen_cdc_replay(out_dir: str) -> None:
-    """Pinned expected final lake state for the `cdc_replay_lake` query:
-    computed by `replay_oracle` — the SEQUENTIAL single-process reference
-    (an in-order dict fold, datamodel.py) that shares none of the
-    distributed spill/fold/commit machinery it checks. The query's
-    fixture spec is constant (sf-independent), so one fixture file
-    serves every scale; the tag pins the spec so a spec change without
-    `gen_fixtures.py` rerun turns the oracle red instead of silently
-    passing."""
+def _cdc_oracle_state(epochs_upto: int | None):
+    """Sequential replay_oracle fold of the ONE pinned CDC fixture spec,
+    optionally truncated to the first `epochs_upto` epoch tables —
+    shared by gen_cdc_replay (final state) and gen_cdc_asof (epochs 0..1)
+    so the two fixtures cdc_epoch_diff's oracle joins can never
+    desynchronize in spec, schema, or tag rule. Returns (want, out, tag):
+    the full oracle table, the canonical 4-column cast, and the spec
+    hash."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from data_sync_ray import (
         StreamSpec, gen_base_table, gen_change_stream, replay_oracle,
@@ -246,13 +245,29 @@ def gen_cdc_replay(out_dir: str) -> None:
                       evolve_from_epoch=2)
     tag = hashlib.md5(repr(spec).encode()).hexdigest()
     base = gen_base_table(500, seed=42)
-    want = replay_oracle(base, gen_change_stream(spec))
+    epochs = gen_change_stream(spec)
+    if epochs_upto is not None:
+        epochs = epochs[:epochs_upto]
+    want = replay_oracle(base, epochs)
     out = want.select(["doc_id", "n_tok", "source", "log_pos"]).cast(
         pa.schema(
             [("doc_id", pa.string()), ("n_tok", pa.int64()),
              ("source", pa.string()), ("log_pos", pa.int64())]
         )
     )
+    return want, out, tag
+
+
+def gen_cdc_replay(out_dir: str) -> None:
+    """Pinned expected final lake state for the `cdc_replay_lake` query:
+    computed by `replay_oracle` — the SEQUENTIAL single-process reference
+    (an in-order dict fold, datamodel.py) that shares none of the
+    distributed spill/fold/commit machinery it checks. The query's
+    fixture spec is constant (sf-independent), so one fixture file
+    serves every scale; the tag pins the spec so a spec change without
+    `gen_fixtures.py` rerun turns the oracle red instead of silently
+    passing."""
+    want, out, tag = _cdc_oracle_state(None)
     # oracle-reproducible content key: the ','-joined token string, so
     # SQL can rebuild the content-HLL of cdc_lake_dup_gauge from
     # md5(content_key) without list serialization on the SQL side
@@ -275,22 +290,7 @@ def gen_cdc_asof(out_dir: str) -> None:
     this against the final-state fixture. File prefix `cdcasof_` is
     deliberately NOT matched by the `cdc_replay_*` glob (the bpe/bpeapply
     collision lesson)."""
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from data_sync_ray import (
-        StreamSpec, gen_base_table, gen_change_stream, replay_oracle,
-    )
-
-    spec = StreamSpec(n_events=5000, n_docs=500, n_epochs=3, seed=42,
-                      evolve_from_epoch=2)
-    tag = hashlib.md5(repr(spec).encode()).hexdigest()
-    base = gen_base_table(500, seed=42)
-    want = replay_oracle(base, gen_change_stream(spec)[:2])  # epochs 0..1
-    out = want.select(["doc_id", "n_tok", "source", "log_pos"]).cast(
-        pa.schema(
-            [("doc_id", pa.string()), ("n_tok", pa.int64()),
-             ("source", pa.string()), ("log_pos", pa.int64())]
-        )
-    )
+    _, out, tag = _cdc_oracle_state(2)  # epochs 0..1
     out = out.append_column("tag", pa.array([tag] * out.num_rows))
     path = os.path.join(out_dir, f"cdcasof_{tag[:12]}.parquet")
     pq.write_table(out, path)
