@@ -60,6 +60,7 @@ QUERY_SAMPLE = [
     "late_shipment_priority_counts",
     "global_sales_opportunity",
     "cdc_epoch_diff",
+    "orders_above_customer_avg",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

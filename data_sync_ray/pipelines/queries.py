@@ -1072,6 +1072,66 @@ ORDER BY month
 LATE_DAYS = 60
 
 
+def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-scalar-subquery shape: orders priced above THEIR OWN
+    customer's average order price. One custkey % P exchange; inside
+    each group the per-customer mean never divides — price_c * cnt >
+    sum_c compares by int64 cross-multiply (the global_sales_opportunity
+    trick applied per group), so the answer is exact and the SQL window
+    restates it identically. Per-batch pre-aggregation is impossible
+    here (every row needs its full group's sum), which is exactly why
+    this shape earns its one exchange."""
+    num_parts = _parts_for(sf_dir, "orders")
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "_part": k % num_parts,
+            "o_orderkey": batch["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": k,
+            "price_c": np.floor(
+                batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)})
+
+    def above(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("o_custkey")["price_c"]
+        s = grp.transform("sum").to_numpy(np.int64)
+        cnt = grp.transform("size").to_numpy(np.int64)
+        keep = g["price_c"].to_numpy(np.int64) * cnt > s
+        return g.loc[keep, ["o_orderkey", "o_custkey", "price_c"]]
+
+    out = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(route, batch_format="pandas", batch_size=65536)
+        .groupby("_part")
+        .map_groups(above, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "price_c": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ABOVE_AVG_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cnt
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_c
+FROM w WHERE price_c * cnt > s
+ORDER BY o_orderkey
+"""
+
+
 def late_shipment_priority_counts(
     sf_dir: str, late_days: int = LATE_DAYS,
 ) -> pd.DataFrame:
@@ -4905,6 +4965,8 @@ QUERIES: dict[str, tuple] = {
     "global_sales_opportunity": (
         global_sales_opportunity, SALES_OPPORTUNITY_SQL),
     "cdc_epoch_diff": (cdc_epoch_diff, CDC_DIFF_SQL),
+    "orders_above_customer_avg": (
+        orders_above_customer_avg, ABOVE_AVG_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
