@@ -61,6 +61,7 @@ QUERY_SAMPLE = [
     "global_sales_opportunity",
     "cdc_epoch_diff",
     "orders_above_customer_avg",
+    "cdc_wire_formats_lww",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

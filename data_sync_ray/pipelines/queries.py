@@ -1924,6 +1924,111 @@ FROM (
 """
 
 
+def cdc_wire_formats_lww(sf_dir: str) -> pd.DataFrame:
+    """All FOUR wire parsers hash-checked against one SQL oracle: each
+    event row is serialized into one of the four supported CDC envelopes
+    (Maxwell / Debezium / Canal / AWS DMS, chosen by event_id % 4),
+    parsed by that format's real parser, and the union LWW-reduced per
+    user — so a drift in ANY parser's op mapping, position encoding, or
+    payload extraction flips this query red at the driver. Positions
+    are event_id << 16 in every format (Maxwell/Debezium directly;
+    Canal id and DMS transaction-id shift by construction), so the
+    cross-format total order is the event order and the winners match
+    the plain window SQL. The per-row JSON serialization is intrinsic
+    (it IS the wire format); everything downstream is the two-phase LWW
+    kernel."""
+    import json as _json
+
+    from ..sources.canal import parse_canal_batch
+    from ..sources.debezium import parse_debezium_batch
+    from ..sources.dms import parse_dms_batch
+    from ..sources.maxwell import parse_maxwell_batch
+
+    def to_wire(batch: pd.DataFrame) -> pa.Table:
+        lines: dict[int, list[str]] = {0: [], 1: [], 2: [], 3: []}
+        eids = batch["event_id"].to_numpy(np.int64)
+        uids = batch["user_id"].to_numpy(np.int64)
+        types = batch["event_type"].to_numpy(object)
+        vals = batch["value"].to_numpy()
+        for eid, uid, et, v in zip(eids, uids, types, vals):
+            data = {"user_id": int(uid), "event_id": int(eid),
+                    "event_type": str(et), "value": float(v)}
+            f = int(eid) % 4
+            if f == 0:
+                lines[0].append(_json.dumps({
+                    "type": "insert", "table": "events",
+                    "position": int(eid) << 16, "data": data}))
+            elif f == 1:
+                lines[1].append(_json.dumps({
+                    "payload": {"op": "c", "after": data, "before": None,
+                                "source": {"table": "events",
+                                           "lsn": int(eid) << 16}}}))
+            elif f == 2:
+                lines[2].append(_json.dumps({
+                    "type": "INSERT", "table": "events", "data": [data],
+                    "old": None, "id": int(eid), "isDdl": False}))
+            else:
+                lines[3].append(_json.dumps({
+                    "data": data,
+                    "metadata": {"record-type": "data",
+                                 "operation": "insert",
+                                 "table-name": "events",
+                                 "transaction-id": int(eid)}}))
+        parsers = (parse_maxwell_batch, parse_debezium_batch,
+                   parse_canal_batch, parse_dms_batch)
+        parts = [p(lines[i], key_column="user_id")
+                 for i, p in enumerate(parsers) if lines[i]]
+        cols = ["doc_id", "log_pos", "event_id", "event_type", "value"]
+        parts = [t.select(cols) for t in parts if t.num_rows]
+        if not parts:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "log_pos": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64())})
+        t = pa.concat_tables(parts, promote_options="permissive")
+        t = lww_winners(t, key="doc_id", order="log_pos")
+        part = np.array([int(d) % 32 for d in t.column("doc_id").to_pylist()],
+                        dtype=np.int64)
+        return t.append_column("_part", pa.array(part))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = lww_winners(t, key="doc_id", order="log_pos")
+        uid = np.array([int(d) for d in t.column("doc_id").to_pylist()],
+                       dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "value": t.column("value").cast(pa.float64())})
+
+    out = (
+        _t(sf_dir, "events",
+           ["user_id", "event_id", "event_type", "value"])
+        .map_batches(to_wire, batch_format="pandas", batch_size=8192)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64")})
+    return _round(out, {"value": 4})
+
+
+WIRE_FORMATS_SQL = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def watermark_max(sf_dir: str) -> pd.DataFrame:
     v = _t(sf_dir, "events", ["event_id"]).max("event_id")
     return pd.DataFrame({"watermark": np.array([v], dtype="int64")})
@@ -4967,6 +5072,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_epoch_diff": (cdc_epoch_diff, CDC_DIFF_SQL),
     "orders_above_customer_avg": (
         orders_above_customer_avg, ABOVE_AVG_SQL),
+    "cdc_wire_formats_lww": (cdc_wire_formats_lww, WIRE_FORMATS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
