@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--epoch", type=int, default=0,
                    help="ingest: epoch number to commit the batch under")
     p.add_argument("--source-format", default="maxwell",
-                   choices=["maxwell", "debezium", "canal"],
+                   choices=["maxwell", "debezium", "canal", "dms"],
                    help="ingest: CDC envelope of the JSON-lines input")
     p.add_argument("--key", help="lookup: primary-key value to read")
     p.add_argument("--as-of-epoch", type=int, default=None,
@@ -158,11 +158,13 @@ def main(argv: list[str] | None = None) -> int:
         # one JSON-lines CDC batch (any supported envelope) -> one epoch
         from .sources.canal import read_canal_json
         from .sources.debezium import read_debezium_json
+        from .sources.dms import read_dms_json
         from .sources.maxwell import read_maxwell_json
 
         reader = {"maxwell": read_maxwell_json,
                   "debezium": read_debezium_json,
-                  "canal": read_canal_json}[args.source_format]
+                  "canal": read_canal_json,
+                  "dms": read_dms_json}[args.source_format]
         rows = job.apply_epoch(args.epoch, reader(args.events))
         out = {"epoch": args.epoch, "format": args.source_format,
                "events_applied": sum(r.get("events_in", 0) for r in rows),

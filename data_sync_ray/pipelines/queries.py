@@ -1930,11 +1930,12 @@ def cdc_wire_formats_lww(sf_dir: str) -> pd.DataFrame:
     (Maxwell / Debezium / Canal / AWS DMS, chosen by event_id % 4),
     parsed by that format's real parser, and the union LWW-reduced per
     user — so a drift in ANY parser's op mapping, position encoding, or
-    payload extraction flips this query red at the driver. Positions
-    are event_id << 16 in every format (Maxwell/Debezium directly;
-    Canal id and DMS transaction-id shift by construction), so the
-    cross-format total order is the event order and the winners match
-    the plain window SQL. The per-row JSON serialization is intrinsic
+    payload extraction flips this query red at the driver. Every format
+    is fed inputs that decode to the SAME position (event_id + 1) << 20
+    (Maxwell/Debezium carry it directly; Canal's id and DMS's
+    transaction-id are chosen so their own encodings land on it), so
+    the cross-format total order is the event order and the winners
+    match the plain window SQL. The per-row JSON serialization is intrinsic
     (it IS the wire format); everything downstream is the two-phase LWW
     kernel."""
     import json as _json
@@ -1954,20 +1955,23 @@ def cdc_wire_formats_lww(sf_dir: str) -> pd.DataFrame:
             data = {"user_id": int(uid), "event_id": int(eid),
                     "event_type": str(et), "value": float(v)}
             f = int(eid) % 4
+            pos = (int(eid) + 1) << 20
             if f == 0:
                 lines[0].append(_json.dumps({
                     "type": "insert", "table": "events",
-                    "position": int(eid) << 16, "data": data}))
+                    "position": pos, "data": data}))
             elif f == 1:
                 lines[1].append(_json.dumps({
                     "payload": {"op": "c", "after": data, "before": None,
                                 "source": {"table": "events",
-                                           "lsn": int(eid) << 16}}}))
+                                           "lsn": pos}}}))
             elif f == 2:
+                # canal encodes (id << 16 | row): id = pos >> 16
                 lines[2].append(_json.dumps({
                     "type": "INSERT", "table": "events", "data": [data],
-                    "old": None, "id": int(eid), "isDdl": False}))
+                    "old": None, "id": pos >> 16, "isDdl": False}))
             else:
+                # dms encodes ((txid + 1) << 20 | rec): txid = eid
                 lines[3].append(_json.dumps({
                     "data": data,
                     "metadata": {"record-type": "data",
@@ -1989,14 +1993,15 @@ def cdc_wire_formats_lww(sf_dir: str) -> pd.DataFrame:
                 "value": pa.array([], pa.float64())})
         t = pa.concat_tables(parts, promote_options="permissive")
         t = lww_winners(t, key="doc_id", order="log_pos")
-        part = np.array([int(d) % 32 for d in t.column("doc_id").to_pylist()],
-                        dtype=np.int64)
-        return t.append_column("_part", pa.array(part))
+        # vectorized routing: the keys are numeric strings by construction
+        uid = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.append_column("_part", pa.array(uid % 32))
 
     def final(t: pa.Table) -> pa.Table:
         t = lww_winners(t, key="doc_id", order="log_pos")
-        uid = np.array([int(d) for d in t.column("doc_id").to_pylist()],
-                       dtype=np.int64)
+        uid = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         return pa.table({
             "user_id": pa.array(uid),
             "event_id": t.column("event_id").cast(pa.int64()),

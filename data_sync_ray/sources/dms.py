@@ -23,11 +23,22 @@ parser — the debezium/canal pattern):
 - the row image is always `data` (DMS delete records carry the key row
   there; before-images, when enabled, ride a separate field this engine
   does not need);
-- total order: (transaction-id << 16) | transaction-record-id — the
-  Canal (id << 16 | row) encoding. Missing/negative/bool transaction-id
-  vetoes the event (assigning 0 would silently lose LWW writes — the
-  shared veto philosophy), as does a transaction-record-id outside
-  [0, 65536) (it would collide orders across transactions);
+- total order: ((transaction-id + 1) << 20) | transaction-record-id.
+  Real DMS FULL-LOAD records carry NO transaction-id (per the AWS
+  docs, it appears only in CDC records), so orderless `load` records
+  take position 0 — the snapshot precedes every CDC write, exactly the
+  bootstrap's epoch -1 semantics, and the +1 shift guarantees even
+  transaction-id 0 outranks the snapshot. CDC records
+  (insert/update/delete) missing transaction-id are still vetoed
+  (assigning an order would silently lose LWW writes — the shared veto
+  philosophy), as are transaction-ids >= 2^43 - 1 and
+  transaction-record-ids outside [0, 2^20) (they would collide orders
+  across transactions). NOTE an honest envelope limitation: DMS
+  delivers one record per line with no transaction boundary marker, so
+  a >2^20-row transaction is vetoed RECORD-BY-RECORD (a prefix
+  applies) — unlike Canal, whose multi-row message is vetoed
+  atomically; there is nothing per-record to anchor an all-or-nothing
+  veto to;
 - `timestamp` parses as ISO-8601 (trailing Z accepted) to fractional
   epoch seconds; unparseable timestamps drop the ts, never the event;
 - malformed records skip, never raise (the Maxwell parser's contract).
@@ -84,16 +95,22 @@ def dms_to_maxwell(ev: dict) -> dict | None:
     if not isinstance(data, dict):
         return None
     txid = _as_int(meta.get("transaction-id"))
-    if txid is None or txid < 0 or txid >= (1 << 47):
-        return None  # unorderable: veto, never guess
-    rec = meta.get("transaction-record-id")
-    rec_i = _as_int(rec) if rec is not None else 0
-    if rec_i is None or not (0 <= rec_i < (1 << 16)):
-        return None  # would collide orders across transactions
+    if txid is None:
+        if raw_op.lower() != "load":
+            return None  # unorderable CDC record: veto, never guess
+        pos = 0  # full-load snapshot: precedes every CDC write
+    else:
+        if txid < 0 or txid >= (1 << 43) - 1:
+            return None
+        rec = meta.get("transaction-record-id")
+        rec_i = _as_int(rec) if rec is not None else 0
+        if rec_i is None or not (0 <= rec_i < (1 << 20)):
+            return None  # would collide orders across transactions
+        pos = ((txid + 1) << 20) | rec_i
     out = {
         "type": op,
         "table": meta.get("table-name", ""),
-        "position": (txid << 16) | rec_i,
+        "position": pos,
         "data": data,
     }
     ts = _iso_ts(meta.get("timestamp"))

@@ -41,15 +41,32 @@ def test_op_mapping_and_control_skip():
 
 
 def test_position_encoding_and_veto_rules():
-    assert dms_to_maxwell(dm(txid=5))["position"] == 5 << 16
-    assert dms_to_maxwell(dm(txid=5, rec=3))["position"] == (5 << 16) | 3
-    assert dms_to_maxwell(dm(txid="11"))["position"] == 11 << 16
-    assert dms_to_maxwell(dm(txid=None)) is None      # unorderable
+    assert dms_to_maxwell(dm(txid=5))["position"] == 6 << 20
+    assert dms_to_maxwell(dm(txid=5, rec=3))["position"] == (6 << 20) | 3
+    assert dms_to_maxwell(dm(txid="11"))["position"] == 12 << 20
+    assert dms_to_maxwell(dm(txid=0))["position"] == 1 << 20  # > snapshot
+    assert dms_to_maxwell(dm(txid=None)) is None      # unorderable CDC
     assert dms_to_maxwell(dm(txid=-2)) is None        # negative
     assert dms_to_maxwell(dm(txid=True)) is None      # bool is not int
-    assert dms_to_maxwell(dm(txid=1 << 47)) is None   # shift overflow
-    assert dms_to_maxwell(dm(rec=1 << 16)) is None    # cross-txn collide
+    assert dms_to_maxwell(dm(txid=(1 << 43) - 1)) is None  # shift overflow
+    assert dms_to_maxwell(dm(rec=1 << 20)) is None    # cross-txn collide
     assert dms_to_maxwell(dm(rec=-1)) is None
+
+
+def test_full_load_without_transaction_id_is_snapshot():
+    """Real DMS full-load records carry NO transaction-id (AWS docs:
+    the field appears only in CDC records) — they must map to position
+    0 (the bootstrap analog), never veto; any CDC write outranks them
+    because CDC positions start at (0 + 1) << 20."""
+    ev = dm("load")
+    del ev["metadata"]["transaction-id"]
+    out = dms_to_maxwell(ev)
+    assert out is not None and out["position"] == 0
+    assert out["type"] == "insert"
+    # the same missing txid on a CDC op still vetoes
+    ev2 = dm("update")
+    del ev2["metadata"]["transaction-id"]
+    assert dms_to_maxwell(ev2) is None
 
 
 def test_timestamp_parse_and_fallbacks():
