@@ -1985,12 +1985,15 @@ def cdc_wire_formats_lww(sf_dir: str) -> pd.DataFrame:
         cols = ["doc_id", "log_pos", "event_id", "event_type", "value"]
         parts = [t.select(cols) for t in parts if t.num_rows]
         if not parts:
+            # keep the _part routing column: an empty block without it
+            # breaks the downstream groupby's schema unification
             return pa.table({
                 "doc_id": pa.array([], pa.string()),
                 "log_pos": pa.array([], pa.int64()),
                 "event_id": pa.array([], pa.int64()),
                 "event_type": pa.array([], pa.string()),
-                "value": pa.array([], pa.float64())})
+                "value": pa.array([], pa.float64()),
+                "_part": pa.array([], pa.int64())})
         t = pa.concat_tables(parts, promote_options="permissive")
         t = lww_winners(t, key="doc_id", order="log_pos")
         # vectorized routing: the keys are numeric strings by construction
@@ -2056,15 +2059,19 @@ def props_json_stats(sf_dir: str) -> pd.DataFrame:
     import json as _json
 
     def parse_k(s):
-        # degrade to a dropped row on anything non-'{"k": int}' — the
-        # oracle's TRY_CAST(... AS BIGINT) does the same, so malformed
-        # payloads stay an agreement, not a crash/divergence
+        # keep ONLY int64-representable plain-JSON integers, dropping
+        # everything else — and the oracle states the SAME rule
+        # (json_type in BIGINT/UBIGINT + TRY_CAST), so numeric strings,
+        # floats, bools, and beyond-int64 ints are a dropped-row
+        # AGREEMENT on both sides, never a crash or divergence
         try:
             o = _json.loads(s) if s else None
         except (TypeError, ValueError):
             return None
         k = o.get("k") if isinstance(o, dict) else None
-        return k if isinstance(k, int) and not isinstance(k, bool) else None
+        if not isinstance(k, int) or isinstance(k, bool):
+            return None
+        return k if -(1 << 63) <= k < (1 << 63) else None
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
@@ -2099,7 +2106,12 @@ def props_json_stats(sf_dir: str) -> pd.DataFrame:
 PROPS_JSON_SQL = """
 WITH e AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS BIGINT)
+           END
+         END AS k
   FROM events
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

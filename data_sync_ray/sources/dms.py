@@ -33,7 +33,13 @@ parser — the debezium/canal pattern):
   (assigning an order would silently lose LWW writes — the shared veto
   philosophy), as are transaction-ids >= 2^43 - 1 and
   transaction-record-ids outside [0, 2^20) (they would collide orders
-  across transactions). NOTE an honest envelope limitation: DMS
+  across transactions). A record with a transaction-id but NO
+  transaction-record-id defaults to record 0 — per the AWS docs both
+  fields ship together (IncludeTransactionDetails), so this only
+  covers non-conforming producers; the honest cost is that two
+  same-key writes within ONE transaction from such a producer tie in
+  LWW order, while vetoing instead would drop EVERY write from that
+  producer — strictly worse. NOTE an honest envelope limitation: DMS
   delivers one record per line with no transaction boundary marker, so
   a >2^20-row transaction is vetoed RECORD-BY-RECORD (a prefix
   applies) — unlike Canal, whose multi-row message is vetoed
