@@ -62,6 +62,7 @@ QUERY_SAMPLE = [
     "cdc_epoch_diff",
     "orders_above_customer_avg",
     "cdc_wire_formats_lww",
+    "revenue_rollup_orders",
     "event_value_percentiles",
     "daily_type_pivot",
     "hll_distinct_users",

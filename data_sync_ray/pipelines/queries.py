@@ -271,6 +271,69 @@ FROM orders GROUP BY 1
 """
 
 
+def revenue_rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP-shape multi-level aggregate: order count + revenue cents
+    at (year, month), (year, ALL), and (ALL, ALL) levels in ONE pass —
+    the month-level histogram is bounded (months x 1), folds through
+    tree_sum_by_key with no exchange, and the coarser levels are exact
+    integer re-sums of it on the driver (never a second scan). The
+    oracle states the same three levels via GROUPING SETS with 'ALL'
+    sentinels (string sentinels, not NULLs, so both engines hash the
+    rollup rows identically)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["o_orderdate"].to_numpy().astype("datetime64[M]")
+        out = pd.DataFrame({
+            "year": m.astype("datetime64[Y]").astype(str),
+            "month": m.astype(str),
+            "n_orders": np.ones(len(batch), dtype=np.int64),
+            "revenue_cents": np.floor(
+                batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)})
+        return out.groupby(["year", "month"], as_index=False).sum()
+
+    months = tree_sum_by_key(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["year", "month"])
+    if months.empty or "year" not in months.columns:
+        return pd.DataFrame({
+            "year": pd.Series([], dtype="object"),
+            "month": pd.Series([], dtype="object"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64")})
+    years = months.groupby("year", as_index=False)[
+        ["n_orders", "revenue_cents"]].sum()
+    years["month"] = "ALL"
+    total = pd.DataFrame({
+        "year": ["ALL"], "month": ["ALL"],
+        "n_orders": [int(months["n_orders"].sum())],
+        "revenue_cents": [int(months["revenue_cents"].sum())]})
+    out = pd.concat(
+        [months, years[months.columns], total[months.columns]],
+        ignore_index=True)
+    for c in ("n_orders", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["year", "month"])
+            .reset_index(drop=True))
+
+
+REVENUE_ROLLUP_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y') AS y,
+         strftime(o_orderdate, '%Y-%m') AS mo,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT coalesce(y, 'ALL') AS year, coalesce(mo, 'ALL') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_c) AS BIGINT) AS revenue_cents
+FROM m
+GROUP BY GROUPING SETS ((y, mo), (y), ())
+ORDER BY year, month
+"""
+
+
 def orderkeys_union(sf_dir: str) -> pd.DataFrame:
     """Set op: distinct union of keys from two tables."""
     a = _t(sf_dir, "orders", ["o_orderkey"]).map_batches(
@@ -5090,6 +5153,7 @@ QUERIES: dict[str, tuple] = {
     "orders_above_customer_avg": (
         orders_above_customer_avg, ABOVE_AVG_SQL),
     "cdc_wire_formats_lww": (cdc_wire_formats_lww, WIRE_FORMATS_SQL),
+    "revenue_rollup_orders": (revenue_rollup_orders, REVENUE_ROLLUP_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "user_rolling_window": (user_rolling_window, ROLLING_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_SQL),
