@@ -1099,6 +1099,55 @@ def test_global_sales_opportunity_nonempty(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_props_json_stats_messy_payloads_agree(tmp_path):
+    """The generated events fixtures only carry clean '{"k": int}'
+    payloads, so pin the MESSY-payload agreement on synthetic data:
+    numeric strings, floats, bools, nulls, arrays, beyond-int64 ints,
+    empty strings and invalid JSON must all be dropped-row AGREEMENTS
+    between the engine and the oracle SQL — never a crash (the
+    beyond-int64 case used to OverflowError in the worker) and never a
+    divergence (floats/strings used to be dropped by the engine but
+    cast by the oracle)."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from data_sync_ray.pipelines.queries import (
+        PROPS_JSON_SQL,
+        props_json_stats,
+    )
+
+    props = [
+        '{"k": 5}', '{"k": 7}', '{"k": 5}',          # kept
+        '{"k": -3}',                                  # kept (negative)
+        '{"k": "12"}', '{"k": 2.5}', '{"k": 2.0}',    # dropped: not int
+        '{"k": true}', '{"k": null}', '{"k": [1]}',   # dropped
+        '{"k": 99999999999999999999}',                # dropped: > uint64
+        '{"k": 9223372036854775808}',                 # dropped: int64max+1
+        '{"k": 4611686018427387904}',                 # kept: 2^62 (sum
+                                                      # stays in int64 —
+                                                      # the convention
+                                                      # everywhere)
+        '{"j": 1}', "", "{not json", "5",             # dropped
+    ]
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * len(props)),
+        "props": pa.array(props)})
+    pq_.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = props_json_stats(str(tmp_path))
+    assert got["n_events"].tolist() == [5]  # the five kept rows
+    assert got["n_distinct_k"].tolist() == [4]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(PROPS_JSON_SQL).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_promo_share_strategies_agree():
     """Broadcast partkey→promo-flag frame vs co-partitioned
     lineitem ⋈ part exchange — identical monthly basis points."""
