@@ -193,9 +193,10 @@ class ControlServer:
     round will apply vs reject (same validator the reload path runs)."""
 
     def __init__(self, lake_root: str, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, rw_timeout: float = 5.0):
         self.cp = ControlPlane(lake_root)
         self.host, self.port = host, port
+        self.rw_timeout = rw_timeout
         self._httpd = None
         self._thread = None
 
@@ -206,8 +207,14 @@ class ControlServer:
         import threading
 
         cp = self.cp
+        rw_timeout = self.rw_timeout
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            # socket timeout: a client that over-reports Content-Length
+            # would otherwise park rfile.read(n) forever and pin a
+            # handler thread — a short body now times out into a 400
+            timeout = rw_timeout
+
             def log_message(self, *a):  # quiet: status goes to files
                 pass
 

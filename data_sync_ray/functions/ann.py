@@ -143,6 +143,11 @@ def quantized_topk(
         mm_partial, batch_format="pyarrow", batch_size=65536
     ).take_all()  # one (mn, mx) D-vector pair per 64k rows — the
     # driver merge is O(corpus/65536) tiny vectors, not O(corpus)
+    if not parts:  # empty corpus: no partials to quantize against
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="int64")}
+        )
     mn = np.min(np.vstack([np.asarray(r["mn"]) for r in parts]), axis=0)
     mx = np.max(np.vstack([np.asarray(r["mx"]) for r in parts]), axis=0)
     rng = mx - mn

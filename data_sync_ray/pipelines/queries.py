@@ -579,7 +579,12 @@ def top_customer_revenue(
         # prefilter saturates and passes more rows — selectivity degrades
         # GRACEFULLY while exactness is untouched (false positives die at
         # the co-partitioned membership check below).
-        nbits = 1 << max(16, min(27, int(np.ceil(np.log2(n_cust * 10)))))
+        # max(n_cust, 1): log2(0) is -inf and int(ceil(-inf)) raises —
+        # an explicit strategy="bloom" call on an empty customer table
+        # must degrade to the floor-size bloom, not crash
+        nbits = 1 << max(
+            16, min(27, int(np.ceil(np.log2(max(n_cust, 1) * 10))))
+        )
         parts = building_ds.map_batches(
             lambda b: pd.DataFrame({"bm": [_bloom_build(
                 b["c_custkey"].to_numpy(dtype=np.int64), nbits

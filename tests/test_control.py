@@ -169,3 +169,32 @@ def test_prometheus_text_export():
     assert "data_sync_paused 1" in text
     assert "data_sync_rate_window_events_per_sec 123.4" in text
     assert text.endswith("\n")
+
+
+def test_http_post_short_body_times_out_not_hangs(tmp_path):
+    """A client over-reporting Content-Length must get a bounded-time
+    400 (socket rw timeout), never pin the handler thread forever
+    (ADVICE r3: control.py do_POST trusted Content-Length)."""
+    import socket
+    import time as _time
+
+    from data_sync_ray.control import ControlServer
+
+    srv = ControlServer(str(tmp_path / "lake"), rw_timeout=0.5)
+    port = srv.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(
+            b"POST /sync/setStrategyMode HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Length: 100\r\n\r\n"
+            b"{"  # 1 byte of a promised 100
+        )
+        t0 = _time.monotonic()
+        s.settimeout(5)
+        data = s.recv(4096)  # must arrive once the 0.5s rw timeout fires
+        dt = _time.monotonic() - t0
+        assert b"400" in data.split(b"\r\n", 1)[0]
+        assert dt < 4.0
+        s.close()
+    finally:
+        srv.stop()

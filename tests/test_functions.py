@@ -394,6 +394,20 @@ class TestAnn:
         assert list(got["vec_id"]) == order
         assert list(got["score"]) == [int(s[i]) for i in order]
 
+    def test_quantized_topk_empty_corpus(self):
+        """An empty embeddings table must return the typed empty frame,
+        not ValueError from np.vstack([]) (ADVICE r3)."""
+        from data_sync_ray.functions.ann import quantized_topk
+
+        t = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "embedding": pa.array([], pa.list_(pa.float64()))}
+        )
+        got = quantized_topk(rd.from_arrow(t), np.zeros(8), k=5)
+        assert got.empty
+        assert list(got.columns) == ["vec_id", "score"]
+        assert str(got["vec_id"].dtype) == "int64"
+
     def test_brute_force_topk_exact(self):
         from data_sync_ray.functions.ann import brute_force_topk
 
@@ -1038,6 +1052,36 @@ def test_top_revenue_strategies_agree():
     a = top_customer_revenue(SF, strategy="broadcast")
     b = top_customer_revenue(SF, strategy="bloom")
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_revenue_bloom_empty_customer(tmp_path):
+    """Explicit strategy='bloom' on an EMPTY customer table must yield
+    the typed empty answer, not OverflowError from ceil(log2(0))
+    (ADVICE r3)."""
+    import pyarrow.parquet as _pq
+
+    from data_sync_ray.pipelines.queries import top_customer_revenue
+
+    _pq.write_table(
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_mktsegment": pa.array([], pa.string())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    _pq.write_table(
+        pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                  "o_custkey": pa.array([7], pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    _pq.write_table(
+        pa.table({"l_orderkey": pa.array([1], pa.int64()),
+                  "l_extendedprice": pa.array([10.0], pa.float64()),
+                  "l_discount": pa.array([0.0], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = top_customer_revenue(str(tmp_path), strategy="bloom")
+    assert out.empty
+    assert list(out.columns) == ["o_custkey", "revenue_cents"]
 
 
 @pytest.mark.usefixtures("ray_session")
