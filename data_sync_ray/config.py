@@ -56,6 +56,11 @@ class SyncConfig:
     # schema policy: 'unify' (additive evolution, default) or 'conform'
     # (reference behavior: drop unknown columns, mysql_filter_service.go:37-41)
     schema_policy: str = "unify"
+    # lake commit-primitive backend (state/storage.py): 'posix'
+    # (fsync+rename+flock — single node / POSIX shared fs) or
+    # 'objstore' (version-checked conditional puts, no rename/flock —
+    # S3-class object stores). Immutable per lake.
+    storage_backend: str = "posix"
     # parquet row-group size for committed deltas (rows). Deltas are
     # written key-sorted, so smaller row groups give range reads and
     # point lookups tight row-group zone maps to prune within a file.
@@ -97,6 +102,7 @@ class SyncConfig:
             hot_key_threshold=float(sec.get("hot_key_threshold", 0.05)),
             inspect_alarm_count=int(sec.get("inspect_alarm_count", 5)),
             schema_policy=sec.get("schema_policy", "unify"),
+            storage_backend=sec.get("storage_backend", "posix"),
             row_group_rows=(
                 int(sec["row_group_rows"])
                 if sec.get("row_group_rows") is not None

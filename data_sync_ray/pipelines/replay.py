@@ -650,13 +650,10 @@ class ReplayJob:
                         src_max = max(src_max, pc.max(t.column("log_pos")).as_py())
         wms = self.lake.watermarks()
         target_max = max(wms.values(), default=-1)
-        state_path = os.path.join(self.lake.ckpt_dir, "_inspect.json")
+        state_key = "checkpoints/_inspect.json"
         prev, fails = -2, 0
-        if os.path.exists(state_path):
-            import json
-
-            with open(state_path) as f:
-                st = json.load(f)
+        st = self.lake.storage.doc_read_json(state_key)
+        if st is not None:
             prev = st["target_max"]
             fails = st.get("consecutive_fails", 0)
         if src_max <= target_max:
@@ -671,10 +668,8 @@ class ReplayJob:
             status = (
                 "alarm" if fails >= self.cfg.inspect_alarm_count else "stalled"
             )
-        from ..state.lake import atomic_write_json
-
-        atomic_write_json(
-            state_path,
+        self.lake.storage.doc_write_json(
+            state_key,
             {"target_max": target_max, "consecutive_fails": fails},
         )
         return {

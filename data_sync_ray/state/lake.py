@@ -26,7 +26,15 @@ Commit protocol per (partition, epoch):
 A Ray task retry that re-runs step 1 rewrites the same bytes to the same
 name (sorted deterministic content); a replay of an already-committed epoch
 is detected from the commit log and becomes a no-op => exactly-once effect.
-The checkpoint replace (os.replace) is the single atomic commit point.
+The checkpoint document commit is the single atomic commit point.
+
+HOW that commit happens is delegated to a pluggable storage backend
+(state/storage.py): `posix` (default — fsync + atomic rename + flock,
+the pre-round-4 layout unchanged) or `objstore` (S3-semantics:
+version-checked conditional puts, no rename/flock). Everything in this
+file speaks only the backend interface; the exactly-once reasoning
+above holds under both because the commit point is "the new checkpoint
+version becomes the readable head atomically".
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ import pyarrow.parquet as pq
 
 from ..config import SyncConfig
 from ..stages.merge import fold_state
+from .storage import make_storage, sniff_backend
 
 BOOTSTRAP_EPOCH = -1
 
@@ -57,11 +66,6 @@ def atomic_write_json(path: str, obj) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
-
-
-def _read_json(path: str):
-    with open(path) as f:
-        return json.load(f)
 
 
 def _row_groups_for_range(md, key: str, key_range) -> list[int] | None:
@@ -111,15 +115,15 @@ def _range_mask(col, key_range):
 
 
 def _read_fragment(
-    path: str, columns: list[str] | None, key, key_range
+    storage, key_path: str, columns: list[str] | None, key, key_range
 ) -> pa.Table:
     """Read one lake fragment, pruning parquet ROW GROUPS whose key
     stats fall outside key_range — the in-file complement of the
     per-file zone map (a point lookup in a compacted multi-GB partition
     decodes one row group, not the file)."""
     if key_range is None:
-        return pq.read_table(path, columns=columns)
-    f = pq.ParquetFile(path)
+        return storage.obj_read_table(key_path, columns=columns)
+    f = storage.obj_open(key_path)
     try:
         groups = _row_groups_for_range(f.metadata, key, key_range)
         if groups is None:
@@ -144,8 +148,15 @@ class Lake:
     without coordination (single-owner-per-partition discipline).
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: str | None = None):
+        """backend=None sniffs an existing lake's storage layout (the
+        objstore staging marker vs a plain CONFIG.json) so task-side
+        `Lake(lake_root)` constructions need no extra plumbing; fresh
+        roots default to posix."""
         self.root = root
+        self.storage = make_storage(root, backend)
+        # path attributes kept for posix-backend tooling/tests that
+        # inspect the layout directly; engine code goes via storage
         self.data_dir = os.path.join(root, "data")
         self.ckpt_dir = os.path.join(root, "checkpoints")
         self.manifest_dir = os.path.join(root, "manifest")
@@ -155,15 +166,23 @@ class Lake:
     #: lake-identity fields: changing any of these on an existing lake
     #: re-routes keys to different partitions / reorders the LWW fold,
     #: leaving stale winners the per-partition fold can never supersede
-    IMMUTABLE_FIELDS = ("num_partitions", "key_column", "order_column")
+    #: (storage_backend re-layouts the commit documents themselves)
+    IMMUTABLE_FIELDS = (
+        "num_partitions", "key_column", "order_column", "storage_backend"
+    )
 
     @staticmethod
     def create(cfg: SyncConfig) -> "Lake":
-        lake = Lake(cfg.lake_root)
-        for d in (lake.data_dir, lake.ckpt_dir, lake.manifest_dir):
-            os.makedirs(d, exist_ok=True)
-        cfg_path = os.path.join(lake.root, "CONFIG.json")
-        if os.path.exists(cfg_path):
+        existing = sniff_backend(cfg.lake_root)
+        if existing is not None and existing != cfg.storage_backend:
+            raise ValueError(
+                f"lake {cfg.lake_root} exists with storage_backend="
+                f"{existing!r}; requested {cfg.storage_backend!r} "
+                "(create a new lake_root to change the backend)"
+            )
+        lake = Lake(cfg.lake_root, backend=cfg.storage_backend)
+        lake.storage.ensure_layout()
+        if lake.storage.doc_exists("CONFIG.json"):
             # reopening an existing lake: immutable fields must match the
             # config it was created with (silent re-route otherwise)
             old = lake.config()
@@ -184,61 +203,41 @@ class Lake:
                 )
             if old == cfg:
                 return lake  # identical: no write, no crash window at all
-        # atomic replace: every ReplayJob run reopens the lake, and a torn
+        # atomic commit: every ReplayJob run reopens the lake, and a torn
         # plain write here would brick the one file that identifies it
-        atomic_write_json(cfg_path, json.loads(cfg.to_json()))
+        lake.storage.doc_write_json("CONFIG.json", json.loads(cfg.to_json()))
         return lake
 
     def job_lock(self):
-        """Advisory single-writer lock for the lake (flock on LOCK).
+        """Advisory single-writer lock for the lake (backend-specific:
+        flock on posix, a stealable CAS lease on objstore).
 
-        The commit protocol assumes one replay job writes a lake at a time
-        (per-partition checkpoints are read-modify-write). This guards
-        against accidental concurrent jobs on one machine / shared POSIX
-        filesystem; on object stores use an external lease instead.
-        """
-        import fcntl
-
-        class _Lock:
-            def __init__(self, path):
-                self.path = path
-                self.f = None
-
-            def __enter__(self):
-                self.f = open(self.path, "w")
-                try:
-                    fcntl.flock(self.f, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                except OSError:
-                    self.f.close()
-                    raise RuntimeError(
-                        f"another job holds the lake lock {self.path}"
-                    ) from None
-                return self
-
-            def __exit__(self, *exc):
-                fcntl.flock(self.f, fcntl.LOCK_UN)
-                self.f.close()
-
-        return _Lock(os.path.join(self.root, "LOCK"))
+        The commit protocol assumes one replay job writes a lake at a
+        time (per-partition checkpoints are read-modify-write)."""
+        return self.storage.job_lock()
 
     def config(self) -> SyncConfig:
-        with open(os.path.join(self.root, "CONFIG.json")) as f:
-            return SyncConfig.from_json(f.read())
+        b = self.storage.doc_read_bytes("CONFIG.json")
+        if b is None:
+            raise FileNotFoundError(
+                f"lake {self.root} has no CONFIG.json (never created?)"
+            )
+        return SyncConfig.from_json(b.decode())
 
     def exists(self) -> bool:
-        return os.path.isdir(self.ckpt_dir)
+        return self.storage.layout_exists()
 
     # --- partition checkpoints (commit log + watermark + lineage) ----------
 
-    def _ckpt_path(self, partition: int) -> str:
-        return os.path.join(self.ckpt_dir, f"part-{partition:05d}.json")
+    def _ckpt_key(self, partition: int) -> str:
+        return f"checkpoints/part-{partition:05d}.json"
 
     def part_dir(self, partition: int) -> str:
         return os.path.join(self.data_dir, f"part={partition:05d}")
 
     def read_checkpoint(self, partition: int) -> dict:
-        p = self._ckpt_path(partition)
-        if not os.path.exists(p):
+        ck = self.storage.doc_read_json(self._ckpt_key(partition))
+        if ck is None:
             return {
                 "partition": partition,
                 "watermark_log_pos": -1,
@@ -249,65 +248,57 @@ class Lake:
                 "failures": 0,
                 "lineage": [],
             }
-        return _read_json(p)
+        return ck
 
     def write_checkpoint(self, ckpt: dict) -> None:
-        atomic_write_json(self._ckpt_path(ckpt["partition"]), ckpt)
+        self.storage.doc_write_json(self._ckpt_key(ckpt["partition"]), ckpt)
 
     def _ckpt_names(self) -> list[str]:
-        """Committed checkpoint files only (exact part-NNNNN.json names —
-        never in-flight/orphaned *.tmp.* from a crash mid-write)."""
-        if not os.path.isdir(self.ckpt_dir):
-            return []
-        return sorted(n for n in os.listdir(self.ckpt_dir) if _CKPT_RE.match(n))
+        """Committed checkpoint documents only (exact part-NNNNN.json
+        names — never in-flight/orphaned partials from a crash
+        mid-write; the backend's doc_list already excludes those)."""
+        return sorted(
+            n for n in self.storage.doc_list("checkpoints")
+            if _CKPT_RE.match(n)
+        )
 
     def sweep_stale_tmp(self) -> int:
-        """Unlink orphaned atomic-write temp files (crash between tmp write
-        and os.replace). Safe under the job lock: no writer is mid-commit."""
-        n = 0
-        if os.path.isdir(self.ckpt_dir):
-            for name in os.listdir(self.ckpt_dir):
-                if ".tmp." in name:
-                    try:
-                        os.remove(os.path.join(self.ckpt_dir, name))
-                        n += 1
-                    except FileNotFoundError:
-                        pass
-        return n
+        """Reclaim orphaned in-flight write artifacts (posix: *.tmp.*
+        from a crash before replace; objstore: unlinked staging files).
+        Safe under the job lock: no writer is mid-commit."""
+        return self.storage.sweep_stale_tmp()
 
     def committed_partitions(self, epoch: int) -> set[int]:
         """Partitions whose commit log already contains `epoch`."""
         out = set()
         for name in self._ckpt_names():
-            ck = _read_json(os.path.join(self.ckpt_dir, name))
-            if epoch in ck.get("applied_epochs", []):
+            ck = self.storage.doc_read_json(f"checkpoints/{name}")
+            if ck and epoch in ck.get("applied_epochs", []):
                 out.add(ck["partition"])
         return out
 
     def watermarks(self) -> dict[int, int]:
         out = {}
         for name in self._ckpt_names():
-            ck = _read_json(os.path.join(self.ckpt_dir, name))
-            out[ck["partition"]] = ck.get("watermark_log_pos", -1)
+            ck = self.storage.doc_read_json(f"checkpoints/{name}")
+            if ck:
+                out[ck["partition"]] = ck.get("watermark_log_pos", -1)
         return out
 
     # --- epoch-level commit markers (driver-level resume) -------------------
 
-    def _epoch_log_path(self) -> str:
-        return os.path.join(self.ckpt_dir, "_epochs.json")
+    _EPOCH_LOG_KEY = "checkpoints/_epochs.json"
 
     def epochs_done(self) -> set[int]:
-        p = self._epoch_log_path()
-        if not os.path.exists(p):
-            return set()
-        return set(_read_json(p)["done"])
+        doc = self.storage.doc_read_json(self._EPOCH_LOG_KEY)
+        return set() if doc is None else set(doc["done"])
 
     def mark_epoch_done(self, epoch: int) -> None:
         """Written by the driver only AFTER every partition group of the
         epoch has committed. Crash before this marker => the epoch re-runs;
         committed partitions no-op via their commit logs (exactly-once)."""
         done = self.epochs_done() | {epoch}
-        atomic_write_json(self._epoch_log_path(), {"done": sorted(done)})
+        self.storage.doc_write_json(self._EPOCH_LOG_KEY, {"done": sorted(done)})
 
     # --- the per-(partition, epoch) commit ---------------------------------
 
@@ -332,19 +323,19 @@ class Lake:
                 "watermark_log_pos": ckpt["watermark_log_pos"],
                 "apply_sec": time.perf_counter() - t0,
             }
-        pdir = self.part_dir(partition)
-        os.makedirs(pdir, exist_ok=True)
         tag = f"e{epoch:07d}" if epoch >= 0 else "bootstrap"
         fname = f"delta-{tag}.parquet"
         rel = os.path.join(f"part={partition:05d}", fname)
         if delta.num_rows:
             # deterministic content: sorted by key upstream; same retry =>
-            # same bytes => idempotent under partial-crash rewrite.
+            # same bytes => idempotent under partial-crash rewrite (and
+            # under the objstore backend's already-exists-means-done put).
             # key-sorted + bounded row groups = tight row-group zone maps
             # for _read_fragment's in-file pruning
             rg = self.config().row_group_rows
-            kw = {"row_group_size": rg} if rg else {}
-            pq.write_table(delta, os.path.join(pdir, fname), **kw)
+            self.storage.obj_put_table(
+                f"data/{rel}", delta, row_group_size=rg
+            )
             self._record_file_stats(ckpt, rel, delta)
         wm = ckpt["watermark_log_pos"]
         if delta.num_rows and "log_pos" in delta.column_names:
@@ -491,9 +482,8 @@ class Lake:
         varies across fragments (it routes partitioning)."""
         for p in self.partitions():
             for rel in self.read_checkpoint(p)["files"]:
-                fp = os.path.join(self.data_dir, rel)
-                if os.path.exists(fp):
-                    s = pq.read_schema(fp)
+                if self.storage.obj_exists(f"data/{rel}"):
+                    s = self.storage.obj_read_schema(f"data/{rel}")
                     if key in s.names:
                         return s.field(key).type
                     return None
@@ -594,8 +584,8 @@ class Lake:
         )
         frags = []
         for rel in files:
-            p = os.path.join(self.data_dir, rel)
-            if not os.path.exists(p):
+            kp = f"data/{rel}"
+            if not self.storage.obj_exists(kp):
                 if files_override is not None:
                     raise FileNotFoundError(
                         f"manifest-pinned fragment {rel} is gone "
@@ -604,8 +594,12 @@ class Lake:
                 continue
             cols = None
             if needed is not None:
-                cols = [c for c in pq.read_schema(p).names if c in needed]
-            frag = _read_fragment(p, cols, key, key_range)
+                cols = [
+                    c
+                    for c in self.storage.obj_read_schema(kp).names
+                    if c in needed
+                ]
+            frag = _read_fragment(self.storage, kp, cols, key, key_range)
             # restrict BEFORE the fold: per-key LWW commutes with key
             # filtering, and decoded-but-out-of-range rows (row-group
             # granularity) would otherwise ride through the whole fold
@@ -680,9 +674,8 @@ class Lake:
         schemas = []
         for p in self.partitions():
             for rel in self.read_checkpoint(p)["files"]:
-                fp = os.path.join(self.data_dir, rel)
-                if os.path.exists(fp):
-                    schemas.append(pq.read_schema(fp))
+                if self.storage.obj_exists(f"data/{rel}"):
+                    schemas.append(self.storage.obj_read_schema(f"data/{rel}"))
         if not schemas:
             return None
         s = pa.unify_schemas(schemas, promote_options="permissive")
@@ -705,13 +698,12 @@ class Lake:
         # or a stale event below the delete's log_pos could resurrect keys
         state = self.read_partition(partition, drop_tombstones=False)
         gen = ckpt.get("compaction_gen", 0) + 1
-        pdir = self.part_dir(partition)
         fname = f"base-c{gen:07d}.parquet"
         rel = os.path.join(f"part={partition:05d}", fname)
         old = list(ckpt["files"])
         ckpt["file_stats"] = {}
         if state is not None and state.num_rows:
-            pq.write_table(state, os.path.join(pdir, fname))
+            self.storage.obj_put_table(f"data/{rel}", state)
             ckpt["files"] = [rel]
             self._record_file_stats(ckpt, rel, state)
         else:
@@ -723,10 +715,7 @@ class Lake:
             ckpt["compacted_through_epoch"] = max(ckpt["applied_epochs"])
         self.write_checkpoint(ckpt)  # commit point
         for r in old:
-            try:
-                os.remove(os.path.join(self.data_dir, r))
-            except FileNotFoundError:
-                pass
+            self.storage.obj_delete(f"data/{r}")
         return {
             "partition": partition,
             "compacted": True,
@@ -738,11 +727,8 @@ class Lake:
 
     def manifest_version(self) -> int | None:
         """Latest published manifest version (None if never published)."""
-        cur = os.path.join(self.manifest_dir, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            return int(f.read().strip())
+        b = self.storage.doc_read_bytes("manifest/CURRENT")
+        return None if b is None else int(b.decode().strip())
 
     def read_manifest(self, version: int | None = None) -> dict:
         """Load manifest vN (None = CURRENT). Raises FileNotFoundError
@@ -753,17 +739,15 @@ class Lake:
                 raise FileNotFoundError(
                     f"lake {self.root} has no published manifest"
                 )
-        return _read_json(
-            os.path.join(self.manifest_dir, f"v{version:07d}.json")
-        )
+        doc = self.storage.doc_read_json(f"manifest/v{version:07d}.json")
+        if doc is None:
+            raise FileNotFoundError(
+                f"lake {self.root} has no manifest v{version}"
+            )
+        return doc
 
     def publish_manifest(self, note: str = "") -> int:
-        cur_path = os.path.join(self.manifest_dir, "CURRENT")
-        version = 0
-        if os.path.exists(cur_path):
-            with open(cur_path) as f:
-                version = int(f.read().strip())
-        version += 1
+        version = (self.manifest_version() or 0) + 1
         parts = {}
         schema_names: set[str] = set()
         for p in self.partitions():
@@ -775,11 +759,12 @@ class Lake:
                 "events_applied": ck["events_applied"],
             }
             for rel in ck["files"]:
-                fp = os.path.join(self.data_dir, rel)
-                if os.path.exists(fp):
-                    schema_names.update(pq.read_schema(fp).names)
-        atomic_write_json(
-            os.path.join(self.manifest_dir, f"v{version:07d}.json"),
+                if self.storage.obj_exists(f"data/{rel}"):
+                    schema_names.update(
+                        self.storage.obj_read_schema(f"data/{rel}").names
+                    )
+        self.storage.doc_write_json(
+            f"manifest/v{version:07d}.json",
             {
                 "version": version,
                 "note": note,
@@ -787,8 +772,7 @@ class Lake:
                 "partitions": parts,
             },
         )
-        tmp = cur_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, cur_path)
+        # pointer swap AFTER the manifest body lands; on objstore this is
+        # the version-checked CAS (a concurrent publisher conflicts here)
+        self.storage.doc_write_bytes("manifest/CURRENT", str(version).encode())
         return version

@@ -31,7 +31,7 @@ from typing import Callable
 import pyarrow as pa
 import ray.data as rd
 
-from .lake import Lake, atomic_write_json
+from .lake import Lake
 
 
 class MaterializedView:
@@ -52,19 +52,21 @@ class MaterializedView:
         self.name = name
         self.partial_fn = partial_fn
         self.columns = columns
+        #: storage-backend document key (posix file: <lake>/views/<name>.json)
+        self.doc_key = f"views/{name}.json"
         self.path = os.path.join(lake_root, "views", f"{name}.json")
 
-    def _load(self) -> dict:
+    def _load(self, lake: Lake) -> dict:
         try:
-            with open(self.path) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return {"partitions": {}}
+            state = lake.storage.doc_read_json(self.doc_key)
+        except json.JSONDecodeError:
+            state = None
+        return state if state is not None else {"partitions": {}}
 
     def refresh(self) -> tuple[dict[int, dict], int]:
         """Returns ({partition: partial}, n_recomputed)."""
         lake = Lake(self.lake_root)
-        state = self._load()
+        state = self._load(lake)
         cached = state["partitions"]
         todo: list[int] = []
         fps: dict[int, str] = {}
@@ -121,8 +123,7 @@ class MaterializedView:
         # drop entries for partitions that no longer exist
         live = {str(p) for p in fps}
         state["partitions"] = {k: v for k, v in cached.items() if k in live}
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        atomic_write_json(self.path, state)
+        lake.storage.doc_write_json(self.doc_key, state)
         return (
             {int(k): v["partial"] for k, v in state["partitions"].items()},
             len(todo),

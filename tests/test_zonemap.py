@@ -301,11 +301,14 @@ class TestRowGroupPruning:
         assert md.num_row_groups == 20  # 1000 rows / 50
         picked = _row_groups_for_range(md, "doc_id", (120, 180))
         assert picked == [2, 3]  # rows 100-149, 150-199
-        got = _read_fragment(path, None, "doc_id", (120, 180))
+        rel = os.path.relpath(path, str(tmp_path / "lake"))
+        got = _read_fragment(lake.storage, rel, None, "doc_id", (120, 180))
         ids = got.column("doc_id").to_pylist()
         assert min(ids) >= 100 and max(ids) < 200  # only 2 groups decoded
         # disjoint range -> zero groups, empty table w/ schema
-        empty = _read_fragment(path, ["doc_id"], "doc_id", (5000, 6000))
+        empty = _read_fragment(
+            lake.storage, rel, ["doc_id"], "doc_id", (5000, 6000)
+        )
         assert empty.num_rows == 0 and empty.column_names == ["doc_id"]
         # absent key column -> all groups read (never skip blindly)
         assert _row_groups_for_range(md, "nope", (0, 1)) is None

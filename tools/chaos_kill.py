@@ -1,5 +1,9 @@
 """Crash-anywhere chaos: run a full replay in a subprocess, SIGKILL it at a
-random offset, rerun to completion, demand exact oracle equality."""
+random offset, rerun to completion, demand exact oracle equality.
+
+MODE accepts a storage-backend suffix, e.g. `spill:objstore` — the
+resume then also proves the dead holder's lease is stolen and that the
+versioned-CAS checkpoints survive a kill at any byte."""
 import os, random, shutil, signal, subprocess, sys, time
 
 random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 7)

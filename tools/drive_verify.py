@@ -9,6 +9,12 @@ import ray
 workdir = sys.argv[1]
 stop_after = int(sys.argv[2]) if len(sys.argv) > 2 else -1
 mode = sys.argv[3] if len(sys.argv) > 3 else "spill"
+# storage backend under test: mode suffix ":objstore" (e.g. spill:objstore)
+# routes every lake commit through the version-checked conditional-put
+# backend instead of fsync+rename+flock
+backend = "posix"
+if ":" in mode:
+    mode, backend = mode.split(":", 1)
 
 ray.init(address="local", num_cpus=8, include_dashboard=False)
 
@@ -28,6 +34,7 @@ if not os.path.isdir(ev_root):
 cfg = SyncConfig(
     lake_root=os.path.join(workdir, "lake"), num_partitions=16,
     exchange_mode="spill" if mode in ("compact", "multi") else mode,
+    storage_backend=backend,
 )
 
 if mode == "multi":

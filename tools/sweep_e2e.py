@@ -55,7 +55,8 @@ for i, c in enumerate(cases):
                                num_partitions=int(rng.choice([2, 4, 8, 16])),
                                exchange_mode=c["mode"],
                                spill_groups=int(rng.choice([2, 4, 8])),
-                               fold_chunk_rows=int(rng.choice([64, 2048, 2_000_000]))))
+                               fold_chunk_rows=int(rng.choice([64, 2048, 2_000_000])),
+                               storage_backend=str(rng.choice(["posix", "objstore"]))))
     job.replay(ev, bootstrap=base, catch_up=c["catch"])
     want = replay_oracle(base, epochs)
     ok = equal(job.lake.read_all(), want)
@@ -102,7 +103,8 @@ for j, seed in enumerate(range(400 + OFF, 405 + OFF)):
     ev = os.path.join(wd, "events"); write_event_log(ev, epochs)
     multi = MultiTableReplay(
         SyncConfig(lake_root=os.path.join(wd, "lakes"),
-                   num_partitions=int(rng.choice([2, 4, 8]))),
+                   num_partitions=int(rng.choice([2, 4, 8])),
+                   storage_backend=str(rng.choice(["posix", "objstore"]))),
         ["docs", "ignored_tbl"],
     )
     multi.replay_single_pass(ev, bootstraps={"docs": base})
