@@ -3414,17 +3414,20 @@ ORDER BY f.rank
 
 def media_decode_stats(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode, oracle-checked: a constant seeded media
-    table (PPM images + PCM WAV clips — the codec-free formats) decodes
-    through the actor/batch plumbing to integer-exact stats: image
-    (height, width, sum of all RGB bytes), audio (frames, sample rate,
-    sum of squared samples). The pinned fixture recomputes the same
-    stats with a byte-level pure-Python decoder (tools/gen_fixtures.py
-    media_ref — struct/int loops, no numpy reshaping shared with
+    table (PPM images, zlib-compressed PNG images cycling all five
+    scanline filters, and PCM WAV clips) decodes through the actor/batch
+    plumbing to integer-exact stats: image (height, width, sum of all
+    RGB bytes), audio (frames, sample rate, sum of squared samples).
+    The pinned fixture recomputes the same stats with a byte-level
+    pure-Python decoder (tools/gen_fixtures.py gen_media — struct/int
+    loops and a per-byte unfilter walk, no numpy reshaping shared with
     functions/multimodal.py), so this is a genuine cross-check of the
     real decode path, all in exact int64 (no float hash hazard). The
     spec is sf-independent (like cdc_replay_lake's): one fixture serves
     every scale."""
-    from ..functions.multimodal import decode_ppm, decode_wav, gen_real_media
+    from ..functions.multimodal import (
+        decode_png, decode_ppm, decode_wav, gen_real_media,
+    )
 
     media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
 
@@ -3432,8 +3435,10 @@ def media_decode_stats(sf_dir: str) -> pd.DataFrame:
         d1, d2, cks = [], [], []
         for p, mt in zip(t.column("payload"), t.column("media_type")):
             raw, kind = p.as_py(), mt.as_py()
-            if kind == "image/x-portable-pixmap":
-                arr = decode_ppm(raw)
+            if kind in ("image/x-portable-pixmap", "image/png"):
+                arr = decode_ppm(raw) if kind.endswith("pixmap") else (
+                    decode_png(raw)
+                )
                 d1.append(arr.shape[0])
                 d2.append(arr.shape[1])
                 cks.append(int(arr.astype(np.int64).sum()))

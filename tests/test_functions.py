@@ -649,18 +649,99 @@ class TestAnn:
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
     def test_compressed_decode_still_raises(self):
-        """png/jpeg have no codec in this container — the real path must
-        stay an honest NotImplementedError, never a silent fake."""
+        """jpeg has no codec in this container — the real path must
+        stay an honest NotImplementedError, never a silent fake.
+        (PNG moved OFF this list in round 4: zlib+numpy decode it for
+        real now — see test_png_roundtrip_all_filters.)"""
         from data_sync_ray.functions.multimodal import DecodeImage
 
-        png = pa.table(
+        jpg = pa.table(
             {"media_id": pa.array(["a"]),
-             "media_type": pa.array(["image/png"]),
-             "payload": pa.array([b"\x89PNG..."], pa.binary()),
+             "media_type": pa.array(["image/jpeg"]),
+             "payload": pa.array([b"\xff\xd8\xff\xe0..."], pa.binary()),
              "meta_json": pa.array(["{}"])}
         )
         with pytest.raises(NotImplementedError):
-            DecodeImage(fake=False)(png)
+            DecodeImage(fake=False)(jpg)
+
+    def test_png_roundtrip_all_filters(self):
+        """encode_png/decode_png are exact inverses for gray/RGB/RGBA
+        under every scanline filter type (incl. the mixed cycle)."""
+        from data_sync_ray.functions.multimodal import (
+            decode_png, encode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        # gradients make the predictive filters nontrivial (noise makes
+        # every predictor residual ~uniform, hiding sign errors)
+        grad = (
+            np.add.outer(np.arange(20), np.arange(13))[:, :, None]
+            * np.array([2, 3, 5]) % 256
+        ).astype(np.uint8)
+        noise = rng.integers(0, 256, size=(20, 13, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, size=(8, 31), dtype=np.uint8)
+        rgba = rng.integers(0, 256, size=(6, 6, 4), dtype=np.uint8)
+        for img in (grad, noise, gray, rgba):
+            for ft in (0, 1, 2, 3, 4, "mixed"):
+                assert np.array_equal(
+                    decode_png(encode_png(img, filter_type=ft)), img
+                ), (img.shape, ft)
+
+    def test_png_decode_known_bytes(self):
+        """Decoder vs HAND-BUILT PNG bytes with hand-computed expected
+        pixels (independent of encode_png, so a symmetric encoder+decoder
+        bug can't cancel out): 2x2 gray exercising Up, and a 2-pixel RGB
+        row pair exercising Sub then Paeth."""
+        import struct
+        import zlib
+
+        from data_sync_ray.functions.multimodal import decode_png
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        def png(w, h, ct, raw):
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        # gray 2x2: row0 None [10, 20]; row1 Up [5, 250]
+        #   -> row1 recon = [15, (20+250)%256=14]
+        g = decode_png(png(2, 2, 0, bytes([0, 10, 20, 2, 5, 250])))
+        assert g.tolist() == [[10, 20], [15, 14]]
+        # RGB 2x2: row0 Sub [1,2,3, 10,20,30] -> [(1,2,3), (11,22,33)]
+        #   row1 Paeth [1,1,1, 2,2,2]: px0 pred=up=(1,2,3) -> (2,3,4);
+        #   px1: a=(2,3,4) b=(11,22,33) c=(1,2,3); p=a+b-c=(12,23,34);
+        #   pa=|p-a|=(10,20,30) pb=|p-b|=(1,1,1) pc=(11,21,31) -> pred=b
+        #   -> px1=(13,24,35)
+        rgb = decode_png(
+            png(2, 2, 2, bytes([1, 1, 2, 3, 10, 20, 30,
+                                4, 1, 1, 1, 2, 2, 2]))
+        )
+        assert rgb.tolist() == [[[1, 2, 3], [11, 22, 33]],
+                                [[2, 3, 4], [13, 24, 35]]]
+
+    def test_png_unsupported_variants_raise(self):
+        """Honest gaps stay honest: interlace, 16-bit, palette raise."""
+        import struct
+        import zlib
+
+        from data_sync_ray.functions.multimodal import decode_png
+
+        def hdr(depth, ct, interlace):
+            data = struct.pack(">IIBBBBB", 1, 1, depth, ct, 0, 0, interlace)
+            return (b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", len(data)) + b"IHDR" + data
+                    + struct.pack(">I", zlib.crc32(b"IHDR" + data)))
+
+        for depth, ct, il in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+            with pytest.raises(NotImplementedError):
+                decode_png(hdr(depth, ct, il))
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG...")
 
     def test_ppm_bmp_wav_roundtrip(self):
         """The codec-free encoders/decoders are exact inverses."""

@@ -336,6 +336,58 @@ def gen_media(out_dir: str) -> None:
             assert len(raster) == w * h * 3
             checksum = sum(raster)  # pure-python byte sum
             rows.append((mid, mt, h, w, checksum))
+        elif mt == "image/png":
+            # independent PNG reference: chunk walk by struct, stdlib
+            # inflate, then a PER-BYTE pure-Python unfilter (spec
+            # §9.2/§9.4 recurrences verbatim) — no numpy, nothing
+            # shared with multimodal.decode_png's vectorized path
+            import zlib as _zlib
+
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            j, w = 8, None
+            idat = b""
+            while j + 8 <= len(payload):
+                (ln,) = struct.unpack_from(">I", payload, j)
+                tag_ = payload[j + 4 : j + 8]
+                body = payload[j + 8 : j + 8 + ln]
+                # reference also validates the CRC the engine skips
+                crc = struct.unpack_from(">I", payload, j + 8 + ln)[0]
+                assert crc == _zlib.crc32(tag_ + body) & 0xFFFFFFFF
+                if tag_ == b"IHDR":
+                    w, h, depth, ct = struct.unpack_from(">IIBB", body)
+                    assert depth == 8 and ct == 2, "fixture expects RGB8"
+                elif tag_ == b"IDAT":
+                    idat += body
+                j += 12 + ln
+            raw = _zlib.decompress(idat)
+            bpp, stride = 3, w * 3 + 1
+            recon = bytearray()
+            for y in range(h):
+                line = raw[y * stride : (y + 1) * stride]
+                f, cur = line[0], bytearray(line[1:])
+                for x in range(len(cur)):
+                    a = cur[x - bpp] if x >= bpp else 0  # left
+                    b = recon[(y - 1) * w * 3 + x] if y else 0  # up
+                    c = (
+                        recon[(y - 1) * w * 3 + x - bpp]
+                        if (y and x >= bpp) else 0
+                    )  # up-left
+                    if f == 1:
+                        cur[x] = (cur[x] + a) & 0xFF
+                    elif f == 2:
+                        cur[x] = (cur[x] + b) & 0xFF
+                    elif f == 3:
+                        cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                    elif f == 4:
+                        p = a + b - c
+                        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a if pa_ <= pb_ and pa_ <= pc_
+                            else b if pb_ <= pc_ else c
+                        )
+                        cur[x] = (cur[x] + pred) & 0xFF
+                recon += cur
+            rows.append((mid, mt, h, w, sum(recon)))
         else:
             assert mt == "audio/wav" and payload[:4] == b"RIFF"
             # walk RIFF chunks by hand: fmt -> sample rate, data -> PCM
