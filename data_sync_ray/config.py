@@ -61,6 +61,13 @@ class SyncConfig:
     # 'objstore' (version-checked conditional puts, no rename/flock —
     # S3-class object stores). Immutable per lake.
     storage_backend: str = "posix"
+    # batched catch-up commit amortization: when one fold execution
+    # covers a multi-epoch backlog, up to this many consecutive epochs
+    # share ONE span delta file + ONE checkpoint commit per partition
+    # (state/lake.py commit_delta_span). Bounds fold-task memory to
+    # O(distinct keys x span) and keeps any single commit's blast
+    # radius finite; 1 = the round-3 per-epoch behavior.
+    span_commit_epochs: int = 16
     # parquet row-group size for committed deltas (rows). Deltas are
     # written key-sorted, so smaller row groups give range reads and
     # point lookups tight row-group zone maps to prune within a file.
@@ -103,6 +110,7 @@ class SyncConfig:
             inspect_alarm_count=int(sec.get("inspect_alarm_count", 5)),
             schema_policy=sec.get("schema_policy", "unify"),
             storage_backend=sec.get("storage_backend", "posix"),
+            span_commit_epochs=int(sec.get("span_commit_epochs", 16)),
             row_group_rows=(
                 int(sec["row_group_rows"])
                 if sec.get("row_group_rows") is not None

@@ -43,6 +43,7 @@ MUTABLE_FIELDS = (
     "apply_concurrency",
     "batch_size",
     "fold_chunk_rows",
+    "span_commit_epochs",
     "hot_key_threshold",
     "inspect_alarm_count",
     "schema_policy",
@@ -132,6 +133,8 @@ class ControlPlane:
             "batch_size": lambda v: isinstance(v, int)
             and not isinstance(v, bool) and v >= 1,
             "fold_chunk_rows": lambda v: isinstance(v, int)
+            and not isinstance(v, bool) and v >= 1,
+            "span_commit_epochs": lambda v: isinstance(v, int)
             and not isinstance(v, bool) and v >= 1,
             "hot_key_threshold": lambda v: isinstance(v, (int, float))
             and not isinstance(v, bool) and 0 <= v <= 1,

@@ -1936,6 +1936,10 @@ def _lww_events(sf_dir: str) -> rd.Dataset:
     the per-partition kernel is a global LWW) — one Ray group per user
     was the measured many-tiny-group pitfall."""
     ds = _t(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("event_type", pa.string()), ("value", pa.float64()),
+    ])
 
     def pre(t: pa.Table) -> pa.Table:
         t = lww_winners(t, key="user_id", order="event_id")
@@ -1945,6 +1949,8 @@ def _lww_events(sf_dir: str) -> rd.Dataset:
         return t.append_column("_part", pa.array(part))
 
     def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty groups arrive COLUMN-LESS (CLAUDE.md);
+            return out_schema.empty_table()  # keep the operator's schema
         return lww_winners(t, key="user_id", order="event_id").drop(
             ["_part"]
         )

@@ -485,8 +485,30 @@ class ReplayJob:
         and mutable config overrides hot-apply (the Reload analog). After
         every round it writes <lake>/control/status.json with the config
         snapshot and cumulative counters (the getConfig/metrics scrape).
+
+        Graceful drain (the reference's zero-downtime shutdown,
+        src/lib/gracehttp/http.go:193-248): SIGTERM lets the IN-FLIGHT
+        round finish its commits, publishes a final status with
+        strategy_mode "drained", and returns normally — never killing a
+        round mid-epoch. The handler is process-global state, so it is
+        installed only when tail runs on the main thread (tests/embedders
+        calling from worker threads keep their own handling) and always
+        restored on exit.
         """
+        import signal
+        import threading
+
         from ..control import ControlPlane, ControlServer
+
+        drain = threading.Event()
+        prev_handler: object = None
+        if threading.current_thread() is threading.main_thread():
+            try:
+                prev_handler = signal.signal(
+                    signal.SIGTERM, lambda *_: drain.set()
+                )
+            except ValueError:  # embedded interpreter quirks
+                prev_handler = None
 
         cp = ControlPlane(self.cfg.lake_root)
         server = None
@@ -508,81 +530,95 @@ class ReplayJob:
         mode = "run"
         applied_overrides: list[str] = []
         rejected_overrides: list[str] = []
-        while max_rounds is None or rounds < max_rounds:
-            ctl = cp.read_control()
-            mode = ctl["strategy_mode"]
-            if ctl["config"]:
-                new_cfg, applied, rejected = cp.apply_overrides(
-                    self.cfg, ctl["config"]
-                )
-                applied_overrides = applied
-                rejected_overrides = rejected
-                if applied:
-                    self.cfg = new_cfg
-                    self._cfg_json = new_cfg.to_json()
-            if mode == "stop":
-                # final status so a scrape sees the stop, not stale 'run'
-                self._write_tail_status(
-                    cp, mode, totals, applied_overrides, rejected_overrides
-                )
-                break
-            if mode != "pause":
-                s = self.replay(events_root, bootstrap=boot)
-                boot = None
-                totals["rounds"] += 1
-                totals["epochs_run"] += s["epochs_run"]
-                totals["events_applied"] += s["events_applied"]
-                if inspect_every and totals["rounds"] % inspect_every == 0:
-                    totals["last_inspect"] = self.inspect(events_root)
-                if compact_over_fragments > 0:
-                    # bound merge-on-read cost for long-lived tails:
-                    # compact any partition past the fragment budget
-                    totals["compactions"] = totals.get(
-                        "compactions", 0
-                    ) + self.compact_if_needed(compact_over_fragments)
-                if refresh_views:
-                    # live-maintained aggregates: each named view refreshes
-                    # incrementally (only partitions this round touched —
-                    # state/views.py), i.e. O(changed) per round
-                    from ..state.views import REGISTRY
+        try:
+            while (max_rounds is None or rounds < max_rounds) and (
+                not drain.is_set()
+            ):
+              ctl = cp.read_control()
+              mode = ctl["strategy_mode"]
+              if ctl["config"]:
+                  new_cfg, applied, rejected = cp.apply_overrides(
+                      self.cfg, ctl["config"]
+                  )
+                  applied_overrides = applied
+                  rejected_overrides = rejected
+                  if applied:
+                      self.cfg = new_cfg
+                      self._cfg_json = new_cfg.to_json()
+              if mode == "stop":
+                  # final status so a scrape sees the stop, not stale 'run'
+                  self._write_tail_status(
+                      cp, mode, totals, applied_overrides, rejected_overrides
+                  )
+                  break
+              if mode != "pause":
+                  s = self.replay(events_root, bootstrap=boot)
+                  boot = None
+                  totals["rounds"] += 1
+                  totals["epochs_run"] += s["epochs_run"]
+                  totals["events_applied"] += s["events_applied"]
+                  if inspect_every and totals["rounds"] % inspect_every == 0:
+                      totals["last_inspect"] = self.inspect(events_root)
+                  if compact_over_fragments > 0:
+                      # bound merge-on-read cost for long-lived tails:
+                      # compact any partition past the fragment budget
+                      totals["compactions"] = totals.get(
+                          "compactions", 0
+                      ) + self.compact_if_needed(compact_over_fragments)
+                  if refresh_views:
+                      # live-maintained aggregates: each named view refreshes
+                      # incrementally (only partitions this round touched —
+                      # state/views.py), i.e. O(changed) per round
+                      from ..state.views import REGISTRY
 
-                    vr = {}
-                    for name in refresh_views:
-                        _, vr[name] = REGISTRY[name](self.cfg.lake_root)
-                    totals["views_recomputed"] = vr
-                if export_dir is not None:
-                    # keep a plain-Parquet downstream mirror fresh at
-                    # O(changed partitions) per round (same fingerprint
-                    # gate as the views)
-                    er = export_lake_incremental(
-                        self.cfg.lake_root, export_dir
-                    )
-                    totals["exported_partitions"] = totals.get(
-                        "exported_partitions", 0
-                    ) + er["exported"]
-            # sample EVERY round (pause included): a paused tail's rate
-            # must decay to 0 for consume-rate alerting, not freeze at
-            # its last running value — and the window must not span the
-            # pause on resume
-            rate_samples.append((time.time(), totals["events_applied"]))
-            rate_samples = rate_samples[-(rate_window + 1):]
-            t0, e0 = rate_samples[0]
-            t1, e1 = rate_samples[-1]
-            totals["rate_window_events_per_sec"] = round(
-                (e1 - e0) / max(t1 - t0, 1e-9), 1
-            )
-            tp, ep = rate_samples[-2] if len(rate_samples) >= 2 else (
-                t0, e0
-            )
-            totals["rate_last_round_events_per_sec"] = round(
-                (e1 - ep) / max(t1 - tp, 1e-9), 1
-            )
+                      vr = {}
+                      for name in refresh_views:
+                          _, vr[name] = REGISTRY[name](self.cfg.lake_root)
+                      totals["views_recomputed"] = vr
+                  if export_dir is not None:
+                      # keep a plain-Parquet downstream mirror fresh at
+                      # O(changed partitions) per round (same fingerprint
+                      # gate as the views)
+                      er = export_lake_incremental(
+                          self.cfg.lake_root, export_dir
+                      )
+                      totals["exported_partitions"] = totals.get(
+                          "exported_partitions", 0
+                      ) + er["exported"]
+              # sample EVERY round (pause included): a paused tail's rate
+              # must decay to 0 for consume-rate alerting, not freeze at
+              # its last running value — and the window must not span the
+              # pause on resume
+              rate_samples.append((time.time(), totals["events_applied"]))
+              rate_samples = rate_samples[-(rate_window + 1):]
+              t0, e0 = rate_samples[0]
+              t1, e1 = rate_samples[-1]
+              totals["rate_window_events_per_sec"] = round(
+                  (e1 - e0) / max(t1 - t0, 1e-9), 1
+              )
+              tp, ep = rate_samples[-2] if len(rate_samples) >= 2 else (
+                  t0, e0
+              )
+              totals["rate_last_round_events_per_sec"] = round(
+                  (e1 - ep) / max(t1 - tp, 1e-9), 1
+              )
+              self._write_tail_status(
+                  cp, mode, totals, applied_overrides, rejected_overrides
+              )
+              rounds += 1
+              if max_rounds is None or rounds < max_rounds:
+                  # Event.wait, not sleep: SIGTERM mid-poll drains NOW
+                  drain.wait(poll_interval)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+        if drain.is_set():
+            # in-flight round completed above; publish the drain so a
+            # scraper sees a deliberate exit, not a stale 'run'
+            mode = "drained"
             self._write_tail_status(
                 cp, mode, totals, applied_overrides, rejected_overrides
             )
-            rounds += 1
-            if max_rounds is None or rounds < max_rounds:
-                time.sleep(poll_interval)
         totals["strategy_mode"] = mode
         if server is not None:
             server.stop()  # daemon thread: leaks harmlessly on exception

@@ -211,13 +211,26 @@ def make_fold_commit_stage(cfg: SyncConfig, epochs: list[int]):
     task holds O(distinct keys + chunk) rows, never the epoch's full
     spill. Raw event counts per partition are tracked separately for the
     events_in metric.
+
+    Multi-epoch executions (catch-up backlogs) amortize commit overhead:
+    up to cfg.span_commit_epochs consecutive epochs commit per partition
+    as ONE span delta file + ONE checkpoint write (Lake.commit_delta_span;
+    measured 2.9x wall at 10-vs-4 epochs equal volume before this, from
+    per-epoch parquet-writer + checkpoint-RMW costs). Single-epoch
+    executions (tailing) keep the per-epoch delta naming unchanged.
     """
     lake_root = cfg.lake_root
     cfg_json = cfg.to_json()
     key_col, order_col = cfg.key_column, cfg.order_column
     chunk_rows = max(1, cfg.fold_chunk_rows)
+    # commit-order independence (LWW total order) lets the fold process
+    # epochs sorted regardless of caller order (the batched path appends
+    # bootstrap -1 last); span naming/lineage want ascending epochs
+    epochs = sorted(int(e) for e in epochs)
+    span = max(1, cfg.span_commit_epochs)
 
-    from .merge import lww_winners, unify_concat
+    from ..state.lake import Lake
+    from .merge import events_to_delta, lww_winners, unify_concat
 
     def reduce_pending(state: pa.Table | None, pending: list[pa.Table]):
         tables = ([state] if state is not None else []) + pending
@@ -225,54 +238,100 @@ def make_fold_commit_stage(cfg: SyncConfig, epochs: list[int]):
             return state
         return lww_winners(unify_concat(tables), key=key_col, order=order_col)
 
+    def fold_one_epoch(gi: int, e: int):
+        """Fold one (group, epoch)'s spill fragments -> (winners table
+        sorted+split-ready, raw per-partition event counts)."""
+        gdir = spill_dir(lake_root, e, gi)
+        if not os.path.isdir(gdir):
+            return None, {}
+        state: pa.Table | None = None
+        pending: list[pa.Table] = []
+        pending_rows = 0
+        raw_counts: dict[int, int] = {}
+        for f in sorted(os.listdir(gdir)):
+            if not f.endswith(".arrows"):
+                continue
+            t = _read_spill_safe(os.path.join(gdir, f))
+            if t is None or t.num_rows == 0:
+                continue
+            if "epoch" in t.column_names:
+                t = t.drop_columns(["epoch"])
+            pv, pc_ = np.unique(
+                t.column("partition").to_numpy(), return_counts=True
+            )
+            for p, c in zip(pv, pc_):
+                raw_counts[int(p)] = raw_counts.get(int(p), 0) + int(c)
+            pending.append(t)
+            pending_rows += t.num_rows
+            if pending_rows >= chunk_rows:
+                state = reduce_pending(state, pending)
+                pending, pending_rows = [], 0
+        state = reduce_pending(state, pending)
+        if state is None or state.num_rows == 0:
+            return None, raw_counts
+        parts = state.column("partition").to_numpy()
+        order = np.argsort(parts, kind="stable")
+        return state.take(pa.array(order)), raw_counts
+
+    def split_partitions(state: pa.Table):
+        """Partition-sorted state -> (partition, slice) runs."""
+        parts = state.column("partition").to_numpy()
+        bounds = np.flatnonzero(np.diff(parts)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [state.num_rows]])
+        for lo, hi in zip(starts, ends):
+            yield int(parts[lo]), state.slice(lo, hi - lo)
+
     def fold_commit(batch: pa.Table) -> pa.Table:
         outs = []
         for gi in batch.column("g").to_pylist():
-            for e in epochs:
-                applier = PartitionApplier(lake_root, int(e), cfg_json)
-                gdir = spill_dir(lake_root, int(e), int(gi))
-                if not os.path.isdir(gdir):
+            gi = int(gi)
+            if len(epochs) == 1:
+                # tail / single-epoch execution: the round-3 path,
+                # per-epoch delta naming unchanged
+                e = epochs[0]
+                applier = PartitionApplier(lake_root, e, cfg_json)
+                state, raw_counts = fold_one_epoch(gi, e)
+                if state is None:
                     continue
-                state: pa.Table | None = None
-                pending: list[pa.Table] = []
-                pending_rows = 0
-                raw_counts: dict[int, int] = {}
-                for f in sorted(os.listdir(gdir)):
-                    if not f.endswith(".arrows"):
-                        continue
-                    t = _read_spill_safe(os.path.join(gdir, f))
-                    if t is None or t.num_rows == 0:
-                        continue
-                    if "epoch" in t.column_names:
-                        t = t.drop_columns(["epoch"])
-                    pv, pc_ = np.unique(
-                        t.column("partition").to_numpy(), return_counts=True
-                    )
-                    for p, c in zip(pv, pc_):
-                        raw_counts[int(p)] = raw_counts.get(int(p), 0) + int(c)
-                    pending.append(t)
-                    pending_rows += t.num_rows
-                    if pending_rows >= chunk_rows:
-                        state = reduce_pending(state, pending)
-                        pending, pending_rows = [], 0
-                state = reduce_pending(state, pending)
-                if state is None or state.num_rows == 0:
-                    continue
-                parts = state.column("partition").to_numpy()
-                order = np.argsort(parts, kind="stable")
-                state = state.take(pa.array(order))
-                parts = parts[order]
-                bounds = np.flatnonzero(np.diff(parts)) + 1
-                starts = np.concatenate([[0], bounds])
-                ends = np.concatenate([bounds, [state.num_rows]])
-                for lo, hi in zip(starts, ends):
-                    p = int(parts[lo])
+                for p, sub in split_partitions(state):
                     outs.append(
-                        applier(
-                            state.slice(lo, hi - lo),
-                            n_in=raw_counts.get(p, int(hi - lo)),
-                        )
+                        applier(sub, n_in=raw_counts.get(p, sub.num_rows))
                     )
+                continue
+            # batched catch-up: ONE span commit per partition per up-to-
+            # `span` consecutive epochs (commit_delta_span amortizes the
+            # parquet writer + checkpoint RMW that dominated multi-epoch
+            # backlogs; fold memory is O(keys x span-chunk), bounded)
+            lake = Lake(lake_root)
+            for c0 in range(0, len(epochs), span):
+                e_chunk = epochs[c0 : c0 + span]
+                per_part: dict[int, list[tuple[int, pa.Table, int]]] = {}
+                for e in e_chunk:
+                    state, raw_counts = fold_one_epoch(gi, e)
+                    if state is None:
+                        continue
+                    for p, sub in split_partitions(state):
+                        # same normalization as PartitionApplier.__call__
+                        delta = events_to_delta(
+                            lww_winners(sub, key=key_col, order=order_col)
+                        ).sort_by(key_col)
+                        per_part.setdefault(p, []).append(
+                            (e, delta, raw_counts.get(p, sub.num_rows))
+                        )
+                for p in sorted(per_part):
+                    try:
+                        ms = lake.commit_delta_span(p, per_part[p])
+                    except Exception as err:  # count, then let Ray retry
+                        try:
+                            lake.record_failure(p, repr(err))
+                        except Exception:
+                            pass
+                        raise
+                    outs.append(pa.Table.from_pylist(
+                        [{**m, "max_key_events": 1} for m in ms],
+                        schema=METRICS_SCHEMA,
+                    ))
         if not outs:
             return METRICS_SCHEMA.empty_table()
         return pa.concat_tables(outs)

@@ -13,6 +13,8 @@ Layout (resumable: one directory per hash partition, never one giant file):
       CONFIG.json                      # SyncConfig used to create the lake
       data/part=00007/
         delta-e0000003.parquet         # LWW winners of epoch 3 for part 7
+        delta-s4_9.parquet             # span delta: epochs 4..9 committed
+                                       # together (rows carry `_epoch`)
         base-c0000002.parquet          # compaction output (generation 2)
       checkpoints/part-00007.json      # watermark, commit log, file list,
                                        # metrics, lineage
@@ -375,6 +377,98 @@ class Lake:
             "apply_sec": dt,
         }
 
+    def commit_delta_span(
+        self, partition: int, deltas: list[tuple[int, pa.Table, int]]
+    ) -> list[dict]:
+        """Exactly-once append of SEVERAL epochs' winners for one
+        partition: ONE span delta file + ONE checkpoint commit.
+
+        The round-4 batched-catch-up amortization: at equal volume a
+        10-epoch backlog measured ~2.9x slower than a 4-epoch one purely
+        from per-(partition, epoch) commit overhead (profiled: parquet
+        writer setup + checkpoint RMW dominate). Per-epoch history stays
+        time-travelable — every row carries its epoch in a private
+        `_epoch` column and `delta-s{lo}_{hi}.parquet` holds exactly the
+        concatenation of the per-epoch files it replaces, so
+        files_as_of + read_partition's `_epoch` row filter reconstruct
+        any horizon inside the span.
+
+        deltas: (epoch, key-sorted normalized winners, n_events_in) in
+        ascending epoch order. Epochs already in the commit log no-op
+        (replayed=True) and are EXCLUDED from the span file, so a retry
+        after a partial crash writes a differently-named (smaller) span
+        and never clobbers a committed one. Same determinism contract as
+        commit_delta: identical inputs => identical bytes."""
+        import numpy as np
+
+        from ..stages.merge import unify_concat
+
+        t0 = time.perf_counter()
+        ckpt = self.read_checkpoint(partition)
+        out: list[dict] = []
+        fresh: list[tuple[int, pa.Table, int]] = []
+        for e, tbl, n_in in deltas:
+            if e in ckpt["applied_epochs"]:
+                out.append({
+                    "partition": partition, "epoch": e,
+                    "events_in": n_in, "rows_written": 0,
+                    "replayed": True,
+                    "watermark_log_pos": ckpt["watermark_log_pos"],
+                    "apply_sec": 0.0,
+                })
+            else:
+                fresh.append((e, tbl, n_in))
+        if not fresh:
+            return out
+        tagged = [
+            t.append_column(
+                "_epoch",
+                pa.array(np.full(t.num_rows, e, dtype=np.int64)),
+            )
+            for e, t, _ in fresh
+            if t.num_rows
+        ]
+        combined = unify_concat(tagged) if tagged else None
+        wm = ckpt["watermark_log_pos"]
+        if combined is not None and combined.num_rows:
+            lo, hi = fresh[0][0], fresh[-1][0]
+            rel = os.path.join(
+                f"part={partition:05d}", f"delta-s{lo}_{hi}.parquet"
+            )
+            self.storage.obj_put_table(
+                f"data/{rel}", combined,
+                row_group_size=self.config().row_group_rows,
+            )
+            self._record_file_stats(ckpt, rel, combined)
+            ckpt["files"] = sorted(set(ckpt["files"]) | {rel})
+            if "log_pos" in combined.column_names:
+                mx = pa.compute.max(combined.column("log_pos")).as_py()
+                if mx is not None:
+                    wm = max(wm, mx)
+        ckpt["applied_epochs"] = sorted(
+            set(ckpt["applied_epochs"]) | {e for e, _, _ in fresh}
+        )
+        ckpt["watermark_log_pos"] = wm
+        ckpt["events_applied"] += sum(n for _, _, n in fresh)
+        ckpt["batches"] += 1
+        dt = time.perf_counter() - t0
+        lineage = ckpt.setdefault("lineage", [])
+        for e, t, n_in in fresh:
+            lineage.append({
+                "epoch": e, "events_in": n_in,
+                "rows_written": t.num_rows,
+                "watermark_log_pos": wm, "apply_sec": round(dt, 6),
+            })
+            out.append({
+                "partition": partition, "epoch": e, "events_in": n_in,
+                "rows_written": t.num_rows, "replayed": False,
+                "watermark_log_pos": wm, "apply_sec": dt,
+            })
+        if len(lineage) > 200:
+            del lineage[: len(lineage) - 200]
+        self.write_checkpoint(ckpt)  # the single atomic commit point
+        return out
+
     # --- zone maps (per-file key min/max for data skipping) -----------------
 
     def _record_file_stats(self, ckpt: dict, rel: str, table: pa.Table) -> None:
@@ -417,18 +511,27 @@ class Lake:
             out.append(rel)
         return out
 
-    _FRAG_RE = re.compile(r"(?:^|/)(delta-(?:bootstrap|e(\d+))|base-c(\d+))\.parquet$")
+    _FRAG_RE = re.compile(
+        r"(?:^|/)(?:delta-(?:bootstrap|e(?P<e>\d+))"
+        r"|delta-s(?P<lo>-?\d+)_(?P<hi>-?\d+)"
+        r"|base-c(?P<c>\d+))\.parquet$"
+    )
 
     @classmethod
     def _frag_epoch(cls, rel: str):
         """(kind, epoch) of a fragment path: ('delta', e) with bootstrap
-        as epoch -1, or ('base', None) for a compaction output."""
+        as epoch -1, ('span', (lo, hi)) for a multi-epoch span delta
+        (commit_delta_span; rows carry `_epoch`), or ('base', None) for
+        a compaction output."""
         m = cls._FRAG_RE.search(rel)
         if m is None:
             return ("unknown", None)
-        if m.group(3) is not None:
+        if m.group("c") is not None:
             return ("base", None)
-        return ("delta", -1 if m.group(2) is None else int(m.group(2)))
+        if m.group("lo") is not None:
+            return ("span", (int(m.group("lo")), int(m.group("hi"))))
+        e = m.group("e")
+        return ("delta", -1 if e is None else int(e))
 
     @staticmethod
     def files_as_of(ckpt: dict, as_of_epoch: int) -> list[str]:
@@ -450,6 +553,10 @@ class Lake:
             kind, e = Lake._frag_epoch(rel)
             if kind == "delta" and e is not None and e > as_of_epoch:
                 continue
+            if kind == "span" and e[0] > as_of_epoch:
+                continue  # span entirely after the horizon
+            # a span STRADDLING the horizon (lo <= as_of < hi) is kept:
+            # read_partition row-filters its `_epoch` column
             out.append(rel)  # bases (fold <= comp <= as_of) + old deltas
         return out
 
@@ -571,7 +678,9 @@ class Lake:
         if columns is not None:
             from ..stages.merge import DELETED_COL
 
-            needed = set(columns) | {key, order, DELETED_COL}
+            # `_epoch` must survive projection: span fragments need it
+            # for as-of row filtering below (dropped again before return)
+            needed = set(columns) | {key, order, DELETED_COL, "_epoch"}
         if files_override is not None:
             # zone-map stats for still-live files remain usable
             ckpt = dict(ckpt, files=list(files_override))
@@ -605,6 +714,17 @@ class Lake:
             # granularity) would otherwise ride through the whole fold
             if key_range is not None and key in frag.column_names:
                 frag = frag.filter(_range_mask(frag.column(key), key_range))
+            if "_epoch" in frag.column_names:
+                # span fragment: a time-travel read keeps only rows at or
+                # below the horizon; the column itself never leaves the
+                # lake layer (per-row provenance, not payload)
+                if as_of_epoch is not None:
+                    frag = frag.filter(
+                        pa.compute.less_equal(
+                            frag.column("_epoch"), as_of_epoch
+                        )
+                    )
+                frag = frag.drop_columns(["_epoch"])
             frags.append(frag)
         if not frags:
             return None
@@ -679,7 +799,7 @@ class Lake:
         if not schemas:
             return None
         s = pa.unify_schemas(schemas, promote_options="permissive")
-        drop = [n for n in ("_deleted", "partition") if n in s.names]
+        drop = [n for n in ("_deleted", "partition", "_epoch") if n in s.names]
         for n in drop:
             s = s.remove(s.get_field_index(n))
         return s

@@ -198,3 +198,69 @@ def test_http_post_short_body_times_out_not_hangs(tmp_path):
         s.close()
     finally:
         srv.stop()
+
+
+def test_sigterm_drains_tail_gracefully(tmp_path):
+    """The gracehttp analog (ref src/lib/gracehttp/http.go:193-248):
+    SIGTERM mid-tail finishes the in-flight round, publishes a final
+    status with strategy_mode 'drained', and exits 0 — the lake is left
+    exactly as a clean run would. Runs in a SUBPROCESS so the signal
+    handler install (main-thread only) and process exit are real."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    spec = StreamSpec(n_events=1200, n_docs=100, n_epochs=3, seed=21)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=100,
+                                          seed=21)
+    lake_root = os.path.join(str(tmp_path), "lake")
+    script = os.path.join(str(tmp_path), "drive_tail.py")
+    with open(script, "w") as f:
+        f.write(f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from data_sync_ray import ReplayJob, SyncConfig, gen_base_table
+job = ReplayJob(SyncConfig(lake_root={repr(lake_root)}, num_partitions=4))
+base = gen_base_table(100, seed=21)
+# max_rounds=None: only the drain (or a kill) ends this loop
+job.tail({repr(ev_root)}, poll_interval=0.2, max_rounds=None,
+         bootstrap=base)
+ray.shutdown()
+""")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.Popen([sys.executable, script], env=env)
+    status_path = os.path.join(lake_root, "control", "status.json")
+    try:
+        deadline = time.time() + 120
+        # wait until the first round has committed (status.json appears)
+        while time.time() < deadline:
+            if os.path.exists(status_path):
+                try:
+                    if json.load(open(status_path))["epochs_run"] >= 4:
+                        break
+                except (json.JSONDecodeError, KeyError):
+                    pass
+            if proc.poll() is not None:
+                raise AssertionError("tail exited before SIGTERM")
+            time.sleep(0.1)
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0, "drain must exit 0"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    st = json.load(open(status_path))
+    assert st["strategy_mode"] == "drained"
+    # the drained lake equals the sequential oracle exactly
+    lake = __import__(
+        "data_sync_ray.state.lake", fromlist=["Lake"]
+    ).Lake(lake_root)
+    assert_tables_equal(lake.read_all(), replay_oracle(base, epochs))

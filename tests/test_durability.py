@@ -143,3 +143,99 @@ def test_sort_catchup_single_committer_per_partition(tmp_path):
             assert f"delta-{tag}.parquet" in referenced, (
                 f"partition {p}: epoch {e} delta lost from checkpoint"
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_commit_catchup_exact_and_time_travel(tmp_path):
+    """Round-4 batched-commit amortization: a multi-epoch spill catch-up
+    commits SPAN delta files (one per partition per span chunk), the
+    final state stays oracle-exact, and an as-of read whose horizon
+    falls strictly INSIDE a span reconstructs the per-epoch state via
+    the `_epoch` row filter (time travel survives the coalescing)."""
+    import glob
+
+    spec = StreamSpec(n_events=5000, n_docs=250, n_epochs=6, seed=77)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=250,
+                                          seed=77)
+    job = make_job(str(tmp_path))
+    job.replay(ev_root, bootstrap=base, catch_up=True)
+    assert_tables_equal(job.lake.read_all(), replay_oracle(base, epochs))
+    spans = glob.glob(
+        os.path.join(job.cfg.lake_root, "data", "part=*", "delta-s*")
+    )
+    assert spans, "batched catch-up should write span deltas"
+    # horizon inside the span: epochs {-1, 0, 1, 2} visible only
+    want = replay_oracle(base, epochs[:3])
+    got = [
+        job.lake.read_partition(p, as_of_epoch=2)
+        for p in job.lake.partitions()
+    ]
+    got = pa.concat_tables(
+        [t for t in got if t is not None and t.num_rows],
+        promote_options="permissive",
+    )
+    assert_tables_equal(got, want)
+
+
+def test_span_commit_exactly_once_and_zone_maps(tmp_path):
+    """commit_delta_span: duplicate delivery no-ops per epoch; a partial
+    overlap writes only the fresh epochs into a NEW smaller span (never
+    clobbering a committed file); file_stats keys == files throughout."""
+    cfg = SyncConfig(lake_root=str(tmp_path / "lake"), num_partitions=4)
+    lake = Lake.create(cfg)
+    d0 = pa.table({"doc_id": ["a"], "log_pos": [1]})
+    d1 = pa.table({"doc_id": ["b"], "log_pos": [2]})
+    ms = lake.commit_delta_span(1, [(0, d0, 1), (1, d1, 1)])
+    assert [m["replayed"] for m in ms] == [False, False]
+    ck = lake.read_checkpoint(1)
+    assert ck["applied_epochs"] == [0, 1]
+    assert ck["watermark_log_pos"] == 2
+    files_before = list(ck["files"])
+    assert any("delta-s0_1" in f for f in files_before)
+    # duplicate delivery: all epochs no-op, nothing written
+    ms2 = lake.commit_delta_span(1, [(0, d0, 1), (1, d1, 1)])
+    assert all(m["replayed"] for m in ms2)
+    assert lake.read_checkpoint(1)["files"] == files_before
+    # partial overlap: only epoch 2 lands, in its own span file
+    d2 = pa.table({"doc_id": ["c"], "log_pos": [3]})
+    ms3 = lake.commit_delta_span(1, [(1, d1, 1), (2, d2, 1)])
+    assert [m["replayed"] for m in ms3] == [True, False]
+    ck = lake.read_checkpoint(1)
+    assert ck["applied_epochs"] == [0, 1, 2]
+    assert any("delta-s2_2" in f for f in ck["files"])
+    assert set(ck["file_stats"]) == set(ck["files"])
+    # merged read sees all three rows, `_epoch` never leaks out
+    t = lake.read_partition(1)
+    assert sorted(t.column("doc_id").to_pylist()) == ["a", "b", "c"]
+    assert "_epoch" not in t.column_names
+    # as-of at 0 keeps only the first span's epoch-0 rows
+    t0 = lake.read_partition(1, as_of_epoch=0)
+    assert t0.column("doc_id").to_pylist() == ["a"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_chunking_and_compaction(tmp_path):
+    """span_commit_epochs below the backlog size splits the catch-up
+    into multiple span commits per partition; compaction folds spans
+    into the base and raises the time-travel horizon as usual."""
+    import glob
+
+    spec = StreamSpec(n_events=4000, n_docs=200, n_epochs=5, seed=13)
+    base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=200,
+                                          seed=13)
+    job = make_job(str(tmp_path), span_commit_epochs=2)
+    job.replay(ev_root, bootstrap=base, catch_up=True)
+    want = replay_oracle(base, epochs)
+    assert_tables_equal(job.lake.read_all(), want)
+    # 6 epochs (incl. bootstrap) / span 2 => up to 3 span files per part
+    one_part = sorted(
+        os.path.basename(f)
+        for f in glob.glob(
+            os.path.join(job.cfg.lake_root, "data", "part=00000", "*")
+        )
+    )
+    assert len([f for f in one_part if f.startswith("delta-s")]) >= 2
+    job.compact()
+    assert_tables_equal(job.lake.read_all(), want)
+    with pytest.raises(ValueError, match="compacted"):
+        job.lake.read_partition(job.lake.partitions()[0], as_of_epoch=1)

@@ -235,7 +235,11 @@ def test_tail_auto_compaction_bounds_fragments(tmp_path):
     spec = StreamSpec(n_events=2400, n_docs=60, n_epochs=6, seed=41)
     base, epochs, ev_root = build_fixture(str(tmp_path), spec, n_base=60,
                                           seed=41)
-    job = make_job(str(tmp_path), num_partitions=4)
+    # span_commit_epochs=1: per-epoch deltas, so the 6-epoch backlog
+    # actually accumulates >2 fragments (the round-4 span commit would
+    # otherwise leave bootstrap + ONE span file and never need compaction
+    # — that regime is covered by test_span_chunking_and_compaction)
+    job = make_job(str(tmp_path), num_partitions=4, span_commit_epochs=1)
     job.bootstrap(base)
     totals = job.tail(ev_root, poll_interval=0.01, max_rounds=1,
                       compact_over_fragments=2)

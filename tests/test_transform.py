@@ -122,3 +122,46 @@ def test_full_transform_precombines_and_partitions():
     assert set(got) == {"a", "b"}          # decoy filtered, LWW pre-combined
     assert got["a"]["log_pos"] == 3        # winner survives the combiner
     assert "partition" in out.column_names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_route_queries_survive_mostly_empty_partitions(tmp_path):
+    """A 2-user events table / 3-vector embeddings table routed across
+    32 fixed partitions leaves ~30 groups EMPTY; Ray's sort-based
+    map_groups hands those through as column-less blocks. The two
+    queries the round-3 verdict flagged must still produce exact
+    results (the fn-level typed-empty guards + Ray's passthrough both
+    tolerate the shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_sync_ray.pipelines.queries import (
+        cdc_apply_final, embedding_near_dup_lsh,
+    )
+
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 9, 9], pa.int64()),
+        "event_type": pa.array(["view", "purchase", "view", "click"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    })
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    emb = np.eye(3, 8, dtype=np.float32)
+    emb[1] = emb[0]  # planted near-dup pair
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    out = cdc_apply_final(str(tmp_path)).sort_values("user_id")
+    # user 7's LWW winner is a purchase tombstone -> dropped
+    assert out["user_id"].tolist() == [9]
+    assert out["event_id"].tolist() == [4]
+
+    pairs = embedding_near_dup_lsh(str(tmp_path))
+    assert (pairs["vec_a"].tolist(), pairs["vec_b"].tolist()) == ([0], [1])
