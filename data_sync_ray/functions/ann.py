@@ -498,14 +498,8 @@ def kmeans_embeddings(
             }
         )
 
-    seed_parts = [
-        p
-        for p in ray.get(
-            [_km_block_min_k.remote(br, k) for br in block_refs]
-        )
-        if len(p)
-    ]
-    if not seed_parts:  # zero-row corpus can still materialize to blocks
+    fit = _kmeans_fit(block_refs, k, iters)
+    if fit is None:  # zero-row corpus can still materialize to blocks
         return pd.DataFrame(
             {
                 "cluster": pd.Series([], dtype=np.int64),
@@ -513,6 +507,32 @@ def kmeans_embeddings(
                 "sum_vec_id": pd.Series([], dtype=np.int64),
             }
         )
+    _, stats = fit
+    return (
+        stats[stats["n_vecs"] > 0]
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+
+def _kmeans_fit(
+    block_refs: list, k: int, iters: int
+) -> tuple[np.ndarray, pd.DataFrame] | None:
+    """The seeding + Lloyd loop of `kmeans_embeddings`, shared with
+    `semantic_dedup_keep_first` so the two can never diverge from the
+    SQL oracle's unrolled iterations. Returns (C, stats) where C is the
+    centroid matrix the LAST assignment pass used (centroids update
+    after each pass but the last) and stats the final per-cluster
+    integer partials; None for a zero-row corpus."""
+    seed_parts = [
+        p
+        for p in ray.get(
+            [_km_block_min_k.remote(br, k) for br in block_refs]
+        )
+        if len(p)
+    ]
+    if not seed_parts:
+        return None
     seeds = (
         pd.concat(seed_parts, ignore_index=True)
         .sort_values("vec_id")
@@ -548,11 +568,127 @@ def kmeans_embeddings(
                 nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C
             )
     assert stats is not None
-    return (
-        stats[stats["n_vecs"] > 0]
-        .sort_values("cluster")
-        .reset_index(drop=True)
+    return C, stats
+
+
+# --- semantic dedup (SemDeDup-style) ----------------------------------------
+
+
+@ray.remote
+def _km_block_route(t, Cm: np.ndarray, kk: int) -> tuple:
+    """Assign one cached block to its final k-means clusters (identical
+    squared-L2 argmin + lowest-cluster tie-break as `_km_block_partials`)
+    and return kk per-cluster (vec_id, embedding) shards — so each
+    downstream cluster task reads only its own O(corpus/k) slice from
+    the object store, never the whole corpus."""
+    t = _as_table(t)
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "embedding": pa.array([], pa.list_(pa.float64()))}
     )
+    if t.num_rows == 0 or "vec_id" not in t.column_names:
+        return tuple(empty for _ in range(kk))
+    t = t.select(["vec_id", "embedding"])
+    X = _flatten_matrix(t.column("embedding"), t.num_rows)
+    d2 = np.empty((t.num_rows, kk), dtype=np.float64)
+    for j in range(kk):
+        diff = X - Cm[j]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    a = d2.argmin(axis=1)
+    return tuple(
+        t.filter(pa.array(a == j)) if (a == j).any() else empty
+        for j in range(kk)
+    )
+
+
+@ray.remote
+def _cluster_keep_first(threshold: float, *shards) -> np.ndarray:
+    """Within one cluster: drop every vector with ANY earlier (lower
+    vec_id) member at cosine >= threshold; return kept vec_ids. The
+    earlier member need not itself be kept (matches the SQL NOT-EXISTS
+    restatement — no transitive closure). Pairwise sims run as chunked
+    (n x 256) matmuls so the scratch stays cache-sized (the measured
+    whole-corpus-scratch pitfall, BASELINE.md)."""
+    tables = [t for t in map(_as_table, shards) if t.num_rows]
+    if not tables:
+        return np.array([], dtype=np.int64)
+    t = pa.concat_tables(tables)
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X = _normalize(_flatten_matrix(t.column("embedding"), t.num_rows))
+    X = np.ascontiguousarray(X[order])
+    n = len(ids)
+    drop = np.zeros(n, dtype=bool)
+    CH = 256
+    rows = np.arange(n)
+    for s in range(1, n, CH):
+        e = min(s + CH, n)
+        S = X[:e] @ X[s:e].T  # (e, e-s): bounded scratch
+        earlier = rows[:e, None] < np.arange(s, e)[None, :]
+        drop[s:e] = ((S >= threshold) & earlier).any(axis=0)
+    return ids[~drop].astype(np.int64)
+
+
+def semantic_dedup_keep_first(
+    emb: rd.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embedding corpus, then drop, within
+    each cluster, every vector that has an earlier (lower vec_id) member
+    above the cosine threshold. Clustering bounds the pair cost — the
+    within-cluster sweep is O(sum n_c^2), not O(n^2), and each cluster
+    task reads only its own routed shards.
+
+    Shares `_kmeans_fit` with `kmeans_embeddings` (same deterministic
+    seeds, tie-breaks, empty-cluster carry-forward), so the SQL oracle
+    reuses the identical unrolled-iteration CTEs. Partitioning
+    assumption at scale: a cluster's members fit one task (true when k
+    scales with corpus size, the SemDeDup regime of k ~ sqrt(n) or
+    larger; route_part-style salting would shard a degenerate megacluster).
+    Returns the kept vec_ids, ascending."""
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    emb = emb.select_columns(["vec_id", "embedding"]).materialize()
+    block_refs = [
+        br
+        for bundle in emb.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64)})
+    if not block_refs:
+        return empty
+    fit = _kmeans_fit(block_refs, k, iters)
+    if fit is None:
+        return empty
+    C, _ = fit
+    kk = C.shape[0]
+    if kk == 1:
+        # one cluster holds everything — skip the routing pass and feed
+        # the cached blocks straight in (num_returns=1 would also NOT
+        # unpack a 1-tuple, so this path is required, not an optimization)
+        kept = ray.get([_cluster_keep_first.remote(threshold, *block_refs)])
+    else:
+        c_ref = ray.put(C)
+        shard_lists = [
+            _km_block_route.options(num_returns=kk).remote(br, c_ref, kk)
+            for br in block_refs
+        ]
+        kept = ray.get(
+            [
+                _cluster_keep_first.remote(
+                    threshold, *[shards[j] for shards in shard_lists]
+                )
+                for j in range(kk)
+            ]
+        )
+    out = np.sort(np.concatenate(kept)) if kept else np.array(
+        [], dtype=np.int64
+    )
+    return pd.DataFrame({"vec_id": out.astype(np.int64)})
 
 
 # --- embedding near-dup -----------------------------------------------------

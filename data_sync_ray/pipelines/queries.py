@@ -3779,8 +3779,10 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
 
 # one a_t/c_t CTE pair per Lloyd iteration; distances/means in DOUBLE on
 # both engines, hashed output is integer-only so float summation order
-# cannot flip the hash (the sessionize lesson)
-KMEANS_SQL = """
+# cannot flip the hash (the sessionize lesson). The CTE chain through
+# the final assignment a3 is shared with SEMDEDUP_SQL so the two
+# oracles restate the SAME clustering.
+_KMEANS_A3_CTES = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, x AS c
@@ -3825,15 +3827,48 @@ c2f AS (
   FROM c1f LEFT JOIN c2 USING (cluster)
 ),
 a3 AS (
-  SELECT vec_id, cluster FROM (
-    SELECT p.vec_id, c.cluster,
+  SELECT vec_id, x, cluster FROM (
+    SELECT p.vec_id, p.x, c.cluster,
            row_number() OVER (PARTITION BY p.vec_id
              ORDER BY list_distance(p.x, c.c), c.cluster) AS rn
     FROM a2 p CROSS JOIN c2f c) WHERE rn = 1
 )
+"""
+
+KMEANS_SQL = _KMEANS_A3_CTES + """
 SELECT cluster, count(*) AS n_vecs,
        CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
 FROM a3 GROUP BY cluster ORDER BY cluster
+"""
+
+
+def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the embedding
+    corpus (identical deterministic spec as kmeans_embeddings), then
+    within each cluster drop every vector with an earlier (lower
+    vec_id) member at cosine >= 0.4. Clustering bounds the pairwise
+    cost to O(sum n_c^2) and each cluster task reads only its routed
+    shards — the SemDeDup scale shape (arXiv 2303.09540)."""
+    from ..functions.ann import semantic_dedup_keep_first
+
+    out = semantic_dedup_keep_first(
+        _t(sf_dir, "embeddings"), k=8, iters=3, threshold=0.4
+    )
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+# the NOT EXISTS restates keep-first exactly: a vector dies if ANY
+# earlier same-cluster member (kept or not) is >= the threshold — no
+# transitive closure, unlike EMB_KEEP_FIRST_SQL
+SEMDEDUP_SQL = _KMEANS_A3_CTES + """
+SELECT a.vec_id FROM a3 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM a3 b
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND list_cosine_similarity(a.x, b.x) >= 0.4
+)
+ORDER BY vec_id
 """
 
 
@@ -5243,6 +5278,7 @@ QUERIES: dict[str, tuple] = {
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_SQL),
+    "semantic_dedup_embeddings": (semantic_dedup_embeddings, SEMDEDUP_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "embedding_dedup_keep_first": (embedding_dedup_keep_first,

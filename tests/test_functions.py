@@ -594,6 +594,64 @@ class TestAnn:
         )
         pd.testing.assert_frame_equal(out, sparse)
 
+    def test_semantic_dedup_matches_bruteforce(self):
+        """semantic_dedup_keep_first (k-means route + per-cluster
+        chunked-matmul keep-first over shard refs) must equal a
+        sequential numpy restatement of the same deterministic spec:
+        k-smallest-vec_id seeds, squared-L2 argmin with lowest-cluster
+        ties, empty-cluster carry-forward, drop-if-ANY-earlier-member
+        >= threshold (no transitive closure)."""
+        from data_sync_ray.functions.ann import semantic_dedup_keep_first
+
+        rng = np.random.default_rng(7)
+        n, d, thr = 60, 8, 0.95
+        X = rng.normal(size=(n, d))
+        # plant near-duplicates: every 5th vector is a jittered copy of
+        # its predecessor, so clusters hold real >=thr pairs
+        for i in range(5, n, 5):
+            X[i] = X[i - 1] + rng.normal(scale=1e-3, size=d)
+        ids = np.arange(n)
+
+        def ref(k, iters):
+            order = np.argsort(ids)
+            C = X[order[:k]].astype(np.float64).copy()
+            kk = C.shape[0]
+            a = None
+            for it in range(iters):
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)  # numpy argmin ties -> lowest index
+                if it < iters - 1:
+                    for j in range(kk):
+                        if (a == j).any():
+                            C[j] = X[a == j].mean(0)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            kept = []
+            for j in range(kk):
+                mem = np.sort(ids[a == j])
+                for pos, i in enumerate(mem):
+                    if not any(
+                        Xn[i] @ Xn[p] >= thr for p in mem[:pos]
+                    ):
+                        kept.append(int(i))
+            return sorted(kept)
+
+        emb = rd.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": [r.tolist() for r in X]}
+        )).repartition(4)  # multi-block: shard routing + empty shards
+        for k, iters in ((3, 2), (1, 1), (8, 3)):
+            got = semantic_dedup_keep_first(
+                emb, k=k, iters=iters, threshold=thr
+            )
+            assert got["vec_id"].tolist() == ref(k, iters), (k, iters)
+        assert len(got) < n  # the planted dups actually dropped
+
+        empty = rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "embedding": pd.Series([], dtype="object")}
+        ))
+        out = semantic_dedup_keep_first(empty, k=4, iters=2)
+        assert out.empty and list(out.columns) == ["vec_id"]
+
     def test_mixture_resample_matches_bruteforce(self):
         """Histogram-walk + boundary-bucket selection must equal the
         brute-force 'needed_s smallest (md5, doc_id) per source' rule,
