@@ -1329,3 +1329,95 @@ def repetition_stats(
         )
 
     return docs.map_batches(stats, batch_format="pandas", batch_size=4096)
+
+
+def line_dedup_rewrite(
+    docs: rd.Dataset,
+    chunk_words: int = 8,
+    num_parts: int = 32,
+    batch_size: int = 4096,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """C4/RefinedWeb-style duplicated-line removal with text REWRITE:
+    split each doc into consecutive `chunk_words`-word lines, keep only
+    the globally FIRST occurrence (min (doc_id, idx)) of each line, and
+    reassemble every doc from its kept lines — the cross-document
+    "remove duplicated lines, keeping one copy" prep rule (C4 does this
+    at newline granularity, src: arXiv 1910.10683 §2.2; the synthetic
+    corpus has no newlines so lines are fixed word windows).
+
+    Unlike the keep-first dedup family this REWRITES content rather than
+    dropping whole docs, so the pipeline round-trips: two fixed-int
+    exchanges — (1) line-hash bucket -> keep-first per md5(line) (the
+    md5 is ALSO the group identity in the SQL oracle, so a collision
+    cannot diverge the check), (2) doc bucket -> kept lines sorted by
+    idx, space-joined. Docs whose every line duplicates an earlier one
+    drop out entirely. Per-row split loop is intrinsic (ragged text),
+    like the other text kernels; everything after the split is columnar.
+    """
+
+    def split_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        out_line: list[str] = []
+        for d, t in zip(ids, batch["text"].tolist()):
+            ws = t.split(" ")
+            for i in range(0, len(ws), chunk_words):
+                out_doc.append(int(d))
+                out_idx.append(i // chunk_words)
+                out_line.append(" ".join(ws[i : i + chunk_words]))
+        h = [hashlib.md5(s.encode()).hexdigest() for s in out_line]
+        part = np.fromiter(
+            (int(x[:8], 16) % num_parts for x in h),
+            dtype=np.int64, count=len(h),
+        )
+        return pd.DataFrame(
+            {"_part": part, "h": h,
+             "doc_id": np.array(out_doc, dtype=np.int64),
+             "idx": np.array(out_idx, dtype=np.int64),
+             "line": out_line}
+        )
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # empty groups arrive COLUMN-LESS (CLAUDE.md)
+            return pd.DataFrame(
+                {"_dpart": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "idx": pd.Series([], dtype="int64"),
+                 "line": pd.Series([], dtype="object")}
+            )
+        k = g.sort_values(["doc_id", "idx"]).drop_duplicates(
+            "h", keep="first"
+        )
+        return pd.DataFrame(
+            {"_dpart": k["doc_id"].to_numpy(np.int64) % num_parts,
+             "doc_id": k["doc_id"].to_numpy(np.int64),
+             "idx": k["idx"].to_numpy(np.int64),
+             "line": k["line"].to_numpy(dtype=object)}
+        )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "text": pd.Series([], dtype="object"),
+                 "n_kept_lines": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["doc_id", "idx"])
+        agg = g.groupby("doc_id", sort=True)["line"].agg(" ".join)
+        n = g.groupby("doc_id", sort=True).size()
+        return pd.DataFrame(
+            {"doc_id": agg.index.to_numpy(np.int64),
+             "text": agg.to_numpy(dtype=object),
+             "n_kept_lines": n.to_numpy(np.int64)}
+        )
+
+    return (
+        docs.map_batches(split_lines, batch_format="pandas",
+                         batch_size=batch_size)
+        .groupby("_part")
+        .map_groups(bucket_first, batch_format="pandas")
+        .groupby("_dpart")
+        .map_groups(rebuild, batch_format="pandas")
+    )

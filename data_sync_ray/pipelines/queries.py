@@ -4836,6 +4836,55 @@ ORDER BY n_occurrences DESC, span ASC LIMIT 100
 """
 
 
+def line_dedup_rewrite_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style duplicated-line removal with text rewrite: keep the
+    globally first occurrence of every 8-word line, reassemble each doc
+    from its kept lines (docs fully deduplicated away drop out). The
+    whole rewritten text column is hash-checked against the oracle."""
+    from ..functions.dedup import line_dedup_rewrite
+
+    out = line_dedup_rewrite(
+        _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16),
+        chunk_words=8,
+    ).to_pandas()
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text": pd.Series([], dtype="object"),
+             "n_kept_lines": pd.Series([], dtype="int64")}
+        )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_kept_lines"] = out["n_kept_lines"].astype("int64")
+    return out
+
+
+# keep-first is per md5(line) on BOTH sides (not per line string), so a
+# collision could never diverge the check; single-space split matches
+# the synthetic corpus (the spans oracle's \s+ filter is for ws only)
+LINE_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+l AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         md5(array_to_string(ws[i*8+1 : i*8+8], ' ')) AS h,
+         array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+  FROM w, UNNEST(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)
+),
+k AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+  FROM l
+)
+SELECT doc_id,
+       string_agg(line, ' ' ORDER BY idx) AS text,
+       count(*) AS n_kept_lines
+FROM k WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: drop every corpus doc sharing any
     8-word span with the 'benchmark' slice (doc_id % 97 == 0 — the same
@@ -5292,6 +5341,7 @@ QUERIES: dict[str, tuple] = {
     "cms_top_token_counts": (cms_top_token_counts, CMS_SQL),
     "bloom_semijoin_orders": (bloom_semijoin_orders, BLOOM_SQL),
     "duplicated_spans_docs": (duplicated_spans_docs, SPANS_SQL),
+    "line_dedup_rewrite_docs": (line_dedup_rewrite_docs, LINE_DEDUP_SQL),
     "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
     "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),

@@ -90,6 +90,33 @@ class TestDedup:
         out = exact_dedup(ds).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2]  # min id kept per dup group
 
+    def test_line_dedup_rewrite_semantics(self):
+        """Global first occurrence (min (doc_id, idx)) of each 2-word
+        line survives; later copies are cut out of their docs' text; a
+        doc whose every line is a duplicate drops out entirely; a
+        partial tail chunk is its own line."""
+        from data_sync_ray.functions.dedup import line_dedup_rewrite
+
+        ds = _docs(
+            [
+                # lines (2 words): "a b", "c d", "e f"
+                {"doc_id": 1, "text": "a b c d e f"},
+                # "a b" dups doc1 idx0 -> cut; "x y" and tail "z" kept
+                {"doc_id": 2, "text": "a b x y z"},
+                # both lines duplicate earlier ones -> doc drops out
+                {"doc_id": 3, "text": "c d x y"},
+                # same line twice WITHIN one doc: first kept, second cut
+                {"doc_id": 4, "text": "p q p q"},
+            ]
+        )
+        out = (
+            line_dedup_rewrite(ds, chunk_words=2, num_parts=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 4]
+        assert out["text"].tolist() == ["a b c d e f", "x y z", "p q"]
+        assert out["n_kept_lines"].tolist() == [3, 2, 1]
+
     def test_minhash_finds_planted_near_dups(self):
         from data_sync_ray.functions.dedup import minhash_dedup_pairs
 
