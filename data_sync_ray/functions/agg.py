@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..stages.groupmap import per_group
+
 
 def grouped_exact_percentiles(
     ds: rd.Dataset,
@@ -75,8 +77,9 @@ def grouped_exact_percentiles(
 
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-        .groupby(key)
-        .map_groups(finish, batch_format="pandas")
+        .sort(key)
+        .map_batches(per_group(finish, key),
+                     batch_size=None, batch_format="pyarrow")
     )
 
 

@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.groupmap import per_group
+
 
 def _stack(col) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
@@ -905,8 +907,9 @@ def cosine_near_dup_pairs_lsh(
     cand = (
         emb.select_columns(["vec_id", "embedding"])
         .map_batches(route, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .sort("_part")
+        .map_batches(per_group(bucket_pairs, "_part", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
     )
     # a pair can collide in many bands: distinct on (vec_a, vec_b)
     from .dedup import dedup_pair_rows

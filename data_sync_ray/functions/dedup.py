@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.groupmap import per_group
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -145,8 +147,9 @@ def exact_dedup(
     return (
         ds.map_batches(local_first, batch_format="pandas",
                        batch_size=batch_size)
-        .groupby("_part")
-        .map_groups(part_first, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(part_first, "_part"),
+                     batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -319,8 +322,9 @@ def dedup_pair_rows(
     # Sort-task-per-block pitfall in BASELINE.md)
     return (
         pairs.map_batches(route, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(uniq, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(uniq, "_part"),
+                     batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -355,8 +359,9 @@ def minhash_lsh_candidates(
         return b
 
     band_rows = sig.map_batches(explode_and_route, batch_format="pandas")
-    pairs = band_rows.groupby("_part").map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = band_rows.sort("_part").map_batches(
+        per_group(_bucket_pairs, "_part"),
+        batch_size=None, batch_format="pyarrow",
     )
     if not distinct:
         return pairs
@@ -451,7 +456,7 @@ def _attach_shingles(
         cols[out_col] = pa.array(m["_sh"].to_list(), _SH_TYPE)
         return pa.table(cols)
 
-    return unioned.groupby("_part").map_groups(attach, batch_format="pandas")
+    return unioned.sort("_part").map_batches(per_group(attach, "_part"), batch_size=None, batch_format="pyarrow")
 
 
 def verify_jaccard(
@@ -679,13 +684,15 @@ def connected_components_distributed(
             edges_routed.union(
                 labels.map_batches(route_l, batch_format="pandas")
             )
-            .groupby("_part")
-            .map_groups(propagate, batch_format="pandas")
+            .sort("_part")
+            .map_batches(per_group(propagate, "_part"),
+                         batch_size=None, batch_format="pyarrow")
         )
         labels = (
             cand.map_batches(route_n, batch_format="pandas")
-            .groupby("_part")
-            .map_groups(min_combine, batch_format="pandas")
+            .sort("_part")
+            .map_batches(per_group(min_combine, "_part"),
+                         batch_size=None, batch_format="pyarrow")
             .materialize()
         )
         s = labels.sum("label")
@@ -937,14 +944,16 @@ def ngram_jaccard_pairs(
 
     return (
         docs.map_batches(postings, batch_format="pandas", batch_size=4096)
-        .groupby("_part")
-        .map_groups(part_pairs, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(part_pairs, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         # coalesce the shuffle's ~200 mostly-empty output blocks before
         # the second exchange (each block otherwise costs one Sort task —
         # the measured pitfall in BASELINE.md; same fix as MinHash)
         .map_batches(lambda b: b, batch_format="pyarrow", batch_size=65536)
-        .groupby("_ppart")
-        .map_groups(score, batch_format="pandas")
+        .sort("_ppart")
+        .map_batches(per_group(score, "_ppart"),
+                     batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -1130,8 +1139,9 @@ def simhash_dup_pairs(
 
     cand = (
         sigs.map_batches(explode, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(pairs, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(pairs, "_part"),
+                     batch_size=None, batch_format="pyarrow")
     )
     return dedup_pair_rows(cand)
 
@@ -1231,8 +1241,9 @@ def duplicated_ngram_spans(
 
     cand = (
         docs.map_batches(partial, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(combine, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(combine, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()  # <= num_parts * k rows by construction
     )
     return (
@@ -1416,8 +1427,10 @@ def line_dedup_rewrite(
     return (
         docs.map_batches(split_lines, batch_format="pandas",
                          batch_size=batch_size)
-        .groupby("_part")
-        .map_groups(bucket_first, batch_format="pandas")
-        .groupby("_dpart")
-        .map_groups(rebuild, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(bucket_first, "_part"),
+                     batch_size=None, batch_format="pyarrow")
+        .sort("_dpart")
+        .map_batches(per_group(rebuild, "_dpart"),
+                     batch_size=None, batch_format="pyarrow")
     )

@@ -16,6 +16,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..stages.groupmap import per_group
+
 WORD_RE = r"\s+"
 # BPE-ish pre-tokenizer: words, numbers, punctuation runs (GPT-2 style,
 # simplified to stdlib `re`)
@@ -234,8 +236,9 @@ def top_tokens(
         docs.map_batches(
             partial, batch_format="pandas", batch_size=batch_size
         )
-        .groupby("_part")
-        .map_groups(part_top, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(part_top, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     return (
@@ -369,8 +372,9 @@ def bigram_lm(
         docs.map_batches(
             partial, batch_format="pandas", batch_size=batch_size
         )
-        .groupby("_part")
-        .map_groups(part_top, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(part_top, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if cand.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -447,8 +451,9 @@ def tfidf_top_term(docs, num_parts: int = 32, batch_size: int = 4096):
         docs.map_batches(
             df_partial, batch_format="pandas", batch_size=batch_size
         )
-        .groupby("_part")
-        .map_groups(df_sum, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(df_sum, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()  # vocabulary-sized by construction
     )
     df_ref = _ray.put(df_tbl)

@@ -33,6 +33,7 @@ from ray.data.aggregate import Count, Max, Sum
 
 from ..config import SyncConfig
 from ..functions.agg import tree_sum_by_key
+from ..stages.groupmap import per_group
 from ..stages.merge import lww_winners
 from ..stages.transform import drop_filtered_columns, filter_tables
 
@@ -703,8 +704,9 @@ def top_customer_revenue(
         li.map_batches(route_li, batch_format="pyarrow",
                        batch_size=65536)
         .union(orders)
-        .groupby("_part")
-        .map_groups(attach, batch_format="pyarrow")
+        .sort("_part")
+        .map_batches(per_group(attach, "_part", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
     )
     if strategy != "broadcast":
         def route_members(batch: pa.Table) -> pa.Table:
@@ -723,8 +725,9 @@ def top_customer_revenue(
         pre
         .map_batches(lambda b: b, batch_format="pyarrow",
                      batch_size=65536)  # coalesce pre-exchange blocks
-        .groupby("_ppart")
-        .map_groups(part_top, batch_format="pandas")
+        .sort("_ppart")
+        .map_batches(per_group(part_top, "_ppart"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if cand.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -928,8 +931,9 @@ def local_supplier_volume(
                                batch_size=65536)
             .union(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]
                       ).map_batches(route_cust, batch_format="pandas"))
-            .groupby("_cpart")
-            .map_groups(attach1, batch_format="pandas")
+            .sort("_cpart")
+            .map_batches(per_group(attach1, "_cpart"),
+                         batch_size=None, batch_format="pyarrow")
         )
 
     li = _t(
@@ -951,8 +955,9 @@ def local_supplier_volume(
         li.union(orders_nat)
         .map_batches(lambda b: b, batch_format="pyarrow",
                      batch_size=65536)  # coalesce pre-exchange blocks
-        .groupby("_part")
-        .map_groups(attach2, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(attach2, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if parts.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -1102,8 +1107,9 @@ def promo_revenue_share(
                    .map_batches(route_part, batch_format="pandas"))
             .map_batches(lambda b: b, batch_format="pyarrow",
                          batch_size=65536)  # coalesce pre-exchange
-            .groupby("_ppart")
-            .map_groups(attach, batch_format="pandas")
+            .sort("_ppart")
+            .map_batches(per_group(attach, "_ppart"),
+                         batch_size=None, batch_format="pyarrow")
             .to_pandas()
         )
         if grouped.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -1194,8 +1200,9 @@ def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
     out = (
         _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(route, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(above, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(above, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -1287,8 +1294,9 @@ def late_shipment_priority_counts(
                             batch_size=65536))
         .map_batches(lambda b: b, batch_format="pyarrow",
                      batch_size=65536)  # coalesce pre-exchange blocks
-        .groupby("_part")
-        .map_groups(attach, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(attach, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if parts.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -1375,6 +1383,12 @@ def global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
             "bal_c": np.zeros(len(k), dtype=np.int64)})
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # empty exchange partition arrives COLUMN-LESS
+            return pd.DataFrame(
+                {"nkey": pd.Series([], dtype="int64"),
+                 "n_cust": pd.Series([], dtype="int64"),
+                 "sum_bal_cents": pd.Series([], dtype="int64")}
+            )
         has_ord = g["_is_ord"].to_numpy() == 1
         members = np.unique(g.loc[has_ord, "ckey"].to_numpy(np.int64))
         c = g.loc[~has_ord]
@@ -1392,8 +1406,9 @@ def global_sales_opportunity(sf_dir: str) -> pd.DataFrame:
                             batch_size=65536))
         .map_batches(lambda b: b, batch_format="pyarrow",
                      batch_size=65536)  # coalesce pre-exchange blocks
-        .groupby("_part")
-        .map_groups(anti, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(anti, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if res.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -1490,8 +1505,9 @@ def semi_anti_join_orders(
                 route_c, batch_format="pandas", batch_size=65536
             )
         )
-        .groupby("_part")
-        .map_groups(member, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(member, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -1558,8 +1574,9 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
     return (
         _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
         .map_batches(route, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(sessions, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(sessions, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -1622,8 +1639,9 @@ def user_rolling_window(sf_dir: str) -> pd.DataFrame:
     return (
         _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
         .map_batches(route, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(roll, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(roll, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -1877,8 +1895,9 @@ def asof_latest_order(
     ).map_batches(route_orders, batch_format="pandas")
     return (
         ev.union(od)
-        .groupby("_part")
-        .map_groups(asof_part, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(asof_part, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -1924,8 +1943,9 @@ def top2_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     out = (
         _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
         .map_batches(local2, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(top2, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(top2, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     return _round(out, {"o_totalprice": 2})
@@ -1980,8 +2000,9 @@ def _lww_events(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(final, batch_format="pyarrow")
+        .sort("_part")
+        .map_batches(per_group(final, "_part", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -2112,8 +2133,9 @@ def cdc_wire_formats_lww(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events",
            ["user_id", "event_id", "event_type", "value"])
         .map_batches(to_wire, batch_format="pandas", batch_size=8192)
-        .groupby("_part")
-        .map_groups(final, batch_format="pyarrow")
+        .sort("_part")
+        .map_batches(per_group(final, "_part", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -2365,8 +2387,9 @@ def pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
         with_token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
         .select_columns(["doc_id", "n_words"])
         .map_batches(route, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(pack, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(pack, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values(["part", "bin"]).reset_index(drop=True)
@@ -3012,8 +3035,8 @@ def corpus_pipeline_docs(
 
     out = (
         scored.map_batches(keep_route, batch_format="pandas")
-        .groupby("_dpart").map_groups(dedup_first, batch_format="pandas")
-        .groupby("_part").map_groups(pack, batch_format="pandas")
+        .sort("_dpart").map_batches(per_group(dedup_first, "_dpart"), batch_size=None, batch_format="pyarrow")
+        .sort("_part").map_batches(per_group(pack, "_part"), batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -4028,8 +4051,9 @@ def range_join_orders(
     )
     return (
         ev.union(od)
-        .groupby("_part")
-        .map_groups(count_part, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(count_part, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -4088,8 +4112,9 @@ def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
     return (
         _t(sf_dir, "events", ["user_id", "ts", "value"])
         .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(combine, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(combine, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -4158,8 +4183,9 @@ def sliding_window_stats(sf_dir: str) -> pd.DataFrame:
     return (
         _t(sf_dir, "events", ["ts", "value"])
         .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(combine, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(combine, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -4221,8 +4247,9 @@ def daily_type_pivot(sf_dir: str) -> pd.DataFrame:
     return (
         _t(sf_dir, "events", ["ts", "event_type"])
         .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(pivot, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(pivot, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -4467,8 +4494,9 @@ def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
 
     out = (
         before.union(after)
-        .groupby("_part")
-        .map_groups(diff, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(diff, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
@@ -5214,8 +5242,9 @@ def hourly_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     return (
         _t(sf_dir, "events", ["ts", "user_id"])
         .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("_part")
-        .map_groups(estimate, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(estimate, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()  # <= n_hours rows
     )
 

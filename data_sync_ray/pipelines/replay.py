@@ -30,6 +30,7 @@ import ray.data as rd
 from ..config import SyncConfig
 from ..datamodel import BOOTSTRAP_SRC_LOG_POS, list_epoch_dirs
 from ..stages.apply import METRICS_SCHEMA, PartitionApplier
+from ..stages.groupmap import per_group
 from ..stages.exchange import (
     cleanup_spill,
     make_fold_commit_stage,
@@ -150,13 +151,15 @@ class ReplayJob:
                 return t.filter(pc.invert(mask))
 
             ds = ds.map_batches(drop_committed, batch_format="pyarrow")
-        gb = ds.groupby("partition")
         if cfg.apply_mode == "actors":
             # actor-pool apply: worth it only when per-actor state is heavy
             # (remote manifest caches). Pool startup costs ~seconds PER
             # EPOCH (pools don't outlive a Dataset execution), so the
-            # default is task-based apply below.
-            metrics = gb.map_groups(
+            # default is task-based apply below. Stays on Ray's
+            # map_groups (callable class + pool); its empty sort
+            # partitions skip the UDF — harmless here, metrics rows are
+            # consumed by take_all below, never by another kernel.
+            metrics = ds.groupby("partition").map_groups(
                 PartitionApplier,
                 batch_format="pyarrow",
                 fn_constructor_args=(cfg.lake_root, epoch, self._cfg_json),
@@ -169,7 +172,10 @@ class ReplayJob:
             def apply_group(group: pa.Table) -> pa.Table:
                 return PartitionApplier(lake_root, epoch, cfg_json)(group)
 
-            metrics = gb.map_groups(apply_group, batch_format="pyarrow")
+            metrics = ds.sort("partition").map_batches(
+                per_group(apply_group, "partition", "pyarrow"),
+                batch_size=None, batch_format="pyarrow",
+            )
         rows = metrics.take_all()  # tiny: one row per partition
         self.lake.mark_epoch_done(epoch)
         return rows
@@ -442,8 +448,9 @@ class ReplayJob:
             return pa.concat_tables(outs)
 
         rows = (
-            ds.groupby("partition")
-            .map_groups(apply_group, batch_format="pyarrow")
+            ds.sort("partition")
+            .map_batches(per_group(apply_group, "partition", "pyarrow"),
+                         batch_size=None, batch_format="pyarrow")
             .take_all()
         )
         for e in pending:
@@ -834,8 +841,9 @@ class ReplayJob:
 
         rows = (
             lake_ck.union(want_ck)
-            .groupby("_part")
-            .map_groups(compare, batch_format="pandas")
+            .sort("_part")
+            .map_batches(per_group(compare, "_part"),
+                         batch_size=None, batch_format="pyarrow")
             .take_all()
         )
         agg = {
@@ -1177,8 +1185,9 @@ def lake_dedup_report(
 
     return (
         ds.map_batches(hash_rows, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(combine, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(combine, "_part"),
+                     batch_size=None, batch_format="pyarrow")
         .to_pandas()
         .sort_values("content_hash")
         .reset_index(drop=True)
