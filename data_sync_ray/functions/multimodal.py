@@ -303,6 +303,80 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         return arr.copy(), f.getframerate()
 
 
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """(T, H, W) uint8 mono frames -> YUV4MPEG2 (Y4M) bytes.
+
+    Y4M is the standard UNCOMPRESSED video interchange format (the
+    mjpegtools/ffmpeg `.y4m` container): one text header line, then
+    each frame as a `FRAME\\n` marker + raw planes. `Cmono` carries a
+    single luma plane — codec-free like PPM/WAV, so the video path
+    decodes for REAL in this container."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    out = [head.encode()]
+    for i in range(t):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Y4M bytes -> ((T, H, W) uint8 mono frames, (fps_num, fps_den)).
+
+    Vectorized: one frombuffer over the frame region + reshape (frames
+    are fixed W*H+6 byte records after the header). Only the `Cmono`
+    colourspace this engine writes is supported; planar 4:2:0 et al.
+    would decode the same way with a 1.5x plane size."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode()
+    parts = head.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den = 25, 1
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            num, den = (int(x) for x in p[1:].split(":"))
+        elif p.startswith("C") and p[1:] != "mono":
+            raise NotImplementedError(f"Y4M colourspace {p[1:]}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    body = payload[nl + 1 :]
+    rec = 6 + w * h  # b"FRAME\n" + luma plane
+    if len(body) % rec:
+        raise ValueError("truncated Y4M frame")
+    t = len(body) // rec
+    raw = np.frombuffer(body, dtype=np.uint8).reshape(t, rec)
+    if not all(bytes(raw[i, :6]) == b"FRAME\n" for i in range(t)):
+        raise ValueError("bad FRAME marker")
+    return raw[:, 6:].reshape(t, h, w).copy(), (num, den)
+
+
+def resize_box(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Integer-exact box-mean downsample of (H, W[, C]) uint8 pixels.
+
+    Requires H % out_h == 0 and W % out_w == 0 (exact boxes); each
+    output pixel is floor(mean of its box) computed in int64 — fully
+    restatable byte-for-byte by an independent reference, so resized
+    rasters can be oracle-hashed (no float interpolation ambiguity).
+    The standard area/box filter restricted to integer factors."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if h % out_h or w % out_w:
+        raise ValueError(f"{h}x{w} not divisible into {out_h}x{out_w}")
+    fh, fw = h // out_h, w // out_w
+    boxes = img.astype(np.int64).reshape(out_h, fh, out_w, fw, c)
+    return (boxes.sum(axis=(1, 3)) // (fh * fw)).astype(np.uint8).squeeze()
+
+
 def _mean_pool_1d(v: np.ndarray, dim: int) -> np.ndarray:
     """Average v into `dim` contiguous buckets (vectorized bincount)."""
     v = np.asarray(v, dtype=np.float64).ravel()
@@ -417,33 +491,60 @@ class DecodeAudio:
 
 
 class FrameSampler:
-    """Actor stage: sample every Nth 'frame' (stubbed: slices payload into
-    fixed windows and keeps every `stride`-th)."""
+    """Actor stage: sample every `stride`-th frame from video payloads.
+
+    fake=False is REAL for Y4M (`video/x-yuv4mpeg`, see decode_y4m):
+    parse the uncompressed stream once per payload, emit every
+    `stride`-th luma plane as raw bytes with its frame geometry.
+    Compressed containers (mp4/webm/...) stay behind an honest
+    NotImplementedError — no ffmpeg in this container. fake=True keeps
+    the legacy byte-window stub for plumbing tests on arbitrary bytes.
+    Output: (media_id, frame_index int32, height, width int32,
+    frame binary)."""
 
     def __init__(self, frame_bytes: int = 64, stride: int = 2, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "video codec not available; construct with fake=True"
-            )
         self.frame_bytes = frame_bytes
         self.stride = stride
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_id, out_idx, out_frame = [], [], []
-        for mid, p in zip(batch.column("media_id"), batch.column("payload")):
+        out_id, out_idx, out_h, out_w, out_frame = [], [], [], [], []
+        types = (
+            batch.column("media_type").to_pylist()
+            if "media_type" in batch.column_names
+            else ["application/octet-stream"] * batch.num_rows
+        )
+        for mid, mt, p in zip(
+            batch.column("media_id"), types, batch.column("payload")
+        ):
             raw = p.as_py()
-            frames = [
-                raw[i : i + self.frame_bytes]
-                for i in range(0, len(raw), self.frame_bytes)
-            ]
+            if self.fake:
+                frames = [
+                    raw[i : i + self.frame_bytes]
+                    for i in range(0, len(raw), self.frame_bytes)
+                ]
+                h = w = 0
+            elif mt == "video/x-yuv4mpeg":
+                planes, _fps = decode_y4m(raw)
+                _t, h, w = planes.shape
+                frames = [planes[i].tobytes() for i in range(_t)]
+            else:
+                raise NotImplementedError(
+                    f"no codec for {mt}; only Y4M decodes for real "
+                    "(construct with fake=True for byte windows)"
+                )
             for j in range(0, len(frames), self.stride):
                 out_id.append(mid.as_py())
                 out_idx.append(j)
+                out_h.append(h)
+                out_w.append(w)
                 out_frame.append(frames[j])
         return pa.table(
             {
-                "media_id": pa.array(out_id),
+                "media_id": pa.array(out_id, pa.string()),
                 "frame_index": pa.array(out_idx, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "width": pa.array(out_w, pa.int32()),
                 "frame": pa.array(out_frame, pa.binary()),
             }
         )
@@ -501,6 +602,36 @@ def gen_real_media(n: int, seed: int = 42, size: int = 16) -> pa.Table:
     )
 
 
+def gen_real_video(n: int, seed: int = 42, size: int = 16) -> pa.Table:
+    """Video table whose payloads are REAL Y4M streams decode_y4m reads
+    back: `size`x`size` mono frames, 4-12 per clip (seeded), a drifting
+    gradient + per-frame noise so consecutive frames differ but stay
+    correlated (the shape a frame-sampling stage meets in practice)."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, metas = [], [], [], []
+    base = np.add.outer(np.arange(size), np.arange(size))
+    for i in range(n):
+        t = int(rng.integers(4, 13))
+        drift = rng.integers(0, 17, size=t)
+        frames = (
+            (base[None, :, :] * 3 + drift[:, None, None] * 5
+             + rng.integers(0, 32, size=(t, size, size))) % 256
+        ).astype(np.uint8)
+        ids.append(f"v{i:06d}")
+        types.append("video/x-yuv4mpeg")
+        payloads.append(encode_y4m(frames))
+        metas.append('{"frames": %d, "w": %d, "h": %d}' % (t, size, size))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_json": pa.array(metas),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def decode_features(
     media: rd.Dataset,
     feature_dim: int = 16,
@@ -519,11 +650,12 @@ def decode_features(
 
 def sample_frames(
     media: rd.Dataset, stride: int = 2, concurrency: int = 2,
-    batch_size: int = 256,
+    batch_size: int = 256, fake: bool = True,
 ) -> rd.Dataset:
+    """fake=False runs the REAL Y4M frame parse (see FrameSampler)."""
     return media.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"stride": stride, "fake": True},
+        fn_constructor_kwargs={"stride": stride, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

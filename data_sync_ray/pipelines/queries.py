@@ -3515,6 +3515,132 @@ def media_decode_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+#: pinned real-video spec (tag-gated like _media_tag); regenerate the
+#: video_frames fixture with tools/gen_fixtures.py if gen_real_video,
+#: encode_y4m/decode_y4m or these constants change
+_VIDEO_N, _VIDEO_SEED, _VIDEO_SIZE, _VIDEO_STRIDE = 24, 17, 16, 3
+
+
+def _video_tag() -> str:
+    from ..functions.multimodal import gen_real_video
+
+    v = gen_real_video(_VIDEO_N, seed=_VIDEO_SEED, size=_VIDEO_SIZE)
+    return hashlib.md5(
+        b"".join(v.column("payload").to_pylist())
+    ).hexdigest()
+
+
+VIDEO_FRAMES_SQL = f"""
+SELECT media_id, frame_index, height, width, luma_sum
+FROM read_parquet('{_FIXTURE_DIR}/video_frames_*.parquet')
+WHERE tag = '{_video_tag()}'
+ORDER BY media_id, frame_index
+"""
+
+
+def video_frame_sample_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame sampling, oracle-checked: a constant seeded
+    table of uncompressed Y4M clips (the standard codec-free video
+    interchange format — mono luma planes here) runs through the
+    FrameSampler actor pool keeping every 3rd frame, then each kept
+    luma plane reduces to an exact int64 byte sum. The pinned fixture
+    re-derives the same rows with an independent pure-Python Y4M walk
+    (tools/gen_fixtures.py gen_video_frames — text header split,
+    index()-based FRAME scan, per-byte sum loops; no numpy shared with
+    functions/multimodal.decode_y4m). Spec is sf-independent; one
+    fixture serves every scale. Reference analog: frame-sample is the
+    video leg of the multimodal prep the brief's pipelines need; the
+    decode stub for COMPRESSED containers stays an honest
+    NotImplementedError (multimodal.FrameSampler)."""
+    from ..functions.multimodal import gen_real_video, sample_frames
+
+    v = gen_real_video(_VIDEO_N, seed=_VIDEO_SEED, size=_VIDEO_SIZE)
+
+    def stats(t: pa.Table) -> pa.Table:
+        sums = [
+            int(np.frombuffer(f.as_py(), np.uint8).astype(np.int64).sum())
+            for f in t.column("frame")
+        ]
+        return pa.table(
+            {"media_id": t.column("media_id"),
+             "frame_index": t.column("frame_index").cast(pa.int64()),
+             "height": t.column("height").cast(pa.int64()),
+             "width": t.column("width").cast(pa.int64()),
+             "luma_sum": pa.array(sums, pa.int64())}
+        )
+
+    out = (
+        sample_frames(
+            rd.from_arrow(v), stride=_VIDEO_STRIDE, fake=False,
+            batch_size=8,
+        )
+        .map_batches(stats, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["media_id", "frame_index"]
+    ).reset_index(drop=True)
+
+
+RESIZE_SQL = f"""
+SELECT media_id, media_type, out_h, out_w, resized_sum
+FROM read_parquet('{_FIXTURE_DIR}/resize_stats_*.parquet')
+WHERE tag = '{_media_tag()}'
+ORDER BY media_id
+"""
+
+
+def media_resize_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL image resize, oracle-checked: the pinned media table's image
+    rows (PPM + filtered PNG) decode and box-mean downsample to 4x4 in
+    exact int64 (multimodal.resize_box — floor of each box's mean, no
+    float interpolation), reducing to the resized raster's byte sum.
+    The fixture recomputes the same sums with pure-Python double loops
+    over the byte-level reference rasters (tools/gen_fixtures.py
+    gen_resize), so the whole decode->resize path is cross-checked
+    bit-for-bit. Same tag gate as media_decode_stats (shared payload
+    spec)."""
+    from ..functions.multimodal import (
+        decode_png, decode_ppm, gen_real_media, resize_box,
+    )
+
+    media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, mts, sums = [], [], []
+        for mid, mt, p in zip(
+            t.column("media_id"), t.column("media_type"),
+            t.column("payload"),
+        ):
+            kind = mt.as_py()
+            if kind not in ("image/x-portable-pixmap", "image/png"):
+                continue  # audio rows have no raster to resize
+            raw = p.as_py()
+            arr = (
+                decode_ppm(raw) if kind.endswith("pixmap")
+                else decode_png(raw)
+            )
+            r = resize_box(arr, 4, 4)
+            ids.append(mid.as_py())
+            mts.append(kind)
+            sums.append(int(r.astype(np.int64).sum()))
+        n = len(ids)
+        return pa.table(
+            {"media_id": pa.array(ids, pa.string()),
+             "media_type": pa.array(mts, pa.string()),
+             "out_h": pa.array([4] * n, pa.int64()),
+             "out_w": pa.array([4] * n, pa.int64()),
+             "resized_sum": pa.array(sums, pa.int64())}
+        )
+
+    out = (
+        rd.from_arrow(media)
+        .map_batches(stats, batch_format="pyarrow", batch_size=8)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 # _MEDIA_* constants live above _media_tag (import-order dependency)
 
 
@@ -5384,6 +5510,10 @@ QUERIES: dict[str, tuple] = {
     "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
     "redact_pii_docs": (redact_pii_docs, REDACT_SQL),
     "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
+    "media_resize_stats": (media_resize_stats, RESIZE_SQL),
+    "video_frame_sample_stats": (
+        video_frame_sample_stats, VIDEO_FRAMES_SQL,
+    ),
     "quantized_ann_topk": (quantized_ann_topk, QUANTIZED_ANN_SQL),
     "bigram_lm_docs": (bigram_lm_docs, BIGRAM_LM_SQL),
     "bpe_encode_docs": (bpe_encode_docs, BPE_ENCODE_SQL),

@@ -297,6 +297,79 @@ def gen_cdc_asof(out_dir: str) -> None:
     print(f"wrote {path}: {out.num_rows} rows")
 
 
+def _ref_ppm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """Byte-level PPM reference decode -> (w, h, raster bytes).
+
+    Exact header grammar of encode_ppm ("P6\n{w} {h}\n255\n"): a
+    bytes.split(maxsplit=3) here would also consume leading
+    WHITESPACE-CLASS RASTER BYTES (0x09-0x0D, 0x20) as header delimiter
+    — ~2.3% of images start with one — shifting the reference raster and
+    pinning a WRONG oracle checksum."""
+    import re as _re
+
+    m = _re.match(rb"P6\n(\d+) (\d+)\n255\n", payload)
+    assert m, "unexpected PPM header"
+    w, h = int(m.group(1)), int(m.group(2))
+    raster = payload[m.end() : m.end() + w * h * 3]
+    assert len(raster) == w * h * 3
+    return w, h, raster
+
+
+def _ref_png_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """Independent PNG reference decode -> (w, h, raster bytes): chunk
+    walk by struct, stdlib inflate, then a PER-BYTE pure-Python unfilter
+    (spec 9.2/9.4 recurrences verbatim) — no numpy, nothing shared with
+    multimodal.decode_png's vectorized path. Also validates the CRCs the
+    engine skips."""
+    import struct
+    import zlib as _zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    j, w, h = 8, None, None
+    idat = b""
+    while j + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, j)
+        tag_ = payload[j + 4 : j + 8]
+        body = payload[j + 8 : j + 8 + ln]
+        crc = struct.unpack_from(">I", payload, j + 8 + ln)[0]
+        assert crc == _zlib.crc32(tag_ + body) & 0xFFFFFFFF
+        if tag_ == b"IHDR":
+            w, h, depth, ct = struct.unpack_from(">IIBB", body)
+            assert depth == 8 and ct == 2, "fixture expects RGB8"
+        elif tag_ == b"IDAT":
+            idat += body
+        j += 12 + ln
+    raw = _zlib.decompress(idat)
+    bpp, stride = 3, w * 3 + 1
+    recon = bytearray()
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        f, cur = line[0], bytearray(line[1:])
+        for x in range(len(cur)):
+            a = cur[x - bpp] if x >= bpp else 0  # left
+            b = recon[(y - 1) * w * 3 + x] if y else 0  # up
+            c = (
+                recon[(y - 1) * w * 3 + x - bpp]
+                if (y and x >= bpp) else 0
+            )  # up-left
+            if f == 1:
+                cur[x] = (cur[x] + a) & 0xFF
+            elif f == 2:
+                cur[x] = (cur[x] + b) & 0xFF
+            elif f == 3:
+                cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa_ <= pb_ and pa_ <= pc_
+                    else b if pb_ <= pc_ else c
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
+        recon += cur
+    return w, h, bytes(recon)
+
+
 def gen_media(out_dir: str) -> None:
     """Pinned expected stats for `media_decode_stats`: the same seeded
     media table decoded by a BYTE-LEVEL pure-Python reference — header
@@ -322,71 +395,10 @@ def gen_media(out_dir: str) -> None:
         media.column("payload").to_pylist(),
     ):
         if mt == "image/x-portable-pixmap":
-            # exact header grammar of encode_ppm ("P6\n{w} {h}\n255\n"):
-            # a bytes.split(maxsplit=3) here would also consume leading
-            # WHITESPACE-CLASS RASTER BYTES (0x09-0x0D, 0x20) as header
-            # delimiter — ~2.3% of images start with one — shifting the
-            # reference raster and pinning a WRONG oracle checksum
-            import re as _re
-
-            m = _re.match(rb"P6\n(\d+) (\d+)\n255\n", payload)
-            assert m, "unexpected PPM header"
-            w, h = int(m.group(1)), int(m.group(2))
-            raster = payload[m.end() : m.end() + w * h * 3]
-            assert len(raster) == w * h * 3
-            checksum = sum(raster)  # pure-python byte sum
-            rows.append((mid, mt, h, w, checksum))
+            w, h, raster = _ref_ppm_raster(payload)
+            rows.append((mid, mt, h, w, sum(raster)))
         elif mt == "image/png":
-            # independent PNG reference: chunk walk by struct, stdlib
-            # inflate, then a PER-BYTE pure-Python unfilter (spec
-            # §9.2/§9.4 recurrences verbatim) — no numpy, nothing
-            # shared with multimodal.decode_png's vectorized path
-            import zlib as _zlib
-
-            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
-            j, w = 8, None
-            idat = b""
-            while j + 8 <= len(payload):
-                (ln,) = struct.unpack_from(">I", payload, j)
-                tag_ = payload[j + 4 : j + 8]
-                body = payload[j + 8 : j + 8 + ln]
-                # reference also validates the CRC the engine skips
-                crc = struct.unpack_from(">I", payload, j + 8 + ln)[0]
-                assert crc == _zlib.crc32(tag_ + body) & 0xFFFFFFFF
-                if tag_ == b"IHDR":
-                    w, h, depth, ct = struct.unpack_from(">IIBB", body)
-                    assert depth == 8 and ct == 2, "fixture expects RGB8"
-                elif tag_ == b"IDAT":
-                    idat += body
-                j += 12 + ln
-            raw = _zlib.decompress(idat)
-            bpp, stride = 3, w * 3 + 1
-            recon = bytearray()
-            for y in range(h):
-                line = raw[y * stride : (y + 1) * stride]
-                f, cur = line[0], bytearray(line[1:])
-                for x in range(len(cur)):
-                    a = cur[x - bpp] if x >= bpp else 0  # left
-                    b = recon[(y - 1) * w * 3 + x] if y else 0  # up
-                    c = (
-                        recon[(y - 1) * w * 3 + x - bpp]
-                        if (y and x >= bpp) else 0
-                    )  # up-left
-                    if f == 1:
-                        cur[x] = (cur[x] + a) & 0xFF
-                    elif f == 2:
-                        cur[x] = (cur[x] + b) & 0xFF
-                    elif f == 3:
-                        cur[x] = (cur[x] + (a + b) // 2) & 0xFF
-                    elif f == 4:
-                        p = a + b - c
-                        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                        pred = (
-                            a if pa_ <= pb_ and pa_ <= pc_
-                            else b if pb_ <= pc_ else c
-                        )
-                        cur[x] = (cur[x] + pred) & 0xFF
-                recon += cur
+            w, h, recon = _ref_png_raster(payload)
             rows.append((mid, mt, h, w, sum(recon)))
         else:
             assert mt == "audio/wav" and payload[:4] == b"RIFF"
@@ -425,6 +437,122 @@ def gen_media(out_dir: str) -> None:
     print(f"wrote {path}: {out.num_rows} rows")
 
 
+def gen_resize(out_dir: str) -> None:
+    """Pinned expected stats for `media_resize_stats`: each reference
+    raster (byte-level decode above) box-mean downsampled to 4x4 with
+    pure-Python double loops — floor(sum(box)/box_size) per channel,
+    integer-exact — then summed. Shares the payload tag with gen_media
+    (same media spec)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from data_sync_ray.functions.multimodal import gen_real_media
+    from data_sync_ray.pipelines.queries import (
+        _MEDIA_N, _MEDIA_SEED, _MEDIA_SIZE,
+    )
+
+    media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+    out_h = out_w = 4
+    rows = []
+    for mid, mt, payload in zip(
+        media.column("media_id").to_pylist(),
+        media.column("media_type").to_pylist(),
+        media.column("payload").to_pylist(),
+    ):
+        if mt == "image/x-portable-pixmap":
+            w, h, raster = _ref_ppm_raster(payload)
+        elif mt == "image/png":
+            w, h, raster = _ref_png_raster(payload)
+        else:
+            continue
+        fh, fw = h // out_h, w // out_w
+        assert fh * out_h == h and fw * out_w == w
+        total = 0
+        for oy in range(out_h):
+            for ox in range(out_w):
+                for ch in range(3):
+                    s = 0
+                    for y in range(oy * fh, (oy + 1) * fh):
+                        for x in range(ox * fw, (ox + 1) * fw):
+                            s += raster[(y * w + x) * 3 + ch]
+                    total += s // (fh * fw)  # floor of the box mean
+        rows.append((mid, mt, total))
+    tag = hashlib.md5(
+        b"".join(media.column("payload").to_pylist())
+    ).hexdigest()
+    out = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows]),
+            "media_type": pa.array([r[1] for r in rows]),
+            "out_h": pa.array([out_h] * len(rows), pa.int64()),
+            "out_w": pa.array([out_w] * len(rows), pa.int64()),
+            "resized_sum": pa.array([r[2] for r in rows], pa.int64()),
+            "tag": pa.array([tag] * len(rows)),
+        }
+    )
+    path = os.path.join(out_dir, f"resize_stats_{tag[:12]}.parquet")
+    pq.write_table(out, path)
+    print(f"wrote {path}: {out.num_rows} rows")
+
+
+def gen_video_frames(out_dir: str) -> None:
+    """Pinned expected rows for `video_frame_sample_stats`: an
+    independent pure-Python Y4M walk (text header split, index()-based
+    FRAME scans, per-byte sum loops — no numpy, nothing shared with
+    multimodal.decode_y4m) re-derives every 3rd frame's geometry and
+    luma byte sum."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from data_sync_ray.functions.multimodal import gen_real_video
+    from data_sync_ray.pipelines.queries import (
+        _VIDEO_N, _VIDEO_SEED, _VIDEO_SIZE, _VIDEO_STRIDE,
+    )
+
+    vids = gen_real_video(_VIDEO_N, seed=_VIDEO_SEED, size=_VIDEO_SIZE)
+    rows = []
+    for mid, payload in zip(
+        vids.column("media_id").to_pylist(),
+        vids.column("payload").to_pylist(),
+    ):
+        nl = payload.index(b"\n")
+        fields = payload[:nl].decode().split(" ")
+        assert fields[0] == "YUV4MPEG2"
+        w = h = None
+        for f in fields[1:]:
+            if f[0] == "W":
+                w = int(f[1:])
+            elif f[0] == "H":
+                h = int(f[1:])
+            elif f[0] == "C":
+                assert f[1:] == "mono"
+        pos, idx = nl + 1, 0
+        while pos < len(payload):
+            assert payload.index(b"FRAME\n", pos) == pos
+            plane = payload[pos + 6 : pos + 6 + w * h]
+            assert len(plane) == w * h
+            if idx % _VIDEO_STRIDE == 0:
+                rows.append((mid, idx, h, w, sum(plane)))
+            pos += 6 + w * h
+            idx += 1
+    tag = hashlib.md5(
+        b"".join(vids.column("payload").to_pylist())
+    ).hexdigest()
+    out = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows]),
+            "frame_index": pa.array([r[1] for r in rows], pa.int64()),
+            "height": pa.array([r[2] for r in rows], pa.int64()),
+            "width": pa.array([r[3] for r in rows], pa.int64()),
+            "luma_sum": pa.array([r[4] for r in rows], pa.int64()),
+            "tag": pa.array([tag] * len(rows)),
+        }
+    )
+    path = os.path.join(out_dir, f"video_frames_{tag[:12]}.parquet")
+    pq.write_table(out, path)
+    print(f"wrote {path}: {out.num_rows} rows")
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -436,6 +564,8 @@ def main() -> None:
     gen_cdc_replay(out_dir)
     gen_cdc_asof(out_dir)
     gen_media(out_dir)
+    gen_resize(out_dir)
+    gen_video_frames(out_dir)
 
 
 if __name__ == "__main__":
