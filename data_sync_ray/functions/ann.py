@@ -937,3 +937,164 @@ def cosine_dedup_keep_first(
         pairs.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
     )
     return drop_non_roots(emb, drop, id_col="vec_id")
+
+
+# --- distributed PCA (power iteration) ---------------------------------------
+
+
+@ray.remote
+def _pca_block_moments(t) -> tuple[int, np.ndarray]:
+    """Per-block (row count, d-dim column sum) — the mean's combiner."""
+    t = _as_table(t)
+    if t.num_rows == 0 or "embedding" not in t.column_names:
+        # empty blocks after materialize may arrive COLUMN-LESS
+        return 0, np.zeros(0, dtype=np.float64)
+    X = _flatten_matrix(t.column("embedding"), t.num_rows)
+    return t.num_rows, X.sum(axis=0)
+
+
+@ray.remote
+def _pca_block_matvec(t, mv) -> np.ndarray:
+    """One power-iteration partial over one cached block:
+    w_partial = Xc.T @ (Xc @ v) where Xc = X - mu, i.e. the centered
+    covariance times v WITHOUT materializing the (d, d) covariance —
+    two (n, d)-cost matmuls, O(d) output per block."""
+    mu, v = mv
+    t = _as_table(t)
+    if t.num_rows == 0 or "embedding" not in t.column_names:
+        return np.zeros_like(v)
+    Xc = _flatten_matrix(t.column("embedding"), t.num_rows) - mu
+    return Xc.T @ (Xc @ v)
+
+
+@ray.remote
+def _pca_block_label_stats(t, mv) -> pd.DataFrame:
+    """Final-pass partials: project each centered row on the fitted
+    component and reduce per label to integer stats (n_pos, n_nonpos,
+    sum_vec_id_pos) — bounded by label cardinality, never O(rows)."""
+    mu, v = mv
+    t = _as_table(t)
+    cols = ["label", "n_pos", "n_nonpos", "sum_vec_id_pos"]
+    if t.num_rows == 0 or "vec_id" not in t.column_names:
+        return pd.DataFrame(columns=cols)
+    Xc = _flatten_matrix(t.column("embedding"), t.num_rows) - mu
+    pos = (Xc @ v) > 0.0
+    lab = t.column("label").to_numpy().astype(np.int64)
+    vid = t.column("vec_id").to_numpy().astype(np.int64)
+    ulab, inv = np.unique(lab, return_inverse=True)
+    n_pos = np.bincount(inv, weights=pos).astype(np.int64)
+    n_tot = np.bincount(inv)
+    # vec_ids << 2^53: the float64 weighted bincount is exact (the
+    # _km_block_partials sum_id trick)
+    s_pos = np.rint(
+        np.bincount(inv, weights=np.where(pos, vid, 0).astype(np.float64))
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "label": ulab,
+            "n_pos": n_pos,
+            "n_nonpos": n_tot - n_pos,
+            "sum_vec_id_pos": s_pos,
+        }
+    )[cols]
+
+
+def pca_power_iter_embeddings(
+    emb: rd.Dataset, iters: int = 4
+) -> pd.DataFrame:
+    """Distributed top-principal-component fit by POWER ITERATION over
+    cached block refs — the covariance is never materialized: each pass
+    computes w = sum_i (x_i - mu) ((x_i - mu) . v) as two tall-matrix
+    products per block and an O(d) driver combine, so a pass costs one
+    read of the corpus and ships d floats per block (the
+    kmeans_embeddings iterative pattern; see its docstring for why
+    block-ref tasks beat re-running the streaming executor per pass).
+
+    Deterministic and SQL-restatable: inputs widen to float64 (exact),
+    the seed direction is the centered embedding of the smallest vec_id,
+    each iterate is L2-normalized, and because the covariance is PSD the
+    seed's orientation is preserved — no per-iteration sign fixups for
+    the oracle to mirror. Output is integer-only per-label stats of the
+    final projection signs (n_pos / n_nonpos / sum_vec_id_pos), so the
+    oracle hash cannot hinge on float summation order; the residual
+    knife-edge (a projection within accumulation ulps of 0.0) is the
+    same documented hazard class as the k-means argmin.
+
+    100 TB: blocks stay in plasma (spillable), per-pass traffic is
+    O(blocks * d) to the driver, label reduce is bounded by label
+    cardinality. No shuffle at any step."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    empty = pd.DataFrame(
+        {
+            "label": pd.Series([], dtype=np.int64),
+            "n_pos": pd.Series([], dtype=np.int64),
+            "n_nonpos": pd.Series([], dtype=np.int64),
+            "sum_vec_id_pos": pd.Series([], dtype=np.int64),
+        }
+    )
+    emb = emb.select_columns(["vec_id", "embedding", "label"]).materialize()
+    block_refs = [
+        br
+        for bundle in emb.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    if not block_refs:
+        return empty
+
+    moments = ray.get(
+        [_pca_block_moments.remote(br) for br in block_refs]
+    )
+    n = sum(c for c, _ in moments)
+    if n == 0:
+        return empty
+    mu = sum(s for c, s in moments if c) / n
+
+    seeds = [
+        p
+        for p in ray.get(
+            [_km_block_min_k.remote(br, 1) for br in block_refs]
+        )
+        if len(p)
+    ]
+    seed_row = (
+        pd.concat(seeds, ignore_index=True).sort_values("vec_id").iloc[0]
+    )
+    v = np.asarray(seed_row["embedding"], dtype=np.float64) - mu
+    nv = np.linalg.norm(v)
+    if nv == 0:  # degenerate seed (== mean): fall back to e_0
+        v = np.zeros_like(mu)
+        v[0] = 1.0
+    else:
+        v = v / nv
+
+    for _ in range(iters):
+        mv_ref = ray.put((mu, v))
+        w = np.zeros_like(v)
+        for part in ray.get(
+            [_pca_block_matvec.remote(br, mv_ref) for br in block_refs]
+        ):
+            w += part
+        nw = np.linalg.norm(w)
+        if nw == 0:  # zero-variance corpus: component undefined, keep v
+            break
+        v = w / nw
+
+    mv_ref = ray.put((mu, v))
+    parts = [
+        p
+        for p in ray.get(
+            [_pca_block_label_stats.remote(br, mv_ref) for br in block_refs]
+        )
+        if len(p)
+    ]
+    if not parts:
+        return empty
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("label", sort=True, as_index=False)
+        .sum()
+    )
+    for c in ("label", "n_pos", "n_nonpos", "sum_vec_id_pos"):
+        out[c] = out[c].astype(np.int64)
+    return out

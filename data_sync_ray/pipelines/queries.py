@@ -4021,6 +4021,62 @@ ORDER BY vec_id
 """
 
 
+def pca_power_iter_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed top-PC fit (power iteration, 4 passes) over the full
+    embedding corpus — covariance never materialized; each pass is two
+    tall matmuls per cached block + an O(d) driver combine (see
+    functions/ann.py for the scale analysis). Integer per-label stats
+    of the final projection signs; the oracle unrolls the IDENTICAL
+    iterations in SQL (same float64 widening, same seed = centered
+    min-vec_id embedding, same L2 normalization per pass)."""
+    from ..functions.ann import pca_power_iter_embeddings as _pca
+
+    return _pca(_t(sf_dir, "embeddings"), iters=4)
+
+
+def _pca_sql(iters: int = 4) -> str:
+    """Unrolled power-iteration oracle: one (t_k, w_k, v_k) CTE triple
+    per pass — generated by a loop so the SQL can never drift from the
+    engine's iteration count."""
+    parts = [
+        """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (
+  SELECT vec_id, label, unnest(x) AS v,
+         unnest(range(1, len(x) + 1)) AS j
+  FROM e
+),
+mu AS (SELECT j, avg(v) AS m FROM d GROUP BY j),
+c AS (SELECT d.vec_id, d.label, d.j, d.v - mu.m AS v
+      FROM d JOIN mu USING (j)),
+s0 AS (SELECT j, v FROM c WHERE vec_id = (SELECT min(vec_id) FROM e)),
+v0 AS (SELECT j, v / sqrt((SELECT sum(v * v) FROM s0)) AS v FROM s0)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+t{k} AS (SELECT c.vec_id, sum(c.v * v{k - 1}.v) AS t
+       FROM c JOIN v{k - 1} USING (j) GROUP BY c.vec_id),
+w{k} AS (SELECT c.j, sum(c.v * t{k}.t) AS w
+       FROM c JOIN t{k} USING (vec_id) GROUP BY c.j),
+v{k} AS (SELECT j, w / sqrt((SELECT sum(w * w) FROM w{k})) AS v FROM w{k})"""
+        )
+    parts.append(f""",
+tf AS (SELECT c.vec_id, any_value(c.label) AS label,
+              sum(c.v * v{iters}.v) AS t
+       FROM c JOIN v{iters} USING (j) GROUP BY c.vec_id)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) FILTER (WHERE t > 0) AS BIGINT) AS n_pos,
+       CAST(count(*) FILTER (WHERE t <= 0) AS BIGINT) AS n_nonpos,
+       CAST(coalesce(sum(vec_id) FILTER (WHERE t > 0), 0) AS BIGINT)
+         AS sum_vec_id_pos
+FROM tf GROUP BY label ORDER BY label
+""")
+    return "".join(parts)
+
+
+PCA_SQL = _pca_sql(4)
+
+
 def lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     from ..functions.ann import lsh_topk
 
@@ -5483,6 +5539,7 @@ QUERIES: dict[str, tuple] = {
     "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_SQL),
     "semantic_dedup_embeddings": (semantic_dedup_embeddings, SEMDEDUP_SQL),
+    "pca_power_iter_embeddings": (pca_power_iter_embeddings, PCA_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "embedding_dedup_keep_first": (embedding_dedup_keep_first,

@@ -679,6 +679,74 @@ class TestAnn:
         out = semantic_dedup_keep_first(empty, k=4, iters=2)
         assert out.empty and list(out.columns) == ["vec_id"]
 
+    def test_pca_power_iter_matches_local(self):
+        """Distributed power iteration == a straight local numpy
+        restatement of the pinned spec (float64 widening, seed =
+        centered min-vec_id embedding, L2 normalization per pass,
+        integer per-label sign stats), deterministic across block
+        layouts, and no-op-safe on empty / over-partitioned inputs."""
+        from data_sync_ray.functions.ann import pca_power_iter_embeddings
+
+        rng = np.random.default_rng(11)
+        n, d, iters = 80, 12, 4
+        # anisotropic cloud so the top PC is well-separated (power
+        # iteration converges fast; no knife-edge projections at 0)
+        scales = np.array([9.0, 3.0] + [1.0] * (d - 2))
+        X = rng.normal(size=(n, d)) * scales
+        ids = rng.permutation(n).astype(np.int64)
+        labels = (ids % 5).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": ids,
+            "embedding": [r.tolist() for r in X],
+            "label": labels,
+        }))
+        out = pca_power_iter_embeddings(ds, iters=iters)
+
+        Xd = X.astype(np.float64)
+        mu = Xd.mean(axis=0)
+        Xc = Xd - mu
+        v = Xc[np.argmin(ids)]
+        v = v / np.linalg.norm(v)
+        for _ in range(iters):
+            w = Xc.T @ (Xc @ v)
+            v = w / np.linalg.norm(w)
+        pos = (Xc @ v) > 0.0
+        want = (
+            pd.DataFrame({"label": labels, "pos": pos, "vec_id": ids})
+            .groupby("label", as_index=False)
+            .agg(
+                n_pos=("pos", "sum"),
+                n_nonpos=("pos", lambda s: int((~s).sum())),
+                sum_vec_id_pos=(
+                    "vec_id",
+                    lambda s: int(s[pos[s.index]].sum()),
+                ),
+            )
+        )
+        want["sum_vec_id_pos"] = [
+            int(ids[(labels == lb) & pos].sum()) for lb in want["label"]
+        ]
+        got = out.astype(
+            {c: np.int64 for c in out.columns}
+        ).reset_index(drop=True)
+        want = want.astype({c: np.int64 for c in want.columns})
+        pd.testing.assert_frame_equal(got, want)
+        assert (got["n_pos"] + got["n_nonpos"]).sum() == n
+
+        # block-layout invariance incl. empty blocks from over-partition
+        sparse = pca_power_iter_embeddings(ds.repartition(64), iters=iters)
+        pd.testing.assert_frame_equal(out, sparse)
+
+        empty = rd.from_pandas(pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "embedding": pd.Series([], dtype="object"),
+            "label": pd.Series([], dtype="int64"),
+        }))
+        e = pca_power_iter_embeddings(empty, iters=2)
+        assert e.empty and list(e.columns) == [
+            "label", "n_pos", "n_nonpos", "sum_vec_id_pos"
+        ]
+
     def test_mixture_resample_matches_bruteforce(self):
         """Histogram-walk + boundary-bucket selection must equal the
         brute-force 'needed_s smallest (md5, doc_id) per source' rule,
