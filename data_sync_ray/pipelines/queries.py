@@ -18,6 +18,7 @@ from __future__ import annotations
 import atexit
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 import threading
@@ -2604,6 +2605,225 @@ r AS (
 SELECT r.doc_id, r.source
 FROM r JOIN needed USING (source)
 WHERE r.rn <= needed.need ORDER BY r.doc_id
+"""
+
+
+_DSIR_BUCKETS = 1024
+_WORD_RE = re.compile(r"[A-Za-z]+")
+
+
+def _dsir_bigram_buckets(ws: list, n_buckets: int) -> np.ndarray:
+    """Hashed-bigram feature buckets for one token list: md5 of
+    'w1 w2' (15 hex -> int, the cms/consistent-sample convention) mod
+    n_buckets. Each distinct bigram is hashed ONCE per call, then
+    scattered back to occurrences via the np.unique inverse — the
+    Python-cost term is distinct bigrams, not occurrences."""
+    pairs = np.array([f"{a} {b}" for a, b in zip(ws, ws[1:])])
+    uniq, inv = np.unique(pairs, return_inverse=True)
+    hb = np.array(
+        [
+            int(hashlib.md5(p.encode()).hexdigest()[:15], 16) % n_buckets
+            for p in uniq
+        ],
+        dtype=np.int64,
+    )
+    return hb[inv]
+
+
+def dsir_resample_docs(
+    sf_dir: str, frac_bp: int = 2000, target_lang: str = "en"
+) -> pd.DataFrame:
+    """DSIR-style data selection (Xie et al., arXiv 2302.03169): score
+    every document by hashed n-gram importance against a target
+    distribution (here lang='en' docs) and keep the top frac_bp basis
+    points of the corpus. Two departures from the paper, both forced by
+    the exact-hash gate and documented: the per-bucket weight is the
+    integer RATIO (cnt_target+1)*1e6 // (cnt_all+1) rather than a float
+    log-ratio (libm-rounding-free on both engines), and selection is
+    deterministic top-K by (score DESC, doc_id ASC) rather than
+    Gumbel-noised sampling.
+
+    Scale shape: pass 1 reduces per-batch (bucket, cnt_target, cnt_all)
+    partials through tree_sum_by_key (bounded cardinality: 1024 feature
+    buckets — no exchange); the 8 KB weight table broadcasts once via
+    ray.put; pass 2 streams the corpus once into a materialized
+    (doc_id, score) projection (16-byte rows); top-K selection then
+    runs the mixture_resample boundary-bucket walk over the cached
+    block refs — a 4096-bin score histogram to the driver, ONLY the
+    boundary bin's rows gathered (expected n/4096; heavy score ties
+    widen it — documented, not hidden), and a final filter pass. The
+    text is regex-scanned exactly twice (intrinsic: DSIR needs global
+    bucket statistics before any doc can be scored); no sort shuffle,
+    no whole-corpus driver materialization beyond the selected rows the
+    caller asked for."""
+    docs = _t(
+        sf_dir, "documents", ["doc_id", "text", "lang"], num_blocks=16
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        ca = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        for text, lang in zip(batch["text"], batch["lang"]):
+            ws = _WORD_RE.findall(text)
+            if len(ws) < 2:
+                continue
+            bs = _dsir_bigram_buckets(ws, _DSIR_BUCKETS)
+            np.add.at(ca, bs, 1)
+            if lang == target_lang:
+                np.add.at(ct, bs, 1)
+        nz = np.flatnonzero(ca)
+        return pd.DataFrame(
+            {"b": nz, "ct": ct[nz], "ca": ca[nz]}
+        )
+
+    cnt = tree_sum_by_key(
+        docs.map_batches(
+            bucket_partial, batch_format="pandas", batch_size=4096
+        ),
+        keys=["b"],
+    )
+    W = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    if len(cnt):
+        b = cnt["b"].to_numpy(np.int64)
+        W[b] = (
+            (cnt["ct"].to_numpy(np.int64) + 1) * 1_000_000
+            // (cnt["ca"].to_numpy(np.int64) + 1)
+        )
+    wref = ray.put(W)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        wt = ray.get(wref)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        sc = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"]):
+            ws = _WORD_RE.findall(t)
+            if len(ws) >= 2:
+                sc[i] = int(
+                    wt[_dsir_bigram_buckets(ws, _DSIR_BUCKETS)].sum()
+                )
+        return pd.DataFrame({"doc_id": ids, "score": sc})
+
+    scored = docs.map_batches(
+        score, batch_format="pandas", batch_size=4096
+    ).materialize()
+    n = scored.count()
+    if n == 0:
+        return empty
+    k = (n * frac_bp + 9999) // 10000
+    block_refs = [
+        br
+        for bundle in scored.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+
+    def minmax(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["score"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [s.min()], "hi": [s.max()]})
+
+    mm = pd.concat(
+        ray.get([_mix_block.remote(minmax, br) for br in block_refs]),
+        ignore_index=True,
+    )
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = hi - lo + 1  # >= 1, so the bin index below is always valid
+    nbins = 4096
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        hb = (
+            (batch["score"].to_numpy(np.int64) - lo) * nbins // width
+        )
+        c = np.bincount(hb, minlength=nbins)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"hb": nz, "n": c[nz]})
+
+    h = (
+        pd.concat(
+            ray.get([_mix_block.remote(hist, br) for br in block_refs]),
+            ignore_index=True,
+        )
+        .groupby("hb", sort=True)["n"]
+        .sum()
+    )
+    # walk the histogram DESCENDING to the bin holding the K-th score
+    bins = h.index.to_numpy()[::-1]
+    cnts = h.to_numpy()[::-1]
+    cum = cnts.cumsum()
+    pos = int(np.searchsorted(cum, k, side="left"))
+    b_star = int(bins[pos])
+    above = int(cum[pos - 1]) if pos else 0  # rows in bins > b_star
+
+    def in_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+        hb = (batch["score"].to_numpy(np.int64) - lo) * nbins // width
+        return batch.loc[hb == b_star, ["doc_id", "score"]]
+
+    edge = pd.concat(
+        ray.get(
+            [_mix_block.remote(in_boundary, br) for br in block_refs]
+        ),
+        ignore_index=True,
+    ).sort_values(["score", "doc_id"], ascending=[False, True])
+    keep_edge = set(
+        int(i) for i in edge["doc_id"].head(k - above)
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        hb = (batch["score"].to_numpy(np.int64) - lo) * nbins // width
+        sel = (hb > b_star) | batch["doc_id"].isin(keep_edge).to_numpy()
+        return batch.loc[sel, ["doc_id", "score"]]
+
+    out = pd.concat(
+        ray.get([_mix_block.remote(keep, br) for br in block_refs]),
+        ignore_index=True,
+    )
+    if out.empty:
+        return empty
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = out["score"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[A-Za-z]+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15))
+              ::UBIGINT % 1024 AS BIGINT) AS b
+  FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+cnt AS (
+  SELECT b,
+         CAST(coalesce(count(*) FILTER (WHERE lang = 'en'), 0) AS BIGINT)
+           AS ct,
+         CAST(count(*) AS BIGINT) AS ca
+  FROM bg GROUP BY b
+),
+w AS (SELECT b, (ct + 1) * 1000000 // (ca + 1) AS wt FROM cnt),
+sc AS (
+  SELECT bg.doc_id, CAST(sum(wt) AS BIGINT) AS score
+  FROM bg JOIN w USING (b) GROUP BY bg.doc_id
+),
+allsc AS (
+  SELECT d.doc_id, coalesce(sc.score, 0) AS score
+  FROM documents d LEFT JOIN sc USING (doc_id)
+),
+rk AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM allsc
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM rk
+WHERE rn <= (SELECT (count(*) * 2000 + 9999) // 10000 FROM documents)
+ORDER BY doc_id
 """
 
 
@@ -5561,6 +5781,7 @@ QUERIES: dict[str, tuple] = {
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
     "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
+    "dsir_resample_docs": (dsir_resample_docs, DSIR_SQL),
     "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
     "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),

@@ -747,6 +747,78 @@ class TestAnn:
             "label", "n_pos", "n_nonpos", "sum_vec_id_pos"
         ]
 
+    def test_dsir_resample_matches_bruteforce(self):
+        """dsir_resample_docs (hashed-bigram importance weights +
+        boundary-bucket top-K walk) must equal a sequential restatement
+        of the pinned spec, INCLUDING the tie path: duplicated texts
+        give identical scores, so the boundary bin holds many equal
+        scores and the in-bin (score DESC, doc_id ASC) pick is
+        exercised, not just the clean histogram split."""
+        import hashlib as _hl
+        import re
+
+        import pyarrow.parquet as _pq
+
+        from data_sync_ray.pipelines.queries import dsir_resample_docs
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(40)]
+        texts, langs = [], []
+        for i in range(120):
+            k = int(rng.integers(3, 12))
+            ws = rng.choice(vocab, size=k)
+            # duplicate every 4th text exactly -> planted score ties
+            if i % 4 == 0 and i > 0:
+                texts.append(texts[i - 1])
+            else:
+                texts.append(" ".join(ws))
+            langs.append("en" if i % 3 == 0 else "de")
+        df = pd.DataFrame({
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": "src1",
+            "n_chars": [len(t) for t in texts],
+        })
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            _pq.write_table(pa.Table.from_pandas(df), d + "/documents.parquet")
+            got = dsir_resample_docs(d, frac_bp=2500)
+
+        B = 1024
+
+        def buckets(t):
+            ws = re.findall(r"[A-Za-z]+", t)
+            return [
+                int(_hl.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % B
+                for a, b in zip(ws, ws[1:])
+            ]
+
+        ct = np.zeros(B, np.int64)
+        ca = np.zeros(B, np.int64)
+        for t, lg in zip(df["text"], df["lang"]):
+            for b in buckets(t):
+                ca[b] += 1
+                if lg == "en":
+                    ct[b] += 1
+        W = (ct + 1) * 1_000_000 // (ca + 1)
+        sc = np.array(
+            [sum(int(W[b]) for b in buckets(t)) for t in df["text"]],
+            dtype=np.int64,
+        )
+        k = (120 * 2500 + 9999) // 10000
+        order = np.lexsort((df["doc_id"].to_numpy(), -sc))
+        keep = np.sort(df["doc_id"].to_numpy()[order[:k]])
+        want = pd.DataFrame({
+            "doc_id": keep,
+            "score": sc[keep],
+        })
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        # the tie path actually fired: the K-th score is shared
+        boundary_score = sc[order[k - 1]]
+        assert (sc == boundary_score).sum() >= 2
+
     def test_mixture_resample_matches_bruteforce(self):
         """Histogram-walk + boundary-bucket selection must equal the
         brute-force 'needed_s smallest (md5, doc_id) per source' rule,
