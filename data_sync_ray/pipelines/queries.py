@@ -2827,6 +2827,191 @@ ORDER BY doc_id
 """
 
 
+@ray.remote
+def _pr_block_outdeg(block) -> pd.DataFrame:
+    """Per-edge-block out-degree partial: (src, n) for the block's
+    distinct sources — bounded by block rows."""
+    if not isinstance(block, pd.DataFrame):
+        block = block.to_pandas()
+    if len(block) == 0:  # empty blocks may arrive COLUMN-LESS
+        return pd.DataFrame({"src": [], "n": []})
+    u, c = np.unique(block["src"].to_numpy(np.int64), return_counts=True)
+    return pd.DataFrame({"src": u, "n": c.astype(np.int64)})
+
+
+@ray.remote
+def _pr_block_inbound(block, state) -> np.ndarray:
+    """One PageRank pass over one cached edge block: scatter-add
+    rank[src] // outdeg[src] onto dst — int64-exact (np.add.at, never a
+    float-weighted bincount)."""
+    rank, outdeg = state
+    if not isinstance(block, pd.DataFrame):
+        block = block.to_pandas()
+    acc = np.zeros(len(rank), dtype=np.int64)
+    if len(block) == 0:
+        return acc
+    src = block["src"].to_numpy(np.int64)
+    dst = block["dst"].to_numpy(np.int64)
+    np.add.at(acc, dst, rank[src] // outdeg[src])
+    return acc
+
+
+def pagerank_trade_graph(
+    sf_dir: str, iters: int = 3, top_n: int = 25
+) -> pd.DataFrame:
+    """Distributed PageRank over the customer<->supplier trade graph
+    (nodes = customers and suppliers that traded; directed edges both
+    ways per distinct (custkey, suppkey) pair from orders |><| lineitem).
+    Integer fixed-point iteration so both engines hash identically:
+    rank_0 = 1e9 per node; rank_{k+1}[v] = 15e7 + (85 * sum_in(rank_k[u]
+    // outdeg[u])) // 100 — every division floors in int64, no float
+    damping anywhere. Returns the top-25 nodes by (rank DESC, node ASC).
+
+    Scale shape: the pair-distinct runs as per-batch combiner -> one
+    fixed-int-bucket sort exchange -> per_group dedup (never one Ray
+    group per pair); the directed edge list materializes ONCE and each
+    pass runs as plain tasks over the cached block refs (the
+    kmeans/pca pattern — no per-pass executor startup). Partitioning
+    assumption, stated: the rank/outdeg vectors are broadcast (ray.put,
+    O(nodes) ints), the single-box analog of Pregel's vertex-sharded
+    state — on a billion-node cluster graph the same scatter-add
+    routes contributions through the hash(dst) exchange the dedup
+    already uses and each shard holds only its slice; the per-edge-
+    block kernels are unchanged under that sharding."""
+    P = _parts_for(sf_dir, "lineitem")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = orders.join(
+        line, join_type="inner",
+        # aggregator-per-partition startup dominates below ~2M
+        # join rows/partition (the orders_customer_hash_join numbers)
+        num_partitions=_parts_for(
+            sf_dir, "lineitem", rows_per_part=2_000_000, lo=4, hi=64
+        ),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    pair_schema = pa.schema([("c", pa.int64()), ("s", pa.int64()),
+                             ("_part", pa.int64())])
+
+    def pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = pd.DataFrame({
+            "c": t.column("o_custkey").to_numpy().astype(np.int64),
+            "s": t.column("l_suppkey").to_numpy().astype(np.int64),
+        }).drop_duplicates()
+        df["_part"] = (df["c"] * 31 + df["s"]) % P
+        return pa.Table.from_pandas(df, schema=pair_schema,
+                                    preserve_index=False)
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        df = t.to_pandas()[["c", "s"]].drop_duplicates()
+        cn = df["c"].to_numpy(np.int64) * 2
+        sn = df["s"].to_numpy(np.int64) * 2 + 1
+        return pa.table({
+            "src": np.concatenate([cn, sn]),
+            "dst": np.concatenate([sn, cn]),
+        }, schema=edge_schema)
+
+    edges = (
+        joined.map_batches(pre, batch_format="pyarrow")
+        .sort("_part")
+        .map_batches(per_group(finish, "_part", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    empty = pd.DataFrame({
+        "node_type": pd.Series([], dtype="object"),
+        "key": pd.Series([], dtype="int64"),
+        "pr": pd.Series([], dtype="int64"),
+    })
+    if edges.count() == 0:
+        return empty
+    block_refs = [
+        br
+        for bundle in edges.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    od = (
+        pd.concat(
+            ray.get([_pr_block_outdeg.remote(br) for br in block_refs]),
+            ignore_index=True,
+        )
+        .groupby("src", sort=False)["n"]
+        .sum()
+    )
+    nodes = od.index.to_numpy(np.int64)  # every node has out-edges
+    size = int(nodes.max()) + 1
+    outdeg = np.ones(size, dtype=np.int64)  # holes never divide a rank
+    outdeg[nodes] = od.to_numpy(np.int64)
+    rank = np.zeros(size, dtype=np.int64)
+    rank[nodes] = 1_000_000_000
+    for _ in range(iters):
+        state = ray.put((rank, outdeg))
+        acc = np.zeros(size, dtype=np.int64)
+        for part in ray.get(
+            [_pr_block_inbound.remote(br, state) for br in block_refs]
+        ):
+            acc += part
+        rank = np.zeros(size, dtype=np.int64)
+        rank[nodes] = 150_000_000 + (85 * acc[nodes]) // 100
+    order = np.lexsort((nodes, -rank[nodes]))[:top_n]
+    top = nodes[order]
+    return pd.DataFrame({
+        "node_type": np.where(top % 2 == 0, "c", "s"),
+        "key": (top // 2).astype(np.int64),
+        "pr": rank[top],
+    })
+
+
+def _pagerank_sql(iters: int = 3, top_n: int = 25) -> str:
+    """Unrolled integer PageRank oracle — generated per iteration so
+    the SQL can never drift from the engine's pass count."""
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+),
+n AS (SELECT DISTINCT src AS node FROM e),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM n)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT e.dst AS node, sum(r{k - 1}.pr // od.d) AS s
+  FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+         JOIN od ON od.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * coalesce(c{k}.s, 0)) // 100 AS BIGINT)
+           AS pr
+  FROM n LEFT JOIN c{k} USING (node)
+)"""
+        )
+    parts.append(f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS key, pr
+FROM r{iters} ORDER BY pr DESC, node ASC LIMIT {top_n}
+""")
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql(3, 25)
+
+
 def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
     """Per-source quality pruning (FineWeb-style): keep docs whose
     stopword score reaches their source's exact 25th-percentile value —
@@ -5782,6 +5967,7 @@ QUERIES: dict[str, tuple] = {
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
     "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
     "dsir_resample_docs": (dsir_resample_docs, DSIR_SQL),
+    "pagerank_trade_graph": (pagerank_trade_graph, PAGERANK_SQL),
     "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
     "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),

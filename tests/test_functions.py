@@ -747,6 +747,83 @@ class TestAnn:
             "label", "n_pos", "n_nonpos", "sum_vec_id_pos"
         ]
 
+    def test_pagerank_trade_graph_matches_local(self):
+        """Distributed integer PageRank == a straight local restatement
+        of the pinned spec (bidirectional distinct-pair edges, 1e9
+        init, 15e7 + 85*inbound//100 update, all floors in int64),
+        with hub structure so ranks actually differentiate."""
+        import tempfile
+
+        import pyarrow.parquet as _pq
+
+        from data_sync_ray.pipelines.queries import pagerank_trade_graph
+
+        rng = np.random.default_rng(17)
+        # 12 customers x 6 suppliers; supplier 0 is a hub (everyone
+        # buys from it), customer 0 buys from everyone
+        rows = []
+        ok = 0
+        for c in range(1, 13):
+            supps = {1} | set(
+                int(s) for s in rng.integers(1, 7, size=3)
+            )
+            if c == 1:
+                supps = set(range(1, 7))
+            for s in supps:
+                ok += 1
+                rows.append((ok, c, s))
+        orders = pd.DataFrame({
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+        })
+        line = pd.DataFrame({
+            "l_orderkey": [r[0] for r in rows],
+            "l_suppkey": [r[2] for r in rows],
+        })
+        # duplicated trades must collapse: repeat every pair once
+        orders = pd.concat([orders, orders.assign(
+            o_orderkey=orders["o_orderkey"] + 1000)], ignore_index=True)
+        line = pd.concat([line, line.assign(
+            l_orderkey=line["l_orderkey"] + 1000)], ignore_index=True)
+
+        with tempfile.TemporaryDirectory() as d:
+            _pq.write_table(
+                pa.Table.from_pandas(orders), d + "/orders.parquet")
+            _pq.write_table(
+                pa.Table.from_pandas(line), d + "/lineitem.parquet")
+            got = pagerank_trade_graph(d, iters=3, top_n=25)
+
+        pairs = sorted({(c, s) for _, c, s in rows})
+        edges = [(c * 2, s * 2 + 1) for c, s in pairs] + [
+            (s * 2 + 1, c * 2) for c, s in pairs
+        ]
+        nodes = sorted({e[0] for e in edges})
+        size = max(nodes) + 1
+        outdeg = np.zeros(size, dtype=np.int64)
+        for s, _ in edges:
+            outdeg[s] += 1
+        rank = np.zeros(size, dtype=np.int64)
+        rank[nodes] = 1_000_000_000
+        for _ in range(3):
+            acc = np.zeros(size, dtype=np.int64)
+            for s, t in edges:
+                acc[t] += rank[s] // outdeg[s]
+            nxt = np.zeros(size, dtype=np.int64)
+            for v in nodes:
+                nxt[v] = 150_000_000 + (85 * acc[v]) // 100
+            rank = nxt
+        na = np.array(nodes)
+        order = np.lexsort((na, -rank[na]))[:25]
+        top = na[order]
+        want = pd.DataFrame({
+            "node_type": np.where(top % 2 == 0, "c", "s"),
+            "key": (top // 2).astype(np.int64),
+            "pr": rank[top],
+        })
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        # the hubs rose to the top
+        assert got.iloc[0]["node_type"] == "s" and got.iloc[0]["key"] == 1
+
     def test_dsir_resample_matches_bruteforce(self):
         """dsir_resample_docs (hashed-bigram importance weights +
         boundary-bucket top-K walk) must equal a sequential restatement
