@@ -73,6 +73,14 @@ class SyncConfig:
     # point lookups tight row-group zone maps to prune within a file.
     # None = pyarrow default (1Mi rows).
     row_group_rows: int | None = None
+    # extra columns whose per-fragment min/max zone maps are recorded
+    # at commit alongside the key's (state/lake.py _record_file_stats).
+    # Secondary stats only PRUNE on all-base checkpoints (see
+    # Lake.files_for_predicate for the LWW soundness argument); pair
+    # with compact_partition(zorder_by=...) to make them selective.
+    # Hot-reloadable: stats apply to fragments committed after the
+    # change; stat-less fragments are always read.
+    stats_columns: tuple[str, ...] = ()
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -116,6 +124,7 @@ class SyncConfig:
                 if sec.get("row_group_rows") is not None
                 else None
             ),
+            stats_columns=tuple(sec.get("stats_columns", [])),
         )
 
     @staticmethod
@@ -128,6 +137,7 @@ class SyncConfig:
         }
         if isinstance(d.get("apply_concurrency"), list):
             d["apply_concurrency"] = tuple(d["apply_concurrency"])
+        d["stats_columns"] = tuple(d.get("stats_columns", ()))
         return SyncConfig(**d)
 
 

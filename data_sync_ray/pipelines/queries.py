@@ -5025,6 +5025,87 @@ WHERE tag = '{_cdc_replay_tag()}'
 """
 
 
+_ZORDER_LAKE: dict[str, str] = {}
+_ZORDER_LOCK = threading.Lock()
+_ZED_NTOK = (30, 60)
+_ZED_LOGPOS_LO = 2500
+
+
+def _build_zorder_fixture_lake() -> str:
+    """A z-ordered COPY of the pinned CDC fixture lake (the shared one
+    is read-only by contract): CONFIG gains stats_columns=(n_tok,
+    log_pos), then every partition compacts with
+    zorder_by=["n_tok", "log_pos"] into 8-row base chunks — the
+    OPTIMIZE ZORDER BY flow, memoized once per process like the
+    fixture itself."""
+    with _ZORDER_LOCK:
+        if "root" in _ZORDER_LAKE:
+            return _ZORDER_LAKE["root"]
+        from ..state.lake import Lake as _Lake
+
+        cfg, _work = _build_cdc_fixture_lake("cdc_zorder_")
+        dst = tempfile.mkdtemp(prefix="cdc_zorder_")
+        root = os.path.join(dst, "lake")
+        shutil.copytree(cfg.lake_root, root)
+        zcfg = SyncConfig(
+            lake_root=root, num_partitions=16, apply_concurrency=4,
+            stats_columns=("n_tok", "log_pos"),
+        )
+        lake = _Lake.create(zcfg)  # stats_columns is hot-swappable
+        for p in lake.partitions():
+            lake.compact_partition(
+                p, zorder_by=["n_tok", "log_pos"], max_rows_per_file=8
+            )
+        atexit.register(shutil.rmtree, dst, ignore_errors=True)
+        _ZORDER_LAKE["root"] = root
+        return root
+
+
+def cdc_lake_zorder_read(sf_dir: str) -> pa.Table:
+    """Secondary-zone-map read of the Z-ORDERED lake: compact the
+    pinned CDC fixture lake with zorder_by=["n_tok", "log_pos"] (multi-
+    file base chunks + per-chunk secondary min/max recorded in the same
+    atomic checkpoint), then read only the 2-D box n_tok in [30, 60]
+    AND log_pos >= 2500 via read_lake(where=...) — each fold task skips
+    base chunks whose secondary zone maps cannot intersect
+    (Lake.files_for_predicate; sound because the checkpoint is all-base
+    after compaction) and row-filters the fold to the box. Pruning
+    efficacy is pinned by tests/test_zorder.py; THIS query hash-checks
+    that the pruned read equals the sequential-oracle fixture filtered
+    by the same predicate."""
+    from .replay import read_lake
+
+    root = _build_zorder_fixture_lake()
+    out = (
+        read_lake(
+            root,
+            where={
+                "n_tok": _ZED_NTOK,
+                "log_pos": (_ZED_LOGPOS_LO, None),
+            },
+        )
+        .select_columns(["doc_id", "n_tok", "source", "log_pos"])
+        .to_pandas()
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("n_tok", pa.int64()),
+             ("source", pa.string()), ("log_pos", pa.int64())]
+        )
+    )
+
+
+CDC_ZORDER_SQL = f"""
+SELECT doc_id, n_tok, source, log_pos
+FROM read_parquet('{_FIXTURE_DIR}/cdc_replay_*.parquet')
+WHERE tag = '{_cdc_replay_tag()}'
+  AND n_tok BETWEEN {_ZED_NTOK[0]} AND {_ZED_NTOK[1]}
+  AND log_pos >= {_ZED_LOGPOS_LO}
+ORDER BY doc_id
+"""
+
+
 def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
     """Time-travel DIFF of the replayed lake: what changed after epoch 1?
     Builds the same pinned CDC fixture lake as cdc_replay_lake, reads
@@ -5962,6 +6043,7 @@ QUERIES: dict[str, tuple] = {
     "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
     "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
+    "cdc_lake_zorder_read": (cdc_lake_zorder_read, CDC_ZORDER_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),

@@ -857,9 +857,16 @@ class ReplayJob:
 
     # --- compaction ---------------------------------------------------------
 
-    def compact(self, partitions: list[int] | None = None) -> list[dict]:
+    def compact(
+        self,
+        partitions: list[int] | None = None,
+        zorder_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> list[dict]:
         """Compact partitions in parallel (one task per partition);
-        default all."""
+        default all. zorder_by/max_rows_per_file: cluster each
+        partition's base on a Z-curve and split it so secondary zone
+        maps prune (Lake.compact_partition)."""
         root = self.cfg.lake_root
         parts = (
             self.lake.partitions() if partitions is None else partitions
@@ -870,7 +877,13 @@ class ReplayJob:
 
         def do(batch: pa.Table) -> pa.Table:
             lake = Lake(root)
-            out = [lake.compact_partition(p) for p in batch.column("partition").to_pylist()]
+            out = [
+                lake.compact_partition(
+                    p, zorder_by=zorder_by,
+                    max_rows_per_file=max_rows_per_file,
+                )
+                for p in batch.column("partition").to_pylist()
+            ]
             return pa.Table.from_pylist(
                 [
                     {"partition": r["partition"], "compacted": r["compacted"]}
@@ -909,6 +922,7 @@ class _FoldPartition:
         key_range=None,
         as_of_epoch: int | None = None,
         manifest_files: dict | None = None,
+        where: dict | None = None,
     ):
         self.lake = Lake(lake_root)
         self.schema = schema
@@ -916,13 +930,14 @@ class _FoldPartition:
         self.key_range = key_range
         self.as_of_epoch = as_of_epoch
         self.manifest_files = manifest_files
+        self.where = where
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch.column("partition").to_pylist():
             t = self.lake.read_partition(
                 p, columns=self.columns, key_range=self.key_range,
-                as_of_epoch=self.as_of_epoch,
+                as_of_epoch=self.as_of_epoch, where=self.where,
                 files_override=(
                     None
                     if self.manifest_files is None
@@ -1090,6 +1105,7 @@ def read_lake(
     key_range=None,
     as_of_epoch: int | None = None,
     manifest_version: int | None = None,
+    where: dict | None = None,
 ) -> rd.Dataset:
     """Current lake state as a streaming Dataset: one fold task per hash
     partition, no global shuffle (fragments are already co-partitioned).
@@ -1136,7 +1152,7 @@ def read_lake(
     return ds.map_batches(
         _FoldPartition,
         fn_constructor_args=(lake_root, schema, columns, key_range,
-                             as_of_epoch, manifest_files),
+                             as_of_epoch, manifest_files, where),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency or min(8, len(parts)),

@@ -46,6 +46,7 @@ import os
 import re
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -100,6 +101,35 @@ def _row_groups_for_range(md, key: str, key_range) -> list[int] | None:
             continue
         out.append(g)
     return out
+
+
+def _zorder_indices(state: pa.Table, cols: list[str]) -> np.ndarray:
+    """Row order clustering `state` on the interleaved-bit Z-curve of
+    the columns' dense value RANKS. Rank normalization (a monotone,
+    scale-free transform) sidesteps the classic z-order pitfalls —
+    mixed dtypes, signed values, wildly different ranges — while
+    preserving exactly the locality the curve needs: nearby ranks in
+    every dimension -> nearby z-values -> same output file, so each
+    file's per-column min/max zone map covers a tight hyper-rectangle.
+    Deterministic: stable argsorts throughout, and the input row order
+    (a fold_state output) is itself deterministic."""
+    n = state.num_rows
+    ranks = []
+    for c in cols:
+        v = state.column(c).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        r = np.empty(n, dtype=np.uint64)
+        r[order] = np.arange(n, dtype=np.uint64)
+        ranks.append(r)
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    z = np.zeros(n, dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(bits):
+        for j, r in enumerate(ranks):
+            z |= ((r >> np.uint64(b)) & one) << np.uint64(
+                b * len(ranks) + j
+            )
+    return np.argsort(z, kind="stable")
 
 
 def _range_mask(col, key_range):
@@ -477,15 +507,31 @@ class Lake:
         CDC deltas cluster naturally on an auto-increment PK (inserts of
         an epoch occupy a fresh key band), which is exactly when zone
         maps prune; random-update-heavy fragments just won't skip."""
-        key = self.config().key_column
+        cfg = self.config()
+        key = cfg.key_column
         if key not in table.column_names or not table.num_rows:
             return
         mm = pa.compute.min_max(table.column(key))
-        ckpt.setdefault("file_stats", {})[rel] = {
+        st = {
             "rows": table.num_rows,
             "key_min": mm["min"].as_py(),
             "key_max": mm["max"].as_py(),
         }
+        # secondary-column zone maps (cfg.stats_columns): JSON-safe
+        # scalar types only — a non-JSON min/max (timestamp, binary)
+        # must never brick the checkpoint write it rides in
+        cols = {}
+        for c in cfg.stats_columns:
+            if c == key or c not in table.column_names:
+                continue
+            cm = pa.compute.min_max(table.column(c))
+            lo, hi = cm["min"].as_py(), cm["max"].as_py()
+            if lo is None or not isinstance(lo, (int, float, str)):
+                continue
+            cols[c] = [lo, hi]
+        if cols:
+            st["cols"] = cols
+        ckpt.setdefault("file_stats", {})[rel] = st
 
     @staticmethod
     def files_for_range(ckpt: dict, key_range) -> list[str]:
@@ -511,10 +557,51 @@ class Lake:
             out.append(rel)
         return out
 
+    @staticmethod
+    def files_for_predicate(ckpt: dict, preds: dict) -> list[str]:
+        """Prune by SECONDARY-column zone maps (cfg.stats_columns,
+        recorded per fragment). preds: {col: (lo, hi)}, inclusive,
+        None bound = unbounded, conjunctive.
+
+        Soundness under LWW is STRICTER than the key's: a key's
+        versions can carry different secondary values, so skipping a
+        fragment by a secondary range can hide a version that would
+        have WON the fold (e.g. a base row outranking a stale delta
+        row). Secondary pruning therefore applies only when every live
+        fragment is a compaction base — then each key exists in exactly
+        ONE fragment and skipping it can only drop rows the post-fold
+        filter would drop anyway. Any delta/span/unknown fragment in
+        the list disables pruning entirely (the read stays correct,
+        just unskipped) — the Delta-Lake-style OPTIMIZE-then-read flow,
+        where clustering pays after compaction. Stat-less files and
+        stat-less columns are always read."""
+        files = list(ckpt["files"])
+        if not preds:
+            return files
+        if any(Lake._frag_epoch(r)[0] != "base" for r in files):
+            return files
+        stats = ckpt.get("file_stats", {})
+        out = []
+        for rel in files:
+            cols = (stats.get(rel) or {}).get("cols", {})
+            keep = True
+            for c, (lo, hi) in preds.items():
+                st = cols.get(c)
+                if st is None:
+                    continue  # unprunable on this column
+                if (hi is not None and st[0] > hi) or (
+                    lo is not None and st[1] < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(rel)
+        return out
+
     _FRAG_RE = re.compile(
         r"(?:^|/)(?:delta-(?:bootstrap|e(?P<e>\d+))"
         r"|delta-s(?P<lo>-?\d+)_(?P<hi>-?\d+)"
-        r"|base-c(?P<c>\d+))\.parquet$"
+        r"|base-c(?P<c>\d+)(?:-\d+)?)\.parquet$"
     )
 
     @classmethod
@@ -646,6 +733,7 @@ class Lake:
         key_range=None,
         as_of_epoch: int | None = None,
         files_override: list[str] | None = None,
+        where: dict | None = None,
     ) -> pa.Table:
         """Fold one partition's fragments into its current state (LWW,
         tombstones dropped). Fragment read order is irrelevant.
@@ -668,7 +756,15 @@ class Lake:
         key_range: (lo, hi) inclusive bounds on the key column (either
         None = unbounded) — fragments whose zone map cannot intersect
         the range are skipped entirely (files_for_range), and the folded
-        result is filtered to the range."""
+        result is filtered to the range.
+
+        where: {col: (lo, hi)} inclusive bounds on SECONDARY columns —
+        the folded result is row-filtered to the conjunction, and on an
+        all-base checkpoint (post-compaction, ideally z-ordered)
+        fragments whose secondary zone maps cannot intersect are
+        skipped first (files_for_predicate explains why all-base is the
+        soundness boundary). Composes with key_range / columns /
+        as_of_epoch."""
         ckpt = self.read_checkpoint(partition)
         needed = None
         key = order = None
@@ -681,11 +777,15 @@ class Lake:
             # `_epoch` must survive projection: span fragments need it
             # for as-of row filtering below (dropped again before return)
             needed = set(columns) | {key, order, DELETED_COL, "_epoch"}
+            if where:
+                needed |= set(where)  # pred columns survive to the filter
         if files_override is not None:
             # zone-map stats for still-live files remain usable
             ckpt = dict(ckpt, files=list(files_override))
         if as_of_epoch is not None:
             ckpt = dict(ckpt, files=self.files_as_of(ckpt, as_of_epoch))
+        if where:
+            ckpt = dict(ckpt, files=self.files_for_predicate(ckpt, where))
         files = (
             ckpt["files"]
             if key_range is None
@@ -738,6 +838,11 @@ class Lake:
             # belt-and-braces: fragments were pre-filtered above, but a
             # fragment missing the key column rides through unfiltered
             t = t.filter(_range_mask(t.column(key), key_range))
+        if where:
+            # the actual predicate — zone maps above only SKIPPED files
+            for c, rng in where.items():
+                if c in t.column_names:
+                    t = t.filter(_range_mask(t.column(c), rng))
         if drop_tombstones and "partition" in t.column_names:
             t = t.drop_columns(["partition"])
         if columns is not None:
@@ -806,28 +911,67 @@ class Lake:
 
     # --- compaction ---------------------------------------------------------
 
-    def compact_partition(self, partition: int) -> dict:
-        """Rewrite a partition's fragments into one base file and truncate
-        the fragment list (copy-on-write: new file written+committed before
-        old files are deleted; crash in between leaves harmless orphans
-        that a later compaction removes)."""
+    def compact_partition(
+        self,
+        partition: int,
+        zorder_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> dict:
+        """Rewrite a partition's fragments into base file(s) and truncate
+        the fragment list (copy-on-write: new files written+committed
+        before old files are deleted; crash in between leaves harmless
+        orphans that a later compaction removes).
+
+        zorder_by: cluster the folded state on the Z-curve of these
+        columns before writing (see _zorder_indices), so the per-file
+        secondary zone maps (cfg.stats_columns) become selective and
+        files_for_predicate can skip whole fragments on multi-column
+        range reads — the Delta OPTIMIZE ZORDER BY analog. Pair with
+        max_rows_per_file (one base file per chunk, `base-cNNNNNNN-MMM`)
+        or the clustering has a single file to prune. Trade-off stated:
+        a z-ordered base is no longer key-sorted, so in-FILE row-group
+        key pruning loosens; whole-file key min/max still prune between
+        bases."""
         ckpt = self.read_checkpoint(partition)
-        if len(ckpt["files"]) <= 1:
+        if len(ckpt["files"]) <= 1 and not zorder_by:
             return {"partition": partition, "compacted": False}
         # tombstones retained: a compacted base must keep winning deletes
         # or a stale event below the delete's log_pos could resurrect keys
         state = self.read_partition(partition, drop_tombstones=False)
         gen = ckpt.get("compaction_gen", 0) + 1
-        fname = f"base-c{gen:07d}.parquet"
-        rel = os.path.join(f"part={partition:05d}", fname)
         old = list(ckpt["files"])
         ckpt["file_stats"] = {}
+        ckpt["files"] = []
         if state is not None and state.num_rows:
-            self.storage.obj_put_table(f"data/{rel}", state)
-            ckpt["files"] = [rel]
-            self._record_file_stats(ckpt, rel, state)
-        else:
-            ckpt["files"] = []
+            if zorder_by:
+                missing = [
+                    c for c in zorder_by if c not in state.column_names
+                ]
+                if missing:
+                    raise ValueError(
+                        f"zorder_by columns {missing} not in partition "
+                        f"{partition}'s state"
+                    )
+                state = state.take(
+                    pa.array(_zorder_indices(state, list(zorder_by)))
+                )
+            n = state.num_rows
+            per = max_rows_per_file or n
+            rg = self.config().row_group_rows
+            starts = list(range(0, n, per))
+            for j, s in enumerate(starts):
+                fname = (
+                    f"base-c{gen:07d}.parquet"
+                    if len(starts) == 1
+                    else f"base-c{gen:07d}-{j:03d}.parquet"
+                )
+                rel = os.path.join(f"part={partition:05d}", fname)
+                chunk = state.slice(s, per)
+                self.storage.obj_put_table(
+                    f"data/{rel}", chunk, row_group_size=rg
+                )
+                ckpt["files"].append(rel)
+                self._record_file_stats(ckpt, rel, chunk)
         ckpt["compaction_gen"] = gen
         # time-travel horizon: states below this epoch are no longer
         # reconstructable from this partition (their deltas are folded)

@@ -1,0 +1,292 @@
+"""Secondary-column zone maps + Z-order compaction.
+
+Correctness bar: a where-read must equal the full fold filtered — with
+version churn moving a key's secondary value ACROSS predicate ranges
+(the exact hazard that makes secondary pruning unsound on deltas), and
+pruning must provably engage only on all-base checkpoints. Efficacy
+bar: on a z-ordered multi-file base, a small 2-D box must skip most
+fragments; on the same data compacted without z-order it mustn't be
+assumed to."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_sync_ray import Lake, SyncConfig
+from data_sync_ray.state.lake import _zorder_indices
+from data_sync_ray.stages.transform import assign_partition
+
+P = 2
+
+
+def _mk_lake(tmp_path, **kw) -> Lake:
+    cfg = SyncConfig(
+        lake_root=str(tmp_path / "lake"),
+        num_partitions=P,
+        stats_columns=("x", "y"),
+        **kw,
+    )
+    return Lake.create(cfg)
+
+
+def _delta(ids, log_pos, x, y, deleted=None):
+    n = len(ids)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "log_pos": pa.array(log_pos, pa.int64()),
+            "_deleted": pa.array(deleted or [False] * n),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    return assign_partition(t, P)
+
+
+def _commit(lake: Lake, epoch: int, t: pa.Table):
+    part = t.column("partition").to_numpy()
+    for p in np.unique(part):
+        sub = t.filter(pa.compute.equal(t.column("partition"), int(p)))
+        lake.commit_delta(int(p), epoch, sub, sub.num_rows)
+
+
+def _where_oracle(lake: Lake, partition: int, preds) -> pd.DataFrame:
+    """Full unpruned fold, then pandas-filter — the answer any where
+    read must reproduce."""
+    t = lake.read_partition(partition)
+    if t is None:
+        return pd.DataFrame()
+    df = t.to_pandas()
+    for c, (lo, hi) in preds.items():
+        if lo is not None:
+            df = df[df[c] >= lo]
+        if hi is not None:
+            df = df[df[c] <= hi]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _where_read(lake: Lake, partition: int, preds) -> pd.DataFrame:
+    t = lake.read_partition(partition, where=preds)
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame()
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+class TestSecondaryStats:
+    def test_cols_recorded_at_commit(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        ids = list(range(40))
+        _commit(lake, 0, _delta(ids, ids, ids, [i * 3 for i in ids]))
+        seen = 0
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            for rel in ck["files"]:
+                cols = ck["file_stats"][rel]["cols"]
+                assert cols["x"][0] <= cols["x"][1]
+                assert cols["y"][0] <= cols["y"][1]
+                seen += 1
+        assert seen >= 1
+
+    def test_frag_regex_accepts_chunked_bases(self):
+        assert Lake._frag_epoch("part=00001/base-c0000002.parquet") == (
+            "base", None)
+        assert Lake._frag_epoch(
+            "part=00001/base-c0000002-003.parquet") == ("base", None)
+
+    def test_where_exact_with_live_deltas_and_no_pruning(self, tmp_path):
+        """Version churn moves keys' x ACROSS the predicate boundary;
+        with deltas live, files_for_predicate must return everything
+        and the where-read must still be exact."""
+        lake = _mk_lake(tmp_path)
+        ids = list(range(30))
+        _commit(lake, 0, _delta(ids, ids, [5] * 30, [5] * 30))
+        # epoch 1: even keys move to x=500 (out of the box below);
+        # key 3 is deleted
+        movers = [i for i in ids if i % 2 == 0] + [3]
+        _commit(lake, 1, _delta(
+            movers,
+            [100 + i for i in movers],
+            [500] * len(movers),
+            [5] * len(movers),
+            deleted=[False] * (len(movers) - 1) + [True],
+        ))
+        preds = {"x": (0, 10)}
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            assert Lake.files_for_predicate(ck, preds) == ck["files"]
+            got = _where_read(lake, p, preds)
+            want = _where_oracle(lake, p, preds)
+            pd.testing.assert_frame_equal(got, want)
+            if len(want):
+                assert (want["x"] <= 10).all()
+
+    def test_where_composes_with_columns_projection(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        ids = list(range(20))
+        _commit(lake, 0, _delta(ids, ids, ids, ids))
+        t = lake.read_partition(
+            lake.partitions()[0], columns=["doc_id", "y"],
+            where={"x": (5, 12)},
+        )
+        df = t.to_pandas()
+        assert list(df.columns) == ["doc_id", "y"]
+        # filter applied even though x was not a requested column
+        assert set(df["doc_id"]).issubset(set(range(5, 13)))
+
+
+class TestZorderCompaction:
+    def _grid_lake(self, tmp_path):
+        """400 keys in random order with independent random x/y — fold
+        order (key-sorted) does NOT cluster x/y, so any pruning a
+        z-ordered layout shows is earned by the curve."""
+        lake = _mk_lake(tmp_path)
+        rng = np.random.default_rng(23)
+        n = 400
+        ids = list(range(n))
+        x = rng.integers(0, 1000, size=n).tolist()
+        y = rng.integers(0, 1000, size=n).tolist()
+        _commit(lake, 0, _delta(ids, ids, x, y))
+        # churn: re-commit a third with new coordinates + 10 deletes
+        sub = ids[::3]
+        _commit(lake, 1, _delta(
+            sub, [1000 + i for i in sub],
+            rng.integers(0, 1000, size=len(sub)).tolist(),
+            rng.integers(0, 1000, size=len(sub)).tolist(),
+        ))
+        dels = ids[::40]
+        _commit(lake, 2, _delta(
+            dels, [2000 + i for i in dels],
+            [0] * len(dels), [0] * len(dels),
+            deleted=[True] * len(dels),
+        ))
+        return lake
+
+    def test_zorder_exact_and_prunes(self, tmp_path):
+        lake = self._grid_lake(tmp_path)
+        full_before = {
+            p: lake.read_partition(p) for p in lake.partitions()
+        }
+        for p in lake.partitions():
+            r = lake.compact_partition(
+                p, zorder_by=["x", "y"], max_rows_per_file=25
+            )
+            assert r["compacted"]
+        preds = {"x": (100, 220), "y": (600, 720)}
+        pruned_any = False
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            # stats rewritten for every chunk, names match files exactly
+            assert set(ck["file_stats"]) == set(ck["files"])
+            assert len(ck["files"]) > 2
+            kept = Lake.files_for_predicate(ck, preds)
+            if len(kept) < len(ck["files"]):
+                pruned_any = True
+            # compaction itself preserved the state
+            after = lake.read_partition(p)
+            pd.testing.assert_frame_equal(
+                full_before[p].to_pandas().sort_values("doc_id")
+                .reset_index(drop=True),
+                after.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True),
+            )
+            # pruned read == unpruned filtered
+            pd.testing.assert_frame_equal(
+                _where_read(lake, p, preds), _where_oracle(lake, p, preds)
+            )
+        assert pruned_any
+        # a small box on a z-ordered 16-file base should skip MOST files
+        total = sum(
+            len(lake.read_checkpoint(p)["files"])
+            for p in lake.partitions()
+        )
+        kept = sum(
+            len(Lake.files_for_predicate(lake.read_checkpoint(p), preds))
+            for p in lake.partitions()
+        )
+        assert kept <= total // 2, (kept, total)
+
+    def test_new_delta_disables_pruning_until_recompacted(self, tmp_path):
+        lake = self._grid_lake(tmp_path)
+        for p in lake.partitions():
+            lake.compact_partition(
+                p, zorder_by=["x", "y"], max_rows_per_file=25
+            )
+        # a key with x inside the box gets UPDATED to x far outside —
+        # if base pruning stayed on, the stale base row could shadow it
+        _commit(lake, 3, _delta([7], [9999], [5000], [5000]))
+        preds = {"x": (0, 1000)}
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            if any("delta-" in f for f in ck["files"]):
+                assert Lake.files_for_predicate(ck, preds) == ck["files"]
+            pd.testing.assert_frame_equal(
+                _where_read(lake, p, preds), _where_oracle(lake, p, preds)
+            )
+
+    def test_crash_before_checkpoint_leaves_old_state(self, tmp_path):
+        """Copy-on-write: new z-ordered chunks written but the
+        checkpoint write dies -> the old fragment list (and the data it
+        points to) still serves reads; the orphans are invisible."""
+        lake = self._grid_lake(tmp_path)
+        p = lake.partitions()[0]
+        before = lake.read_partition(p).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        files_before = list(lake.read_checkpoint(p)["files"])
+
+        real = lake.write_checkpoint
+
+        def boom(ckpt):
+            raise OSError("simulated crash at the commit point")
+
+        lake.write_checkpoint = boom
+        with pytest.raises(OSError):
+            lake.compact_partition(
+                p, zorder_by=["x", "y"], max_rows_per_file=25
+            )
+        lake.write_checkpoint = real
+        fresh = Lake(lake.root)
+        assert fresh.read_checkpoint(p)["files"] == files_before
+        after = fresh.read_partition(p).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+        # and a later compaction still succeeds over the orphans
+        r = fresh.compact_partition(
+            p, zorder_by=["x", "y"], max_rows_per_file=25
+        )
+        assert r["compacted"]
+
+    def test_zorder_indices_locality(self):
+        """On a 16x16 grid split into 16 chunks, every 4x4 box query
+        must intersect exactly ONE z-ordered chunk (the curve nests
+        perfectly on power-of-two grids) vs 4 row-major chunks — the
+        whole point of clustering for zone-map pruning. (A bbox-AREA
+        metric is degenerate here: row-major chunks are full rows,
+        whose boxes are also tight — box-INTERSECTION counts are what
+        pruning actually pays for.)"""
+        n = 16
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        t = pa.table({
+            "x": pa.array(xs.ravel(), pa.int64()),
+            "y": pa.array(ys.ravel(), pa.int64()),
+        })
+
+        def hits(order):
+            tx = t.column("x").to_numpy()[order]
+            ty = t.column("y").to_numpy()[order]
+            per = len(order) // 16
+            total = 0
+            for bx in range(0, n, 4):
+                for by in range(0, n, 4):
+                    for i in range(0, len(order), per):
+                        cx, cy = tx[i:i + per], ty[i:i + per]
+                        if (cx.max() >= bx and cx.min() <= bx + 3
+                                and cy.max() >= by
+                                and cy.min() <= by + 3):
+                            total += 1
+            return total
+
+        z = hits(_zorder_indices(t, ["x", "y"]))
+        rowmajor = hits(np.arange(n * n))
+        assert z == 16  # one chunk per box: perfect nesting
+        assert rowmajor == 64
