@@ -33,8 +33,14 @@ if not os.path.isdir(ev_root):
 
 cfg = SyncConfig(
     lake_root=os.path.join(workdir, "lake"), num_partitions=16,
-    exchange_mode="spill" if mode in ("compact", "multi") else mode,
+    exchange_mode=(
+        "spill" if mode in ("compact", "zorder", "multi") else mode
+    ),
     storage_backend=backend,
+    # zorder mode: secondary zone maps must be recorded so the pruned
+    # where= read at the end actually skips files (and a torn
+    # compaction can tear mid-file_stats-rewrite)
+    stats_columns=("n_tok", "source") if mode == "zorder" else (),
 )
 
 if mode == "multi":
@@ -84,10 +90,13 @@ if stop_after >= 0:
     os._exit(137)
 
 done_before = job.lake.epochs_done()
-if mode == "compact":
+if mode in ("compact", "zorder"):
     # interleave aggressive auto-compaction between epochs so a chaos
     # SIGKILL can land mid-compaction (tombstone retention, file_stats
-    # rewrite, and the time-travel guard must all survive the tear)
+    # rewrite, and the time-travel guard must all survive the tear).
+    # zorder mode compacts EVERY epoch with Z-curve clustering + a
+    # multi-file split, so the kill can land mid-Z-order rewrite and
+    # the secondary zone maps are live when the pruned read below runs.
     import ray.data as rd
     job.bootstrap(base)
     applied = 0
@@ -95,7 +104,11 @@ if mode == "compact":
         rows = job.apply_epoch(
             e, rd.read_parquet(os.path.join(ev_root, f"epoch={e:05d}")))
         applied += sum(r["events_in"] for r in rows) if rows else 0
-        job.compact_if_needed(2)
+        if mode == "zorder":
+            job.compact(zorder_by=["n_tok", "source"],
+                        max_rows_per_file=32)
+        else:
+            job.compact_if_needed(2)
     s = {"epochs_run": spec.n_epochs, "events_applied": applied}
 else:
     s = job.replay(ev_root, bootstrap=base)
@@ -118,6 +131,42 @@ if eq:
         if not g.equals(w):
             eq = False
             print(f"column {name} differs")
+if mode == "zorder":
+    # secondary-range read through the zone-map pruned path must equal
+    # a brute-force filter of the oracle — a torn Z-order compaction
+    # that left stale file_stats would silently drop rows here
+    import pyarrow.compute as pc
+    lo_hi = (60, 140)
+    parts = [
+        job.lake.read_partition(p, where={"n_tok": lo_hi})
+        for p in job.lake.partitions()
+    ]
+    parts = [t for t in parts if t is not None and t.num_rows]
+    pruned = (
+        pa.concat_tables(parts, promote_options="permissive")
+        .sort_by("doc_id")
+        if parts else None
+    )
+    mask = pc.and_(
+        pc.greater_equal(want.column("n_tok"), lo_hi[0]),
+        pc.less_equal(want.column("n_tok"), lo_hi[1]),
+    )
+    want_f = want.filter(mask).sort_by("doc_id")
+    n_pruned = 0 if pruned is None else pruned.num_rows
+    ok = n_pruned == want_f.num_rows
+    if ok and n_pruned:
+        g = pruned.select(want_f.column_names)
+        for name in want_f.column_names:
+            gc, wc = g.column(name), want_f.column(name)
+            if gc.type != wc.type:
+                gc = gc.cast(wc.type)
+            if not pa.chunked_array([gc.combine_chunks()]).equals(
+                pa.chunked_array([wc.combine_chunks()])
+            ):
+                ok = False
+                print(f"zorder pruned column {name} differs")
+    print(f"zorder_pruned_read: rows={n_pruned} exact={ok}")
+    eq = eq and ok
 print(f"exact_token_equality={eq} rows={got.num_rows}")
 ins = job.inspect(ev_root)
 print(f"inspect: status {ins['status']}, lag {ins['lag']}")
