@@ -5845,6 +5845,57 @@ FROM h ORDER BY doc_id
 """
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Weighted (probability-proportional-to-size) corpus sample WITHOUT
+    replacement, the Efraimidis-Spirakis priority scheme in pure integer
+    arithmetic: each doc gets priority floor(H / w) where H is the
+    48-bit integer prefix of md5('ws:' || doc_id) and w = max(n_chars,
+    1); the k SMALLEST priorities win, so a doc's chance of selection
+    scales with its length while the draw stays a pure function of the
+    ids — re-runs, resumed shards, and different engines agree
+    doc-by-doc (same property consistent_sample_docs gives the uniform
+    case). 48 bits (12 hex chars) keeps H exact in both engines' int64;
+    integer floor-division avoids the cross-libm u^(1/w) float hazard
+    entirely. Scale shape: each batch keeps its local k smallest
+    (bounded rows out per block); the driver merges <= k*blocks tiny
+    rows — no shuffle, no full materialization."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        w = np.maximum(batch["n_chars"].to_numpy(np.int64), 1)
+        h = np.array(
+            [
+                int(hashlib.md5(f"ws:{int(i)}".encode()).hexdigest()[:12],
+                    16)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        out = pd.DataFrame({"doc_id": ids, "prio": h // w})
+        return out.sort_values(["prio", "doc_id"]).head(k)
+
+    cand = (
+        _t(sf_dir, "documents", ["doc_id", "n_chars"], num_blocks=8)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # <= k per block
+    )
+    return (
+        cand.sort_values(["prio", "doc_id"]).head(k).reset_index(drop=True)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(
+             md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           // GREATEST(n_chars, 1) AS prio
+  FROM documents
+)
+SELECT doc_id, prio FROM h ORDER BY prio, doc_id LIMIT 100
+"""
+
+
 def hourly_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Windowed sketch composition: APPROXIMATE distinct users per hour
     via one HLL per hour — the streaming-analytics gauge ("how many
@@ -6047,6 +6098,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
     "dsir_resample_docs": (dsir_resample_docs, DSIR_SQL),
     "pagerank_trade_graph": (pagerank_trade_graph, PAGERANK_SQL),
