@@ -5896,6 +5896,62 @@ SELECT doc_id, prio FROM h ORDER BY prio, doc_id LIMIT 100
 """
 
 
+def stratified_sample_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Stratified consistent sample: the k docs with the smallest
+    md5-64 of their id WITHIN EACH LANGUAGE — equal representation per
+    stratum regardless of corpus skew (the eval-set construction
+    pattern; rebalance_sample is the stride-downsample analog for
+    events). Hash-stable like consistent_sample_docs: membership is a
+    pure function of the ids, so growing one language's corpus never
+    perturbs another stratum's picks. Scale shape: each batch keeps its
+    local k smallest PER STRATUM (bounded rows out: strata x k per
+    block, independent of block size); the driver merges
+    <= strata*k*blocks tiny rows. The hash is carried as the
+    16-hex-char prefix (fixed-width hex sorts lexicographically ==
+    numerically in both engines)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        h = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:16] for i in ids
+        ]
+        out = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(dtype=object),
+            "doc_id": ids,
+            "h": pd.Series(h, dtype="object"),
+        })
+        return (
+            out.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+
+    cand = (
+        _t(sf_dir, "documents", ["doc_id", "lang"], num_blocks=8)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # <= strata*k per block
+    )
+    return (
+        cand.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang", as_index=False, sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT lang, doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY substr(
+             md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, h FROM h WHERE rn <= 20 ORDER BY lang, h, doc_id
+"""
+
+
 def hourly_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Windowed sketch composition: APPROXIMATE distinct users per hour
     via one HLL per hour — the streaming-analytics gauge ("how many
@@ -6099,6 +6155,8 @@ QUERIES: dict[str, tuple] = {
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "stratified_sample_docs": (stratified_sample_docs,
+                               STRATIFIED_SAMPLE_SQL),
     "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
     "dsir_resample_docs": (dsir_resample_docs, DSIR_SQL),
     "pagerank_trade_graph": (pagerank_trade_graph, PAGERANK_SQL),
