@@ -84,6 +84,16 @@ QUERY_SAMPLE = [
     "bigram_lm_docs",
     "bpe_encode_docs",
     "media_decode_stats",
+    "media_resize_stats",
+    "video_frame_sample_stats",
+    "semantic_dedup_embeddings",
+    "line_dedup_rewrite_docs",
+    "pca_power_iter_embeddings",
+    "pagerank_trade_graph",
+    "dsir_resample_docs",
+    "cdc_lake_zorder_read",
+    "weighted_sample_docs",
+    "stratified_sample_docs",
 ]
 
 
