@@ -94,6 +94,7 @@ QUERY_SAMPLE = [
     "cdc_lake_zorder_read",
     "weighted_sample_docs",
     "stratified_sample_docs",
+    "source_drift_docs",
 ]
 
 

@@ -1733,6 +1733,158 @@ GROUP BY w.doc_id ORDER BY w.doc_id
 """
 
 
+def source_drift_docs(
+    sf_dir: str, k: int = 10, num_parts: int = 32
+) -> pd.DataFrame:
+    """Per-source token-distribution drift audit: for every source, the
+    k tokens whose frequency share diverges most from the corpus-wide
+    share — the mixture-skew detector a training-data pipeline runs
+    before trusting a new crawl dump (a source whose top drift tokens
+    are boilerplate is over-weighted in the mix). Shares are integer
+    parts-per-million (cnt * 1e6 // total) so the result hashes exactly
+    across engines; drift = src_ppm - corp_ppm, ranked by |drift|.
+
+    Scale shape: per-batch (source, token) count combiner (rows out
+    bounded by the batch's distinct tokens), ONE exchange on
+    token-hash % num_parts — a token lives in exactly one partition, so
+    per-partition sums are its exact per-source AND corpus counts with
+    no second shuffle; per-source token totals ride a tiny
+    O(sources x blocks) driver sum over the memoized combiner output
+    (one text scan total). Each partition emits only its local top-k
+    per source, so the driver merge is <= sources * k * num_parts tiny
+    rows. cnt * 1e6 stays in int64 up to ~9e12 corpus tokens per token;
+    a 100-TB corpus crossing that for a single token would switch the
+    ppm basis to per-billion in the same kernel."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            pd.DataFrame(
+                {
+                    "source": batch["source"].to_numpy(dtype=object),
+                    "token": batch["text"].str.split(),
+                }
+            )
+            .explode("token")
+            .dropna(subset=["token"])
+            .groupby(["source", "token"], sort=False)
+            .size()
+        )
+        if vc.empty:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "token": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+        out = vc.reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype("int64")
+        h = pd.util.hash_pandas_object(out["token"], index=False)
+        out["_part"] = (h.to_numpy() % num_parts).astype(np.int64)
+        return out
+
+    _empty = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "token": pd.Series([], dtype="object"),
+         "src_ppm": pd.Series([], dtype="int64"),
+         "corp_ppm": pd.Series([], dtype="int64"),
+         "drift": pd.Series([], dtype="int64")}
+    )
+
+    # combiner output is consumed twice (totals + drift exchange);
+    # materialize the bounded partials, never the corpus
+    parts = (
+        _t(sf_dir, "documents", ["source", "text"], num_blocks=16)
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .materialize()
+    )
+    tot_rows = parts.map_batches(
+        lambda b: b.groupby("source", sort=False)["cnt"]
+        .sum().reset_index(),
+        batch_format="pandas",
+    ).to_pandas()
+    if tot_rows.empty:
+        return _empty
+    totals = tot_rows.groupby("source")["cnt"].sum().to_dict()
+    corp_tot = int(sum(totals.values()))
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["source", "token"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        corp = s.groupby("token", sort=False)["cnt"].transform("sum")
+        cnt = s["cnt"].to_numpy(np.int64)
+        tot = s["source"].map(totals).to_numpy(np.int64)
+        s["src_ppm"] = cnt * 1_000_000 // tot
+        s["corp_ppm"] = (
+            corp.to_numpy(np.int64) * 1_000_000 // corp_tot
+        )
+        s["drift"] = (s["src_ppm"] - s["corp_ppm"]).astype("int64")
+        s["_abs"] = s["drift"].abs()
+        return (
+            s.sort_values(["source", "_abs", "token"],
+                          ascending=[True, False, True])
+            .groupby("source", as_index=False, sort=False)
+            .head(k)
+            .drop(columns=["cnt", "_abs"])
+        )
+
+    cand = (
+        parts.sort("_part")
+        .map_batches(per_group(part_top, "_part"),
+                     batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if cand.empty:
+        return _empty
+    cand["_abs"] = cand["drift"].abs()
+    out = (
+        cand.sort_values(["source", "_abs", "token"],
+                         ascending=[True, False, True])
+        .groupby("source", as_index=False, sort=False)
+        .head(k)
+        .drop(columns=["_abs"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"src_ppm": "int64", "corp_ppm": "int64", "drift": "int64"}
+    )
+
+
+SOURCE_DRIFT_SQL = r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+st AS (SELECT source, token, count(*) AS cnt
+       FROM w GROUP BY source, token),
+src_tot AS (SELECT source, count(*) AS tot FROM w GROUP BY source),
+corp AS (SELECT token, count(*) AS cnt FROM w GROUP BY token),
+corp_tot AS (SELECT count(*) AS tot FROM w),
+d AS (
+  SELECT st.source, st.token,
+         st.cnt * 1000000 // src_tot.tot AS src_ppm,
+         corp.cnt * 1000000 // corp_tot.tot AS corp_ppm
+  FROM st JOIN src_tot USING (source)
+          JOIN corp USING (token) CROSS JOIN corp_tot
+),
+r AS (
+  SELECT source, token, src_ppm, corp_ppm,
+         src_ppm - corp_ppm AS drift,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY abs(src_ppm - corp_ppm) DESC, token) AS rn
+  FROM d
+)
+SELECT source, token, src_ppm, corp_ppm, drift
+FROM r WHERE rn <= 10
+ORDER BY source, abs(drift) DESC, token
+"""
+
+
 def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training: 40 merge rules learned from the corpus
     (distributed exact word counting -> driver-side merge loop over the
@@ -6112,6 +6264,7 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "top_tokens_docs": (top_tokens_docs, TOP_TOKENS_SQL),
     "token_commonness_docs": (token_commonness_docs, TOKEN_COMMONNESS_SQL),
+    "source_drift_docs": (source_drift_docs, SOURCE_DRIFT_SQL),
     "bpe_merges_docs": (bpe_merges_docs, BPE_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "text_quality_docs": (text_quality_docs, QUALITY_SQL),
