@@ -1658,3 +1658,49 @@ def test_range_join_strategies_agree():
     a = a[key].sort_values("event_id").reset_index(drop=True)
     b = b[key].sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_drift_empty_and_single_source(tmp_path):
+    """source_drift_docs edge paths: an empty corpus returns the typed
+    empty frame (no div-by-zero on the ppm basis), and a single-source
+    corpus has src_ppm == corp_ppm exactly (same integer basis on both
+    sides), so drift is 0 everywhere and the top-k falls back to the
+    alphabetical tie-break."""
+    import pyarrow.parquet as _pq
+
+    from data_sync_ray.pipelines.queries import source_drift_docs
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object"),
+        "lang": pd.Series([], dtype="object"),
+        "source": pd.Series([], dtype="object"),
+        "n_chars": pd.Series([], dtype="int64"),
+    })
+    d1 = tmp_path / "empty"
+    d1.mkdir()
+    _pq.write_table(pa.Table.from_pandas(empty), str(d1 / "documents.parquet"))
+    got = source_drift_docs(str(d1))
+    assert got.empty
+    assert list(got.columns) == [
+        "source", "token", "src_ppm", "corp_ppm", "drift"]
+    assert str(got["src_ppm"].dtype) == "int64"
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["b a a", "c b a", "d", "a b", "c c", "e a"],
+        "lang": "en",
+        "source": "only",
+        "n_chars": 5,
+    })
+    d2 = tmp_path / "single"
+    d2.mkdir()
+    _pq.write_table(pa.Table.from_pandas(df), str(d2 / "documents.parquet"))
+    got = source_drift_docs(str(d2), k=3)
+    assert (got["drift"] == 0).all()
+    assert (got["src_ppm"] == got["corp_ppm"]).all()
+    # 13 tokens total: a=5 b=3 c=3 d=1 e=1 -> top-3 by token asc
+    assert list(got["token"]) == ["a", "b", "c"]
+    assert list(got["src_ppm"]) == [
+        5 * 1_000_000 // 13, 3 * 1_000_000 // 13, 3 * 1_000_000 // 13]
