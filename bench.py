@@ -95,6 +95,7 @@ QUERY_SAMPLE = [
     "weighted_sample_docs",
     "stratified_sample_docs",
     "source_drift_docs",
+    "hourly_event_spikes",
 ]
 
 

@@ -4866,6 +4866,84 @@ FROM events GROUP BY 1, 2
 """
 
 
+def hourly_event_spikes(sf_dir: str, window: int = 24) -> pd.DataFrame:
+    """Hourly traffic-spike detector: each hour's event count scored
+    against the mean of the previous `window` OBSERVED hours, in exact
+    basis points — the distributed analog of the reference's windowed
+    rate gauges (src/service/sync_service.go metrics window; here the
+    window is event-time, not wall-clock). excess_bp = 10000 means
+    exactly the trailing average; 20000 = a 2x spike.
+
+    Scale shape: the heavy part is ONE combiner pass (per-batch hour
+    counts) + `tree_sum_by_key` — no all-to-all exchange, driver
+    traffic O(hours x combine-fanin). The hour series itself grows with
+    TIME RANGE only (~9k rows/year at any volume), so the trailing
+    window runs driver-side on integers: excess_bp =
+    cnt * window * 10000 // trail — floor division, hash-exact vs the
+    SQL window frame. Hours with fewer than `window` preceding observed
+    hours are excluded (stated identically via nprev = window in the
+    oracle's ROWS frame)."""
+    from ..functions.agg import tree_sum_by_key
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["ts"].dt.strftime("%Y-%m-%d %H").value_counts()
+        return pd.DataFrame(
+            {"hour": vc.index.to_numpy(dtype=object),
+             "cnt": vc.to_numpy(dtype=np.int64)}
+        )
+
+    hours = tree_sum_by_key(
+        _t(sf_dir, "events", ["ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["hour"],
+    )
+    _empty = pd.DataFrame(
+        {"hour": pd.Series([], dtype="object"),
+         "cnt": pd.Series([], dtype="int64"),
+         "trail": pd.Series([], dtype="int64"),
+         "excess_bp": pd.Series([], dtype="int64")}
+    )
+    if len(hours) <= window:
+        return _empty
+    hours = hours.sort_values("hour").reset_index(drop=True)
+    c = hours["cnt"].to_numpy(np.int64)
+    cs = np.concatenate([[0], np.cumsum(c)])
+    idx = np.arange(window, c.size)
+    trail = cs[idx] - cs[idx - window]  # previous `window` observed hours
+    cnt = c[idx]
+    return pd.DataFrame(
+        {
+            "hour": hours["hour"].to_numpy(dtype=object)[idx],
+            "cnt": cnt,
+            "trail": trail.astype(np.int64),
+            "excess_bp": (cnt * window * 10000 // trail).astype(
+                np.int64
+            ),
+        }
+    )
+
+
+HOURLY_SPIKES_SQL = """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour, cnt,
+         sum(cnt) OVER (ORDER BY hour
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail,
+         count(*) OVER (ORDER BY hour
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nprev
+  FROM h
+)
+SELECT hour, cnt, CAST(trail AS BIGINT) AS trail,
+       CAST(cnt * 24 * 10000 // CAST(trail AS BIGINT) AS BIGINT)
+         AS excess_bp
+FROM w WHERE nprev = 24 ORDER BY hour
+"""
+
+
 def sliding_window_stats(sf_dir: str) -> pd.DataFrame:
     """SLIDING (overlapping) event-time windows: 30-min windows sliding
     by 10 min, so every event lands in EXACTLY 3 windows — the streaming
@@ -6292,6 +6370,7 @@ QUERIES: dict[str, tuple] = {
                                    EMB_KEEP_FIRST_SQL),
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
+    "hourly_event_spikes": (hourly_event_spikes, HOURLY_SPIKES_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
     "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
     "cdc_replay_lake": (cdc_replay_lake, CDC_REPLAY_SQL),
