@@ -96,6 +96,7 @@ QUERY_SAMPLE = [
     "stratified_sample_docs",
     "source_drift_docs",
     "hourly_event_spikes",
+    "doc_length_percentiles",
 ]
 
 

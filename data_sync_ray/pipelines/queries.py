@@ -5123,6 +5123,48 @@ FROM r GROUP BY event_type
 """
 
 
+def doc_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source document-length profile (p50/p90/p99 of
+    n_chars) — the corpus-intake gauge run before admitting a new crawl
+    source (a source whose p99 collapses usually changed its extractor).
+    Same distributed histogram-merge as event_value_percentiles: counts
+    per (source, length) are the combiner output, so no task ever holds
+    a source's raw lengths; n_chars is already an integer, so the
+    cents quantization (x100) is lossless and the rank walk is exact."""
+    from ..functions.agg import grouped_exact_percentiles
+
+    out = grouped_exact_percentiles(
+        _t(sf_dir, "documents", ["source", "n_chars"], num_blocks=8),
+        key="source", value="n_chars", percents=(50, 90, 99),
+    ).to_pandas()
+    for c in ("n", "p50_cents", "p90_cents", "p99_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+DOC_LENGTH_PCT_SQL = """
+WITH c AS (
+  SELECT source,
+         CAST(floor(n_chars * 100 + 0.5) AS BIGINT) AS cents
+  FROM documents
+),
+r AS (
+  SELECT source, cents,
+         row_number() OVER (PARTITION BY source ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM c
+)
+SELECT source, max(n) AS n,
+  max(CASE WHEN rn = GREATEST(1, (50 * n + 99) // 100)
+      THEN cents END) AS p50_cents,
+  max(CASE WHEN rn = GREATEST(1, (90 * n + 99) // 100)
+      THEN cents END) AS p90_cents,
+  max(CASE WHEN rn = GREATEST(1, (99 * n + 99) // 100)
+      THEN cents END) AS p99_cents
+FROM r GROUP BY source
+"""
+
+
 # --- the engine itself as a query (rows-only check) -------------------------
 
 
@@ -6371,6 +6413,7 @@ QUERIES: dict[str, tuple] = {
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
     "hourly_event_spikes": (hourly_event_spikes, HOURLY_SPIKES_SQL),
+    "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PCT_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
     "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
     "cdc_replay_lake": (cdc_replay_lake, CDC_REPLAY_SQL),
