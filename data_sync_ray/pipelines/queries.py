@@ -6340,6 +6340,46 @@ FROM s
 
 QUERIES: dict[str, tuple] = {
     # name: (callable, oracle_sql | None)
+    # Ordered: never-driver-signed queries first (round-5 directive #1 —
+    # the driver samples the first 50 entries for CORRECTNESS), then the
+    # previously-signed tail in original order.
+    "semantic_dedup_embeddings": (semantic_dedup_embeddings, SEMDEDUP_SQL),
+    "pca_power_iter_embeddings": (pca_power_iter_embeddings, PCA_SQL),
+    "hourly_event_spikes": (hourly_event_spikes, HOURLY_SPIKES_SQL),
+    "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PCT_SQL),
+    "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
+    "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
+    "hll_distinct_users": (hll_distinct_users, HLL_SQL),
+    "cms_top_token_counts": (cms_top_token_counts, CMS_SQL),
+    "bloom_semijoin_orders": (bloom_semijoin_orders, BLOOM_SQL),
+    "duplicated_spans_docs": (duplicated_spans_docs, SPANS_SQL),
+    "line_dedup_rewrite_docs": (line_dedup_rewrite_docs, LINE_DEDUP_SQL),
+    "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
+    "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
+    "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
+    "cdc_lake_zorder_read": (cdc_lake_zorder_read, CDC_ZORDER_SQL),
+    "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
+    "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
+    "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "stratified_sample_docs": (stratified_sample_docs,
+                               STRATIFIED_SAMPLE_SQL),
+    "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
+    "dsir_resample_docs": (dsir_resample_docs, DSIR_SQL),
+    "pagerank_trade_graph": (pagerank_trade_graph, PAGERANK_SQL),
+    "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
+    "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
+    "redact_pii_docs": (redact_pii_docs, REDACT_SQL),
+    "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
+    "media_resize_stats": (media_resize_stats, RESIZE_SQL),
+    "video_frame_sample_stats": (
+        video_frame_sample_stats, VIDEO_FRAMES_SQL,
+    ),
+    "quantized_ann_topk": (quantized_ann_topk, QUANTIZED_ANN_SQL),
+    "bigram_lm_docs": (bigram_lm_docs, BIGRAM_LM_SQL),
+    "bpe_encode_docs": (bpe_encode_docs, BPE_ENCODE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "top10_orders": (top10_orders, TOP10_SQL),
     "distinct_sources": (distinct_sources, DISTINCT_SQL),
@@ -6404,50 +6444,13 @@ QUERIES: dict[str, tuple] = {
     "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
     "ivf_ann_topk": (ivf_ann_topk, ANN_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_SQL),
-    "semantic_dedup_embeddings": (semantic_dedup_embeddings, SEMDEDUP_SQL),
-    "pca_power_iter_embeddings": (pca_power_iter_embeddings, PCA_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, EMB_NEAR_DUP_SQL),
     "embedding_dedup_keep_first": (embedding_dedup_keep_first,
                                    EMB_KEEP_FIRST_SQL),
     "lsh_ann_topk": (lsh_ann_topk, LSH_TOPK_SQL),
     "user_hourly_activity": (user_hourly_activity, HOURLY_SQL),
-    "hourly_event_spikes": (hourly_event_spikes, HOURLY_SPIKES_SQL),
-    "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PCT_SQL),
-    "event_value_percentiles": (event_value_percentiles, PERCENTILES_SQL),
-    "daily_type_pivot": (daily_type_pivot, PIVOT_SQL),
     "cdc_replay_lake": (cdc_replay_lake, CDC_REPLAY_SQL),
-    "hll_distinct_users": (hll_distinct_users, HLL_SQL),
-    "cms_top_token_counts": (cms_top_token_counts, CMS_SQL),
-    "bloom_semijoin_orders": (bloom_semijoin_orders, BLOOM_SQL),
-    "duplicated_spans_docs": (duplicated_spans_docs, SPANS_SQL),
-    "line_dedup_rewrite_docs": (line_dedup_rewrite_docs, LINE_DEDUP_SQL),
-    "sliding_window_stats": (sliding_window_stats, SLIDING_SQL),
-    "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
-    "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
-    "cdc_lake_zorder_read": (cdc_lake_zorder_read, CDC_ZORDER_SQL),
-    "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
-    "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
-    "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
-    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
-    "stratified_sample_docs": (stratified_sample_docs,
-                               STRATIFIED_SAMPLE_SQL),
-    "mixture_resample_docs": (mixture_resample_docs, MIXTURE_RESAMPLE_SQL),
-    "dsir_resample_docs": (dsir_resample_docs, DSIR_SQL),
-    "pagerank_trade_graph": (pagerank_trade_graph, PAGERANK_SQL),
-    "hourly_distinct_users_hll": (hourly_distinct_users_hll, HOURLY_HLL_SQL),
-    "cdc_lake_dup_gauge": (cdc_lake_dup_gauge, CDC_DUP_GAUGE_SQL),
-    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
-    "repetition_filter_docs": (repetition_filter_docs, REPETITION_SQL),
-    "redact_pii_docs": (redact_pii_docs, REDACT_SQL),
-    "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
-    "media_resize_stats": (media_resize_stats, RESIZE_SQL),
-    "video_frame_sample_stats": (
-        video_frame_sample_stats, VIDEO_FRAMES_SQL,
-    ),
-    "quantized_ann_topk": (quantized_ann_topk, QUANTIZED_ANN_SQL),
-    "bigram_lm_docs": (bigram_lm_docs, BIGRAM_LM_SQL),
-    "bpe_encode_docs": (bpe_encode_docs, BPE_ENCODE_SQL),
 }
 
 
