@@ -121,7 +121,18 @@ def _zorder_indices(state: pa.Table, cols: list[str]) -> np.ndarray:
         r = np.empty(n, dtype=np.uint64)
         r[order] = np.arange(n, dtype=np.uint64)
         ranks.append(r)
-    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    rank_bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    # The interleaved word is uint64: with k columns only 64 // k bit
+    # positions exist per column. Past that the << count reaches 64 and
+    # numpy silently wraps to 0, dropping the HIGH-order rank bits — the
+    # ones that carry locality — so clustering would quietly collapse at
+    # ~2M rows/partition for 3 columns (65k for 4). Cap bits per column
+    # and keep each rank's MOST-significant bits (truncate low-order
+    # detail, never the coarse position on the curve).
+    bits = min(rank_bits, 64 // max(1, len(ranks)))
+    if bits < rank_bits:
+        drop = np.uint64(rank_bits - bits)
+        ranks = [r >> drop for r in ranks]
     z = np.zeros(n, dtype=np.uint64)
     one = np.uint64(1)
     for b in range(bits):
@@ -933,12 +944,46 @@ class Lake:
         key pruning loosens; whole-file key min/max still prune between
         bases."""
         ckpt = self.read_checkpoint(partition)
+        if not ckpt["files"]:
+            # empty partition: nothing to fold, and bumping gen /
+            # compacted_through_epoch here would make a later as_of read
+            # below max(applied_epochs) spuriously raise even though no
+            # history was destroyed
+            return {"partition": partition, "compacted": False}
         if len(ckpt["files"]) <= 1 and not zorder_by:
+            return {"partition": partition, "compacted": False}
+        if (
+            len(ckpt["files"]) == 1
+            and Lake._frag_epoch(ckpt["files"][0])[0] == "base"
+            and list(zorder_by or []) == ckpt.get("zorder_by", [])
+        ):
+            # a lone base with no deltas and an unchanged clustering spec
+            # is already the compaction fixed point — rewriting it every
+            # call (drive_verify's zorder mode compacts each epoch) would
+            # churn gen/files (invalidating views) for zero data change.
+            # Changing zorder_by still re-clusters.
             return {"partition": partition, "compacted": False}
         # tombstones retained: a compacted base must keep winning deletes
         # or a stale event below the delete's log_pos could resurrect keys
         state = self.read_partition(partition, drop_tombstones=False)
         gen = ckpt.get("compaction_gen", 0) + 1
+        # pre-sweep uncommitted leftovers of THIS gen from a torn earlier
+        # attempt: gen = committed_gen + 1, so any base-c{gen} fragment on
+        # disk is garbage no checkpoint references. Without this, a retry
+        # that chunks differently (max_rows_per_file changed / state
+        # shrank) would leak higher-numbered orphan chunks forever — and
+        # on the object-store backend obj_put_table's idempotent
+        # put-if-absent would silently KEEP the torn attempt's bytes for
+        # overlapping names while file_stats describe the new fold.
+        part_dir = f"data/part={partition:05d}"
+        stale_prefix = f"base-c{gen:07d}"
+        for name in self.storage.obj_list(part_dir):
+            # boundary check: gen widens past 7 digits eventually, and a
+            # shorter gen must never prefix-match a longer one's files
+            if name.startswith(stale_prefix) and name[
+                len(stale_prefix) : len(stale_prefix) + 1
+            ] in (".", "-"):
+                self.storage.obj_delete(f"{part_dir}/{name}")
         old = list(ckpt["files"])
         ckpt["file_stats"] = {}
         ckpt["files"] = []
@@ -973,6 +1018,7 @@ class Lake:
                 ckpt["files"].append(rel)
                 self._record_file_stats(ckpt, rel, chunk)
         ckpt["compaction_gen"] = gen
+        ckpt["zorder_by"] = list(zorder_by or [])
         # time-travel horizon: states below this epoch are no longer
         # reconstructable from this partition (their deltas are folded)
         if ckpt["applied_epochs"]:

@@ -178,6 +178,15 @@ class PosixStorage:
         except FileNotFoundError:
             pass
 
+    def obj_list(self, dirkey: str) -> list[str]:
+        """Data-object basenames under a directory key (fragments only —
+        never in-flight *.tmp.* partials). Used by compaction's orphan
+        sweep; an S3 backend maps this to one LIST request."""
+        d = self._p(dirkey)
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d) if ".tmp." not in n)
+
     # --- job lock -----------------------------------------------------------
 
     def job_lock(self):
@@ -389,6 +398,15 @@ class ObjectStoreStorage:
             os.remove(self._p(key))
         except FileNotFoundError:
             pass
+
+    def obj_list(self, dirkey: str) -> list[str]:
+        """Data-object basenames under a directory key. Data dirs hold
+        only plain-keyed immutable fragments (never versioned docs), so
+        this is a raw LIST minus in-flight temp names."""
+        d = self._p(dirkey)
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d) if ".tmp." not in n)
 
     # --- job lock: stealable lease -------------------------------------------
 

@@ -290,3 +290,135 @@ class TestZorderCompaction:
         rowmajor = hits(np.arange(n * n))
         assert z == 16  # one chunk per box: perfect nesting
         assert rowmajor == 64
+
+
+class TestCompactionHardening:
+    """Round-5 hardening: the uint64 bit-budget cap in _zorder_indices,
+    empty/fixed-point compaction no-ops, and the torn-retry orphan
+    sweep."""
+
+    def test_zorder_bit_cap_keeps_high_bits(self):
+        """With 4 columns only 64 // 4 = 16 interleaved bit positions
+        exist per column; at n = 2^17 ranks need 17 bits. The unpatched
+        interleave shifted past 63 (numpy silently yields 0), DROPPING
+        each rank's most-significant bit — the coarse position on the
+        curve — so opposite corners of the hypercube interleaved. The
+        cap keeps the HIGH bits: every all-low-corner point must sort
+        strictly before every all-high-corner point."""
+        n = 1 << 17
+        rng = np.random.default_rng(7)
+        cols = {}
+        for name in ("a", "b", "c", "d"):
+            cols[name] = pa.array(rng.permutation(n), pa.int64())
+        t = pa.table(cols)
+        order = _zorder_indices(t, ["a", "b", "c", "d"])
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = np.arange(n)
+        vals = {k: t.column(k).to_numpy() for k in cols}
+        low = np.ones(n, dtype=bool)
+        high = np.ones(n, dtype=bool)
+        for v in vals.values():
+            low &= v < n // 2
+            high &= v >= n // 2
+        assert low.sum() > 0 and high.sum() > 0
+        # top interleaved nibble is 0000 for the low corner, 1111 for
+        # the high corner -> strict separation in the output order
+        assert pos[low].max() < pos[high].min()
+
+    def test_empty_partition_compaction_is_noop(self, tmp_path):
+        """Zero-row epochs record applied_epochs without writing files.
+        Compacting such a partition (even with zorder_by, which used to
+        bypass the <=1-files early return) must not bump the gen or set
+        compacted_through_epoch — an as-of read below max(applied)
+        would spuriously raise though no history was destroyed."""
+        lake = _mk_lake(tmp_path)
+        empty = _delta([], [], [], [])
+        for e in (0, 1, 2):
+            lake.commit_delta(1, e, empty, 0)
+        before = lake.read_checkpoint(1)
+        r = lake.compact_partition(1, zorder_by=["x", "y"])
+        assert r["compacted"] is False
+        after = lake.read_checkpoint(1)
+        assert after.get("compaction_gen", 0) == before.get(
+            "compaction_gen", 0)
+        assert "compacted_through_epoch" not in after or (
+            after["compacted_through_epoch"]
+            == before.get("compacted_through_epoch"))
+        # the as-of read that used to raise: returns the (empty) state
+        t = lake.read_partition(1, as_of_epoch=0)
+        assert t is None or t.num_rows == 0
+
+    def test_single_base_same_spec_is_fixed_point(self, tmp_path):
+        """A lone base with an unchanged zorder spec is the compaction
+        fixed point: recompacting must be a no-op (no gen churn — views
+        fingerprint on the files list), while CHANGING zorder_by still
+        re-clusters."""
+        lake = _mk_lake(tmp_path)
+        _commit(lake, 0, _delta(
+            list(range(50)), list(range(50)),
+            list(range(50)), list(range(49, -1, -1))))
+        r1 = lake.compact_partition(0, zorder_by=["x", "y"])
+        assert r1["compacted"]
+        ck1 = lake.read_checkpoint(0)
+        r2 = lake.compact_partition(0, zorder_by=["x", "y"])
+        assert r2["compacted"] is False
+        ck2 = lake.read_checkpoint(0)
+        assert ck2["compaction_gen"] == ck1["compaction_gen"]
+        assert ck2["files"] == ck1["files"]
+        # different clustering spec -> real work again
+        r3 = lake.compact_partition(0, zorder_by=["y"])
+        assert r3["compacted"]
+        assert lake.read_checkpoint(0)["compaction_gen"] \
+            == ck1["compaction_gen"] + 1
+        # plain (non-zorder) recompaction of a lone base stays a no-op
+        # via the pre-existing <=1-files return
+        assert lake.compact_partition(0)["compacted"] is False
+
+    def test_torn_retry_with_fewer_chunks_sweeps_orphans(self, tmp_path):
+        """Torn multi-chunk compaction at gen g leaves base-c{g}-000..k;
+        a retry at the same gen that produces FEWER chunks must sweep
+        the stale higher-numbered names BEFORE writing (also the
+        objstore-correctness fix: put-if-absent would otherwise keep
+        the torn attempt's bytes under the reused names). After the
+        retry, disk holds exactly the checkpoint's files."""
+        lake = _mk_lake(tmp_path)
+        n = 200
+        rng = np.random.default_rng(3)
+        _commit(lake, 0, _delta(
+            list(range(n)), list(range(n)),
+            rng.integers(0, 1000, size=n).tolist(),
+            rng.integers(0, 1000, size=n).tolist()))
+        _commit(lake, 1, _delta(
+            [0], [5000], [1], [1]))  # second fragment so compaction runs
+        real = lake.write_checkpoint
+
+        def boom(ckpt):
+            raise OSError("simulated crash at the commit point")
+
+        lake.write_checkpoint = boom
+        with pytest.raises(OSError):
+            lake.compact_partition(
+                0, zorder_by=["x", "y"], max_rows_per_file=25)
+        lake.write_checkpoint = real
+        part_dir = tmp_path / "lake" / "data" / "part=00000"
+        torn = sorted(
+            f.name for f in part_dir.iterdir() if "base-c" in f.name)
+        assert len(torn) >= 2  # multi-chunk torn attempt on disk
+        # retry with ONE chunk (fewer than the torn attempt wrote)
+        fresh = Lake(lake.root)
+        r = fresh.compact_partition(0, zorder_by=["x", "y"])
+        assert r["compacted"]
+        ckpt = fresh.read_checkpoint(0)
+        on_disk = sorted(
+            f"part=00000/{f.name}" for f in part_dir.iterdir())
+        assert on_disk == sorted(ckpt["files"])
+        # single-chunk retry: stale -001..-00k names must be gone
+        assert len(ckpt["files"]) < len(torn)
+        # and the surviving state is exact (every key once, LWW winner)
+        import pandas as _pd
+
+        parts = [fresh.read_partition(p) for p in fresh.partitions()]
+        df = _pd.concat(
+            [t.to_pandas() for t in parts if t is not None])
+        assert df["doc_id"].is_unique and len(df) == n
+        assert int(df.loc[df.doc_id == 0, "x"].iloc[0]) == 1
