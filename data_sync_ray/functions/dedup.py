@@ -113,6 +113,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     batch_size: int = 4096,
     num_parts: int = 32,
+    payload_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Keep the first (min id) row per identical text.
 
@@ -122,13 +123,25 @@ def exact_dedup(
     in one bucket, so the per-bucket drop_duplicates is a global dedup —
     same answer as a per-hash group, without one map_groups task per
     distinct hash (the many-tiny-group pitfall; was ~6s for 5k docs, now
-    bounded by num_parts tasks). Size num_parts to the cluster."""
+    bounded by num_parts tasks). Size num_parts to the cluster.
+
+    payload_cols: the columns (besides id_col + content_hash) to CARRY
+    THROUGH the exchange. None = all input columns (the library
+    contract: surviving rows come back whole). At 100 TB the default
+    ships the corpus text through a sort exchange for callers that only
+    consume the dedup DECISION — pass [] (ids + hashes only, ~48 B/row)
+    or the few feature columns the downstream stage needs, computed
+    BEFORE the dedup so text never enters the shuffle. The keep-first
+    winner's payload is its own row's values either way, so slimming
+    never changes results, only exchange bytes."""
 
     def local_first(batch: pd.DataFrame) -> pd.DataFrame:
         batch = ContentHasher()(batch)
         batch = batch.sort_values(id_col).drop_duplicates(
             "content_hash", keep="first"
         )
+        if payload_cols is not None:
+            batch = batch[[id_col, "content_hash", *payload_cols]]
         # deterministic bucket from the hash's own hex prefix
         batch["_part"] = (
             batch["content_hash"].str.slice(0, 8)

@@ -3417,10 +3417,17 @@ def corpus_prep_stats(sf_dir: str) -> pd.DataFrame:
     kept = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         gate, batch_format="pandas"
     )
-    deduped = exact_dedup(kept)
     from ..functions.text import with_lang_id
 
-    langed = with_lang_id(deduped)
+    # lang-ID BEFORE the dedup so the dedup exchange can drop text and
+    # ship only (doc_id, content_hash, n_words, pred_lang): the
+    # keep-first winner's language is computed from its own text either
+    # way, so results are identical — only the sort-exchange payload
+    # shrinks from the corpus to a few ints per row. (Dup rate bounds
+    # the extra lang-ID work; text is still scanned O(1) times.)
+    langed = exact_dedup(
+        with_lang_id(kept), payload_cols=["n_words", "pred_lang"]
+    )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         agg = batch.groupby("pred_lang").agg(
@@ -3491,8 +3498,13 @@ FROM lang GROUP BY pred_lang
 def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import exact_dedup
 
-    ds = exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
-    return ds.select_columns(["doc_id", "content_hash"]).to_pandas()
+    # the exchange ships only (doc_id, content_hash) — the decision,
+    # never the text (payload_cols=[]; at corpus scale the sort payload
+    # drops from the corpus itself to ~48 B/row)
+    ds = exact_dedup(
+        _t(sf_dir, "documents", ["doc_id", "text"]), payload_cols=[]
+    )
+    return ds.to_pandas()
 
 
 DEDUP_EXACT_SQL = """
@@ -4585,7 +4597,17 @@ def pca_power_iter_embeddings(sf_dir: str) -> pd.DataFrame:
     functions/ann.py for the scale analysis). Integer per-label stats
     of the final projection signs; the oracle unrolls the IDENTICAL
     iterations in SQL (same float64 widening, same seed = centered
-    min-vec_id embedding, same L2 normalization per pass)."""
+    min-vec_id embedding, same L2 normalization per pass).
+
+    Oracle scope (same hazard class as the k-means knife-edge note):
+    two degenerate corpora are engine-only fallbacks the unrolled SQL
+    does not mirror — a seed embedding exactly equal to the mean (the
+    engine falls back to e_0; the SQL's v0 divides by sqrt(0) -> NULL)
+    and a zero-variance corpus (the engine breaks early keeping v; the
+    unrolled CTE chain cannot express 'stop here'). Both require every
+    centered value involved to be exactly 0.0 in float64, which no
+    generated fixture produces; if a future corpus hits one, the red
+    row is this documented divergence, not an engine bug."""
     from ..functions.ann import pca_power_iter_embeddings as _pca
 
     return _pca(_t(sf_dir, "embeddings"), iters=4)

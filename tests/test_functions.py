@@ -90,6 +90,28 @@ class TestDedup:
         out = exact_dedup(ds).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2]  # min id kept per dup group
 
+    def test_exact_dedup_slim_payload_same_decision(self):
+        """payload_cols=[] ships only (id, hash) through the exchange
+        — the surviving id set must be identical to the full-payload
+        run, and extra payload columns carry the winner's own values."""
+        from data_sync_ray.functions.dedup import exact_dedup
+
+        rows = [
+            {"doc_id": i, "text": f"body {i % 7}", "extra": i * 10}
+            for i in range(40)
+        ]
+        full = exact_dedup(_docs(rows)).to_pandas()
+        slim = exact_dedup(_docs(rows), payload_cols=[]).to_pandas()
+        assert sorted(slim.columns) == ["content_hash", "doc_id"]
+        assert sorted(slim["doc_id"]) == sorted(full["doc_id"])
+        keep = exact_dedup(
+            _docs(rows), payload_cols=["extra"]
+        ).to_pandas()
+        assert sorted(keep.columns) == ["content_hash", "doc_id", "extra"]
+        m = keep.sort_values("doc_id").reset_index(drop=True)
+        assert (m["extra"] == m["doc_id"] * 10).all()
+        assert sorted(m["doc_id"]) == sorted(full["doc_id"])
+
     def test_line_dedup_rewrite_semantics(self):
         """Global first occurrence (min (doc_id, idx)) of each 2-word
         line survives; later copies are cut out of their docs' text; a
