@@ -767,17 +767,28 @@ def minhash_dedup_keep_first(
     docs: rd.Dataset,
     threshold: float = 0.5,
     k: int = 3,
-    distributed_cc: bool = False,
+    distributed_cc: bool | None = None,
+    cc_pair_threshold: int = 1_000_000,
     **kw,
 ) -> rd.Dataset:
     """End-to-end near-dup REMOVAL: LSH candidates -> exact-Jaccard verify
     -> connected components -> keep the min-doc_id member of each dup
     group, drop the rest. Returns the surviving docs Dataset.
 
-    distributed_cc=True runs min-label propagation in the cluster instead
-    of driver union-find — for dup densities where even the verified pair
-    set is too large to gather."""
+    distributed_cc selects the connected-components engine:
+      None (default) — SIZE-SWITCH, the same metadata-derived discipline
+        the joins use: the verified pairs are materialized once (object
+        store, spillable — they feed CC anyway, so this also avoids
+        re-running the LSH pipeline), and the driver union-find is used
+        only while the pair count stays under `cc_pair_threshold`;
+        past it the min-label propagation runs in the cluster. A 100-TB
+        corpus never silently funnels its pair graph through the driver.
+      True / False — force the respective path (tests, known shapes).
+    """
     pairs_ds = minhash_dedup_pairs(docs, threshold=threshold, k=k, **kw)
+    if distributed_cc is None:
+        pairs_ds = pairs_ds.materialize()
+        distributed_cc = pairs_ds.count() > cc_pair_threshold
     if distributed_cc:
         roots_ds = connected_components_distributed(pairs_ds)
 

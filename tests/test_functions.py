@@ -325,6 +325,40 @@ class TestDedup:
         )
         assert a == b == [1, 3]
 
+    def test_keep_first_auto_cc_size_switch(self, monkeypatch):
+        """Default (distributed_cc=None) size-switches on the verified
+        pair count: under cc_pair_threshold the driver union-find runs;
+        past it the distributed min-label path runs — pinned by
+        poisoning the other path, with identical survivors."""
+        from data_sync_ray.functions import dedup as D
+
+        words = [f"w{i}" for i in range(50)]
+        docs = [
+            {"doc_id": 1, "text": " ".join(words)},
+            {"doc_id": 2, "text": " ".join(words[:48] + ["x", "y"])},
+            {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(50))},
+            {"doc_id": 4, "text": " ".join(words[:47] + ["p", "q", "r"])},
+        ]
+        ds = _docs(docs)
+
+        def boom(*a, **k):
+            raise AssertionError("wrong CC path selected")
+
+        # tiny pair set + huge threshold -> driver path (distributed
+        # poisoned)
+        monkeypatch.setattr(D, "connected_components_distributed", boom)
+        small = D.minhash_dedup_keep_first(ds, threshold=0.5)
+        assert sorted(small.to_pandas()["doc_id"]) == [1, 3]
+        monkeypatch.undo()
+
+        # threshold 0 -> any pair at all must take the distributed path
+        # (driver union-find poisoned)
+        monkeypatch.setattr(D, "drop_set_from_pairs", boom)
+        big = D.minhash_dedup_keep_first(
+            ds, threshold=0.5, cc_pair_threshold=0
+        )
+        assert sorted(big.to_pandas()["doc_id"]) == [1, 3]
+
     def test_simhash_near_dup(self):
         from data_sync_ray.functions.dedup import simhash_dup_pairs
 
