@@ -4036,30 +4036,35 @@ ORDER BY f.rank
 def media_decode_stats(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode, oracle-checked: a constant seeded media
     table (PPM images, zlib-compressed PNG images cycling all five
-    scanline filters, and PCM WAV clips) decodes through the actor/batch
-    plumbing to integer-exact stats: image (height, width, sum of all
-    RGB bytes), audio (frames, sample rate, sum of squared samples).
-    The pinned fixture recomputes the same stats with a byte-level
-    pure-Python decoder (tools/gen_fixtures.py gen_media — struct/int
-    loops and a per-byte unfilter walk, no numpy reshaping shared with
+    scanline filters, baseline JPEG rotating 4:4:4 / 4:2:0 / grayscale,
+    and PCM WAV clips) decodes through the actor/batch plumbing to
+    integer-exact stats: image (height, width, sum of all RGB bytes),
+    audio (frames, sample rate, sum of squared samples). The pinned
+    fixture recomputes the same stats with a byte-level pure-Python
+    decoder (tools/gen_fixtures.py gen_media — struct/int loops, a
+    per-byte unfilter walk, and for JPEG a math.cos triple-loop IDCT
+    with its own bit reader; no numpy shared with
     functions/multimodal.py), so this is a genuine cross-check of the
     real decode path, all in exact int64 (no float hash hazard). The
     spec is sf-independent (like cdc_replay_lake's): one fixture serves
     every scale."""
     from ..functions.multimodal import (
-        decode_png, decode_ppm, decode_wav, gen_real_media,
+        decode_jpeg, decode_png, decode_ppm, decode_wav, gen_real_media,
     )
 
     media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+    img_dec = {
+        "image/x-portable-pixmap": decode_ppm,
+        "image/png": decode_png,
+        "image/jpeg": decode_jpeg,
+    }
 
     def stats(t: pa.Table) -> pa.Table:
         d1, d2, cks = [], [], []
         for p, mt in zip(t.column("payload"), t.column("media_type")):
             raw, kind = p.as_py(), mt.as_py()
-            if kind in ("image/x-portable-pixmap", "image/png"):
-                arr = decode_ppm(raw) if kind.endswith("pixmap") else (
-                    decode_png(raw)
-                )
+            if kind in img_dec:
+                arr = img_dec[kind](raw)
                 d1.append(arr.shape[0])
                 d2.append(arr.shape[1])
                 cks.append(int(arr.astype(np.int64).sum()))
@@ -4170,10 +4175,15 @@ def media_resize_stats(sf_dir: str) -> pd.DataFrame:
     bit-for-bit. Same tag gate as media_decode_stats (shared payload
     spec)."""
     from ..functions.multimodal import (
-        decode_png, decode_ppm, gen_real_media, resize_box,
+        decode_jpeg, decode_png, decode_ppm, gen_real_media, resize_box,
     )
 
     media = gen_real_media(_MEDIA_N, seed=_MEDIA_SEED, size=_MEDIA_SIZE)
+    img_dec = {
+        "image/x-portable-pixmap": decode_ppm,
+        "image/png": decode_png,
+        "image/jpeg": decode_jpeg,
+    }
 
     def stats(t: pa.Table) -> pa.Table:
         ids, mts, sums = [], [], []
@@ -4182,13 +4192,12 @@ def media_resize_stats(sf_dir: str) -> pd.DataFrame:
             t.column("payload"),
         ):
             kind = mt.as_py()
-            if kind not in ("image/x-portable-pixmap", "image/png"):
+            if kind not in img_dec:
                 continue  # audio rows have no raster to resize
             raw = p.as_py()
-            arr = (
-                decode_ppm(raw) if kind.endswith("pixmap")
-                else decode_png(raw)
-            )
+            arr = img_dec[kind](raw)
+            if arr.ndim != 3:
+                continue  # grayscale JPEG: fixture skips these too
             r = resize_box(arr, 4, 4)
             ids.append(mid.as_py())
             mts.append(kind)

@@ -1101,6 +1101,112 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             decode_png(b"\x89PNG...")
 
+    def test_jpeg_constant_block_exact(self):
+        """A constant image at quality 100 (all-ones quant) has only a
+        DC coefficient, which quantizes and reconstructs EXACTLY — a
+        byte-level correctness anchor that needs no external codec."""
+        from data_sync_ray.functions.multimodal import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        for v in (0, 64, 137, 255):
+            img = np.full((16, 16, 3), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=100))
+            assert out.shape == (16, 16, 3)
+            assert int(np.abs(out.astype(int) - v).max()) == 0, v
+        g = np.full((8, 8), 200, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=100))
+        assert out.shape == (8, 8) and (out == 200).all()
+
+    def test_jpeg_roundtrip_tolerance_and_determinism(self):
+        """Lossy but bounded: q100 4:4:4 roundtrip of random pixels is
+        within DCT-rounding error (<=3); smooth content at q90 stays
+        <=4 per channel; 4:2:0 handles non-multiple-of-16 dims; bytes
+        are deterministic."""
+        from data_sync_ray.functions.multimodal import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+        xx, yy = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32))
+        smooth = np.stack(
+            [xx * 200 + 20, yy * 180 + 30, (xx + yy) * 100 + 20], axis=2
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(smooth, quality=90))
+        assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 4
+
+        odd = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+        o420 = decode_jpeg(encode_jpeg(odd, quality=75, subsampling="420"))
+        assert o420.shape == (13, 21, 3)
+
+        a = encode_jpeg(smooth, quality=80)
+        assert a == encode_jpeg(smooth, quality=80)
+        gray = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+        og = decode_jpeg(encode_jpeg(gray, quality=100))
+        assert og.shape == (19, 23)
+        assert np.abs(og.astype(int) - gray.astype(int)).max() <= 2
+
+    def test_jpeg_unsupported_variants_raise(self):
+        """Honest gaps stay honest: progressive (SOF2), restart
+        intervals, 16-bit quant tables, >2 sampling factors, garbage."""
+        import struct
+
+        from data_sync_ray.functions.multimodal import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        def seg(marker, body):
+            return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+        base = np.zeros((8, 8, 3), dtype=np.uint8)
+        good = encode_jpeg(base, quality=90)
+        # progressive: swap the SOF0 marker byte for SOF2
+        prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(prog)
+        # nonzero restart interval injected after SOI
+        dri = good[:2] + seg(0xDD, struct.pack(">H", 4)) + good[2:]
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(dri)
+        # 16-bit quant table
+        q16 = b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128))
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(q16 + good[2:])
+        # 4x4 sampling factors in SOF
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x44, 0])
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8" + seg(0xC0, sof))
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+
+    def test_jpeg_in_decode_image_stage(self):
+        """image/jpeg flows through the DecodeImage actor stage like the
+        other REAL_IMAGE_TYPES members."""
+        from data_sync_ray.functions.multimodal import (
+            DecodeImage, MEDIA_SCHEMA, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        t = pa.table(
+            {
+                "media_id": pa.array(["j0"]),
+                "media_type": pa.array(["image/jpeg"]),
+                "payload": pa.array([encode_jpeg(img)], pa.binary()),
+                "meta_json": pa.array(["{}"]),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        out = DecodeImage(feature_dim=8)(t)
+        feats = out.column("features")[0].as_py()
+        assert len(feats) == 8
+        assert all(0.0 <= f <= 1.0 for f in feats)
+
     def test_ppm_bmp_wav_roundtrip(self):
         """The codec-free encoders/decoders are exact inverses."""
         from data_sync_ray.functions.multimodal import (

@@ -370,6 +370,216 @@ def _ref_png_raster(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(recon)
 
 
+def _ref_jpeg_pixels(payload: bytes):
+    """Independent baseline-JPEG reference decode -> (w, h, pixel int
+    list, n_components): marker walk with int.from_bytes, its own
+    canonical-Huffman builder and MSB bit reader over hand-destuffed
+    scan bytes, a math.cos TRIPLE-LOOP IDCT straight from T.81 A.3.3,
+    and scalar float color conversion with round() — no numpy, nothing
+    shared with multimodal.decode_jpeg's einsum path. Pixel values and
+    rounding must agree bit-for-bit with the engine (gen_media asserts
+    so at generation time; a knife-edge half would fail THERE, loudly,
+    not in CI)."""
+    import math
+
+    assert payload[:2] == b"\xff\xd8"
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    qts, huffs = {}, {}
+    comps, w, h = None, 0, 0
+    scan, scan_comps = None, None
+    j = 2
+    while j < len(payload):
+        assert payload[j] == 0xFF, "marker desync"
+        m = payload[j + 1]
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(payload[j + 2 : j + 4], "big")
+        body = payload[j + 4 : j + 2 + ln]
+        if m == 0xDB:
+            k = 0
+            while k < len(body):
+                assert body[k] >> 4 == 0
+                tq = body[k] & 0xF
+                tbl = [0] * 64
+                for z in range(64):
+                    tbl[ZZ[z]] = body[k + 1 + z]
+                qts[tq] = tbl
+                k += 65
+        elif m == 0xC4:
+            k = 0
+            while k < len(body):
+                tc, th = body[k] >> 4, body[k] & 0xF
+                bits = list(body[k + 1 : k + 17])
+                nv = sum(bits)
+                vals = list(body[k + 17 : k + 17 + nv])
+                code, idx, tab = 0, 0, {}
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        tab[(L, code)] = vals[idx]
+                        code += 1
+                        idx += 1
+                    code <<= 1
+                huffs[(tc, th)] = tab
+                k += 17 + nv
+        elif m == 0xC0:
+            assert body[0] == 8
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif m == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for k in range(ns):
+                cs, tt = body[1 + 2 * k : 3 + 2 * k]
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            k = j + 2 + ln
+            raw = []
+            while k < len(payload):
+                b = payload[k]
+                if b == 0xFF:
+                    if k + 1 < len(payload) and payload[k + 1] == 0:
+                        raw.append(0xFF)
+                        k += 2
+                        continue
+                    break
+                raw.append(b)
+                k += 1
+            scan = raw
+            j = k
+            continue
+        j += 2 + ln
+    assert comps is not None and scan is not None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+
+    state = {"p": 0, "n": 0, "acc": 0}
+
+    def bit():
+        if state["n"] == 0:
+            state["acc"] = scan[state["p"]]
+            state["p"] += 1
+            state["n"] = 8
+        state["n"] -= 1
+        return (state["acc"] >> state["n"]) & 1
+
+    def bits_(k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | bit()
+        return v
+
+    def huff(tab):
+        code = 0
+        for L in range(1, 17):
+            code = (code << 1) | bit()
+            if (L, code) in tab:
+                return tab[(L, code)]
+        raise ValueError("bad huffman code")
+
+    def extend(v, s):
+        if s == 0:
+            return 0
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    cosv = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+
+    def a(u):
+        return (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+
+    pred = {c[0]: 0 for c in comps}
+    blocks = {
+        c[0]: [[None] * (mcx * c[1]) for _ in range(mcy * c[2])]
+        for c in comps
+    }
+    for my in range(mcy):
+        for mx in range(mcx):
+            for cs, td, ta in scan_comps:
+                cid, sh, sv, tq = next(c for c in comps if c[0] == cs)
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = [0] * 64
+                        s = huff(huffs[(0, td)])
+                        pred[cid] += extend(bits_(s), s)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = huff(huffs[(1, ta)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            zz[k] = extend(bits_(s), s)
+                            k += 1
+                        # dequantize + inverse zigzag + T.81 A.3.3 IDCT
+                        F = [0.0] * 64
+                        q = qts[tq]
+                        for z in range(64):
+                            F[ZZ[z]] = zz[z] * q[ZZ[z]]
+                        pix = [[0.0] * 8 for _ in range(8)]
+                        for y in range(8):
+                            for x in range(8):
+                                sacc = 0.0
+                                for u in range(8):
+                                    for v in range(8):
+                                        sacc += (
+                                            a(u) * a(v)
+                                            * F[u * 8 + v]
+                                            * cosv[y][u] * cosv[x][v]
+                                        )
+                                pix[y][x] = sacc / 4.0 + 128.0
+                        blocks[cid][my * sv + by][mx * sh + bx] = pix
+    planes = []
+    for cid, sh, sv, tq in comps:
+        ph, pw = mcy * sv * 8, mcx * sh * 8
+        plane = [[0.0] * pw for _ in range(ph)]
+        for byi, row in enumerate(blocks[cid]):
+            for bxi, blk in enumerate(row):
+                for y in range(8):
+                    for x in range(8):
+                        plane[byi * 8 + y][bxi * 8 + x] = blk[y][x]
+        ry, rx = vmax // sv, hmax // sh
+        up = [
+            [plane[y // ry][x // rx] for x in range(w)] for y in range(h)
+        ]
+        planes.append(up)
+    out = []
+    if len(planes) == 1:
+        for y in range(h):
+            for x in range(w):
+                v = round(planes[0][y][x])
+                out.append(min(255, max(0, v)))
+        return w, h, out, 1
+    for y in range(h):
+        for x in range(w):
+            Y = planes[0][y][x]
+            cb = planes[1][y][x] - 128.0
+            cr = planes[2][y][x] - 128.0
+            for val in (
+                Y + 1.402 * cr,
+                Y - 0.344136 * cb - 0.714136 * cr,
+                Y + 1.772 * cb,
+            ):
+                out.append(min(255, max(0, round(val))))
+    return w, h, out, 3
+
+
 def gen_media(out_dir: str) -> None:
     """Pinned expected stats for `media_decode_stats`: the same seeded
     media table decoded by a BYTE-LEVEL pure-Python reference — header
@@ -400,6 +610,21 @@ def gen_media(out_dir: str) -> None:
         elif mt == "image/png":
             w, h, recon = _ref_png_raster(payload)
             rows.append((mid, mt, h, w, sum(recon)))
+        elif mt == "image/jpeg":
+            w, h, pix, nc = _ref_jpeg_pixels(payload)
+            # knife-edge guard: the reference's scalar math and the
+            # engine's einsum path must agree BIT-FOR-BIT here, at
+            # generation time, or the fixture is not a valid oracle
+            from data_sync_ray.functions.multimodal import decode_jpeg
+
+            eng = decode_jpeg(payload)
+            assert eng.shape[:2] == (h, w) and (
+                (eng.ndim == 2) == (nc == 1)
+            ), f"{mid}: shape mismatch {eng.shape} vs {(h, w, nc)}"
+            assert eng.reshape(-1).tolist() == pix, (
+                f"{mid}: engine/reference JPEG pixel mismatch"
+            )
+            rows.append((mid, mt, h, w, sum(pix)))
         else:
             assert mt == "audio/wav" and payload[:4] == b"RIFF"
             # walk RIFF chunks by hand: fmt -> sample rate, data -> PCM
@@ -463,6 +688,10 @@ def gen_resize(out_dir: str) -> None:
             w, h, raster = _ref_ppm_raster(payload)
         elif mt == "image/png":
             w, h, raster = _ref_png_raster(payload)
+        elif mt == "image/jpeg":
+            w, h, raster, nc = _ref_jpeg_pixels(payload)
+            if nc != 3:
+                continue  # grayscale: no 3-channel raster to resize
         else:
             continue
         fh, fw = h // out_h, w // out_w
