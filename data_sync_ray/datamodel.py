@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -295,10 +296,19 @@ def write_event_log(
 
     Replay from OffsetOldest ≙ reading epoch dirs in order from a watermark
     (ref consumer start: /root/reference/src/lib/mq/kafka/mq_consumer.go:103).
-    """
+
+    ATOMIC PUBLISH: the whole log is written into a sibling temp dir and
+    renamed into place last, so `root` either exists complete or not at
+    all. This is the log's durability contract (Kafka never exposes a
+    half-committed message to a consumer): a process SIGKILLed mid-write
+    must not leave a torn part-file that poisons every later replay of
+    the same root — the chaos harness found exactly that (footer magic
+    missing) when a kill landed during fixture generation."""
+    tmp = f"{root}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     paths = []
     for e, t in enumerate(epochs):
-        d = os.path.join(root, f"epoch={e:05d}")
+        d = os.path.join(tmp, f"epoch={e:05d}")
         os.makedirs(d, exist_ok=True)
         k = max(1, min(files_per_epoch, t.num_rows))
         step = (t.num_rows + k - 1) // k
@@ -308,7 +318,8 @@ def write_event_log(
                 continue
             p = os.path.join(d, f"part-{j:04d}.parquet")
             pq.write_table(chunk, p)
-        paths.append(d)
+        paths.append(os.path.join(root, f"epoch={e:05d}"))
+    os.rename(tmp, root)  # the commit point
     return paths
 
 

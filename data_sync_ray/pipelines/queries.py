@@ -5409,6 +5409,106 @@ ORDER BY doc_id
 """
 
 
+_VACUUM_LAKE: dict[str, str] = {}
+_VACUUM_LOCK = threading.Lock()
+
+
+def _build_vacuum_fixture_lake() -> str:
+    """The pinned CDC fixture spec replayed EPOCH BY EPOCH (tail mode:
+    one delta per epoch per partition — the catch-up span commit the
+    shared fixture lake uses would straddle any vacuum horizon and fold
+    nothing, by design), then vacuum(retain_epochs=1): bootstrap +
+    epochs 0..1 fold into per-partition bases, epoch 2's deltas stay
+    live. Memoized once per process like the fixture itself."""
+    with _VACUUM_LOCK:
+        if "root" in _VACUUM_LAKE:
+            return _VACUUM_LAKE["root"]
+        from ..datamodel import (
+            StreamSpec,
+            gen_base_table,
+            gen_change_stream,
+            write_event_log,
+        )
+        from ..state.lake import Lake as _Lake
+        from .replay import ReplayJob
+
+        # IDENTICAL constants to _build_cdc_fixture_lake — the oracle
+        # fixtures are tag-gated on this spec
+        n_docs = 500
+        spec = StreamSpec(n_events=5000, n_docs=n_docs, n_epochs=3,
+                          seed=42, evolve_from_epoch=2)
+        base = gen_base_table(n_docs, seed=42)
+        work = tempfile.mkdtemp(prefix="cdc_vacuum_")
+        staged = os.path.join(work, "staged")
+        write_event_log(staged, gen_change_stream(spec))
+        live = os.path.join(work, "events")
+        os.makedirs(live, exist_ok=True)
+        cfg = SyncConfig(
+            lake_root=os.path.join(work, "lake"), num_partitions=16,
+            apply_concurrency=4,
+        )
+        job = ReplayJob(cfg)
+        job.bootstrap(base)
+        for e in range(spec.n_epochs):
+            shutil.copytree(
+                os.path.join(staged, f"epoch={e:05d}"),
+                os.path.join(live, f"epoch={e:05d}"),
+            )
+            job.replay(live)  # one NEW epoch -> one delta per partition
+        lake = _Lake(cfg.lake_root)
+        r = lake.vacuum(retain_epochs=1)
+        assert r["horizon"] == 1, r
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        _VACUUM_LAKE["root"] = cfg.lake_root
+        return cfg.lake_root
+
+
+def cdc_lake_vacuum_read(sf_dir: str) -> pa.Table:
+    """Retention-policy vacuum, hash-checked at its sharpest edge:
+    vacuum(retain_epochs=1) on the pinned CDC fixture lake folds
+    everything at/below epoch 1 into per-partition bases (epoch 2's
+    deltas stay live), then the query time-travels to the HORIZON
+    itself — as_of_epoch=1 is answered from the folded base ALONE, so
+    the hash proves the partial fold reproduced the exact epoch-1 state
+    the sequential oracle pinned (cdcasof_* fixture, epochs <= 1).
+    Below-horizon raising and current-state equality are pinned by
+    tests/test_zorder.py TestVacuum; the self-checks here guard the
+    fixture's own shape."""
+    from ..state.lake import Lake as _Lake
+
+    from .replay import read_lake
+
+    root = _build_vacuum_fixture_lake()
+    lake = _Lake(root)
+    for p in lake.partitions():
+        ck = lake.read_checkpoint(p)
+        assert ck.get("compacted_through_epoch") == 1, ck
+    out = (
+        read_lake(
+            root,
+            columns=["doc_id", "n_tok", "source", "log_pos"],
+            as_of_epoch=1,
+        )
+        .select_columns(["doc_id", "n_tok", "source", "log_pos"])
+        .to_pandas()
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("doc_id", pa.string()), ("n_tok", pa.int64()),
+             ("source", pa.string()), ("log_pos", pa.int64())]
+        )
+    )
+
+
+CDC_VACUUM_SQL = f"""
+SELECT doc_id, n_tok, source, log_pos
+FROM read_parquet('{_FIXTURE_DIR}/cdcasof_*.parquet')
+WHERE tag = '{_cdc_replay_tag()}'
+ORDER BY doc_id
+"""
+
+
 def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
     """Time-travel DIFF of the replayed lake: what changed after epoch 1?
     Builds the same pinned CDC fixture lake as cdc_replay_lake, reads
@@ -6389,6 +6489,7 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_term_docs": (tfidf_top_term_docs, TFIDF_SQL),
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
     "cdc_lake_zorder_read": (cdc_lake_zorder_read, CDC_ZORDER_SQL),
+    "cdc_lake_vacuum_read": (cdc_lake_vacuum_read, CDC_VACUUM_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),

@@ -927,6 +927,7 @@ class Lake:
         partition: int,
         zorder_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        up_to_epoch: int | None = None,
     ) -> dict:
         """Rewrite a partition's fragments into base file(s) and truncate
         the fragment list (copy-on-write: new files written+committed
@@ -942,7 +943,18 @@ class Lake:
         or the clustering has a single file to prune. Trade-off stated:
         a z-ordered base is no longer key-sorted, so in-FILE row-group
         key pruning loosens; whole-file key min/max still prune between
-        bases."""
+        bases.
+
+        up_to_epoch: PARTIAL fold — only the existing base plus deltas
+        from epochs <= this fold into the new base; later deltas stay
+        live, so time travel above the horizon keeps working while
+        history at/below it is destroyed (compacted_through_epoch
+        advances to the max folded epoch, not to max(applied)). This is
+        vacuum()'s mechanism: retention as a stated policy. A span
+        delta STRADDLING the horizon is kept whole, never split — its
+        below-horizon rows simply remain readable a little longer
+        (retention is a minimum guarantee, and duplicating them into
+        the base would double-count rows in later folds)."""
         ckpt = self.read_checkpoint(partition)
         if not ckpt["files"]:
             # empty partition: nothing to fold, and bumping gen /
@@ -950,22 +962,61 @@ class Lake:
             # below max(applied_epochs) spuriously raise even though no
             # history was destroyed
             return {"partition": partition, "compacted": False}
-        if len(ckpt["files"]) <= 1 and not zorder_by:
+        if up_to_epoch is None:
+            fold_files = list(ckpt["files"])
+        else:
+            # a horizon below an earlier compaction's fold point is not
+            # an error: everything <= it is already destroyed, so the
+            # fold set naturally reduces to the base(s) and the
+            # fixed-point guard below no-ops (vacuum over mixed-history
+            # partitions must not abort on the deepest-compacted one)
+            fold_files = []
+            for rel in ckpt["files"]:
+                kind, e = Lake._frag_epoch(rel)
+                if (
+                    kind == "base"
+                    or (kind == "delta" and e <= up_to_epoch)
+                    or (kind == "span" and e[1] <= up_to_epoch)
+                ):
+                    fold_files.append(rel)
+        keep_files = [f for f in ckpt["files"] if f not in fold_files]
+        if len(fold_files) <= 1 and not zorder_by:
             return {"partition": partition, "compacted": False}
         if (
-            len(ckpt["files"]) == 1
-            and Lake._frag_epoch(ckpt["files"][0])[0] == "base"
+            up_to_epoch is not None
+            and all(
+                Lake._frag_epoch(f)[0] == "base" for f in fold_files
+            )
             and list(zorder_by or []) == ckpt.get("zorder_by", [])
         ):
-            # a lone base with no deltas and an unchanged clustering spec
-            # is already the compaction fixed point — rewriting it every
-            # call (drive_verify's zorder mode compacts each epoch) would
-            # churn gen/files (invalidating views) for zero data change.
-            # Changing zorder_by still re-clusters.
+            # vacuum fixed point: nothing at/below the horizon but the
+            # existing (possibly multi-chunk) base — repeated vacuums
+            # must not rewrite it every call
             return {"partition": partition, "compacted": False}
+        if (
+            len(fold_files) == 1
+            and Lake._frag_epoch(fold_files[0])[0] == "base"
+            and list(zorder_by or []) == ckpt.get("zorder_by", [])
+        ):
+            # a lone base with no foldable deltas and an unchanged
+            # clustering spec is already the compaction fixed point —
+            # rewriting it every call (drive_verify's zorder mode
+            # compacts each epoch) would churn gen/files (invalidating
+            # views) for zero data change. Changing zorder_by still
+            # re-clusters.
+            return {"partition": partition, "compacted": False}
+        # the new time-travel horizon: the max epoch whose delta is
+        # being destroyed (span = its upper bound; bootstrap = -1)
+        folded_epochs = [
+            (e if kind == "delta" else e[1])
+            for kind, e in map(Lake._frag_epoch, fold_files)
+            if kind in ("delta", "span")
+        ]
         # tombstones retained: a compacted base must keep winning deletes
         # or a stale event below the delete's log_pos could resurrect keys
-        state = self.read_partition(partition, drop_tombstones=False)
+        state = self.read_partition(
+            partition, drop_tombstones=False, files_override=fold_files
+        )
         gen = ckpt.get("compaction_gen", 0) + 1
         # pre-sweep uncommitted leftovers of THIS gen from a torn earlier
         # attempt: gen = committed_gen + 1, so any base-c{gen} fragment on
@@ -984,8 +1035,13 @@ class Lake:
                 len(stale_prefix) : len(stale_prefix) + 1
             ] in (".", "-"):
                 self.storage.obj_delete(f"{part_dir}/{name}")
-        old = list(ckpt["files"])
-        ckpt["file_stats"] = {}
+        old = list(fold_files)
+        kept_stats = {
+            k: v
+            for k, v in ckpt.get("file_stats", {}).items()
+            if k in keep_files
+        }
+        ckpt["file_stats"] = kept_stats
         ckpt["files"] = []
         if state is not None and state.num_rows:
             if zorder_by:
@@ -1017,12 +1073,19 @@ class Lake:
                 )
                 ckpt["files"].append(rel)
                 self._record_file_stats(ckpt, rel, chunk)
+        ckpt["files"] = sorted(set(ckpt["files"]) | set(keep_files))
         ckpt["compaction_gen"] = gen
         ckpt["zorder_by"] = list(zorder_by or [])
-        # time-travel horizon: states below this epoch are no longer
-        # reconstructable from this partition (their deltas are folded)
-        if ckpt["applied_epochs"]:
-            ckpt["compacted_through_epoch"] = max(ckpt["applied_epochs"])
+        # time-travel horizon: states at/below this epoch are no longer
+        # reconstructable from this partition (their deltas are folded).
+        # Partial folds advance it only to the max DESTROYED epoch, so
+        # as-of reads above the vacuum horizon keep working.
+        prev_cte = ckpt.get("compacted_through_epoch")
+        if folded_epochs:
+            ckpt["compacted_through_epoch"] = max(
+                [*folded_epochs]
+                + ([prev_cte] if prev_cte is not None else [])
+            )
         self.write_checkpoint(ckpt)  # commit point
         for r in old:
             self.storage.obj_delete(f"data/{r}")
@@ -1032,6 +1095,53 @@ class Lake:
             "rows": 0 if state is None else state.num_rows,
             "files_removed": len(old),
         }
+
+    def vacuum(
+        self,
+        retain_epochs: int,
+        zorder_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> dict:
+        """Retention as a STATED POLICY instead of a compaction side
+        effect: fold every partition's deltas from epochs <=
+        latest - retain_epochs into its base, keeping the most recent
+        `retain_epochs` epochs time-travelable. Reads inside the horizon
+        stay exact (their deltas are untouched); as-of reads at/below
+        the horizon raise, as all destroyed history does.
+        retain_epochs=0 folds everything (full compaction of the lake).
+
+        `latest` is max(epochs_done()) — the driver's global epoch
+        marker — falling back to the max applied epoch across
+        partitions for lakes driven without epoch markers. Partitions
+        with nothing old enough to fold no-op (no gen churn, views keep
+        their fingerprints). At object-store scale this is the
+        metadata-relief knob: a long-running lake's per-partition file
+        count stays O(retain_epochs), not O(all epochs ever)."""
+        if retain_epochs < 0:
+            raise ValueError("retain_epochs must be >= 0")
+        done = self.epochs_done()
+        if done:
+            latest = max(done)
+        else:
+            applied = [
+                e
+                for p in self.partitions()
+                for e in self.read_checkpoint(p)["applied_epochs"]
+            ]
+            if not applied:
+                return {"horizon": None, "results": []}
+            latest = max(applied)
+        horizon = latest - retain_epochs
+        results = [
+            self.compact_partition(
+                p,
+                zorder_by=zorder_by,
+                max_rows_per_file=max_rows_per_file,
+                up_to_epoch=horizon,
+            )
+            for p in self.partitions()
+        ]
+        return {"horizon": horizon, "results": results}
 
     # --- manifest (driver-published union snapshot) -------------------------
 

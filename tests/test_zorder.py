@@ -422,3 +422,101 @@ class TestCompactionHardening:
             [t.to_pandas() for t in parts if t is not None])
         assert df["doc_id"].is_unique and len(df) == n
         assert int(df.loc[df.doc_id == 0, "x"].iloc[0]) == 1
+
+
+class TestVacuum:
+    """vacuum(retain_epochs=N): retention as a stated policy — fold
+    history at/below latest-N, keep the last N epochs time-travelable."""
+
+    def _history_lake(self, tmp_path):
+        lake = _mk_lake(tmp_path)
+        rng = np.random.default_rng(11)
+        n = 60
+        for e in range(10):
+            ids = list(range(e * 3, e * 3 + 30))  # overlapping key churn
+            _commit(lake, e, _delta(
+                ids, [e * 1000 + i for i in ids],
+                rng.integers(0, 100, size=len(ids)).tolist(),
+                rng.integers(0, 100, size=len(ids)).tolist(),
+                deleted=[(e + i) % 17 == 0 for i in ids]))
+            lake.mark_epoch_done(e)
+        return lake
+
+    @staticmethod
+    def _snap(lake, as_of=None):
+        parts = [
+            lake.read_partition(p, as_of_epoch=as_of)
+            for p in lake.partitions()
+        ]
+        df = pd.concat(
+            [t.to_pandas() for t in parts if t is not None and t.num_rows]
+        )
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def test_vacuum_keeps_horizon_exact_destroys_below(self, tmp_path):
+        lake = self._history_lake(tmp_path)
+        before_now = self._snap(lake)
+        before_e8 = self._snap(lake, as_of=8)
+        before_e7 = self._snap(lake, as_of=7)
+        before_e6 = self._snap(lake, as_of=6)
+
+        r = lake.vacuum(retain_epochs=3)
+        assert r["horizon"] == 6
+        assert all(x["compacted"] for x in r["results"])
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            assert ck["compacted_through_epoch"] == 6
+            kinds = [lake._frag_epoch(f) for f in ck["files"]]
+            assert sum(1 for k, _ in kinds if k == "base") >= 1
+            live = sorted(e for k, e in kinds if k == "delta")
+            assert live == [7, 8, 9]  # only the retained epochs' deltas
+
+        # current state exact, in-horizon time travel exact
+        pd.testing.assert_frame_equal(self._snap(lake), before_now)
+        pd.testing.assert_frame_equal(self._snap(lake, as_of=8), before_e8)
+        pd.testing.assert_frame_equal(self._snap(lake, as_of=7), before_e7)
+        # AT the horizon the base IS the fold-through-6 state: readable
+        pd.testing.assert_frame_equal(self._snap(lake, as_of=6), before_e6)
+        # destroyed history below it raises
+        for bad in (5, 3, 0):
+            with pytest.raises(ValueError):
+                lake.read_partition(0, as_of_epoch=bad)
+
+    def test_vacuum_is_idempotent_and_tightens(self, tmp_path):
+        lake = self._history_lake(tmp_path)
+        before_now = self._snap(lake)
+        lake.vacuum(retain_epochs=3)
+        gens = {
+            p: lake.read_checkpoint(p)["compaction_gen"]
+            for p in lake.partitions()
+        }
+        r2 = lake.vacuum(retain_epochs=3)
+        assert not any(x["compacted"] for x in r2["results"])  # fixed point
+        for p in lake.partitions():
+            assert lake.read_checkpoint(p)["compaction_gen"] == gens[p]
+        # retain_epochs=0: full fold; current state still exact
+        r3 = lake.vacuum(retain_epochs=0)
+        assert r3["horizon"] == 9
+        pd.testing.assert_frame_equal(self._snap(lake), before_now)
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            assert all(
+                lake._frag_epoch(f)[0] == "base" for f in ck["files"])
+            assert ck["compacted_through_epoch"] == 9
+        with pytest.raises(ValueError):
+            lake.read_partition(0, as_of_epoch=8)
+
+    def test_vacuum_composes_with_zorder(self, tmp_path):
+        lake = self._history_lake(tmp_path)
+        before = self._snap(lake)
+        r = lake.vacuum(retain_epochs=2, zorder_by=["x", "y"],
+                        max_rows_per_file=16)
+        assert r["horizon"] == 7
+        pd.testing.assert_frame_equal(self._snap(lake), before)
+        ok = self._snap(lake, as_of=8)
+        assert len(ok) > 0
+        for p in lake.partitions():
+            ck = lake.read_checkpoint(p)
+            assert ck["zorder_by"] == ["x", "y"]
+            # stats rewritten for the new base chunks AND kept deltas
+            assert set(ck["file_stats"]) == set(ck["files"])

@@ -41,7 +41,12 @@ for trial in range(5):
         out = subprocess.run(["python", DRIVE, wd, "-1", MODE], env=env,
                              capture_output=True, text=True, timeout=600)
         ok = "exact_token_equality=True" in out.stdout
-        tail = out.stdout[-2000:]
+        # on failure show BOTH streams + exit code: an early crash
+        # (e.g. a ray.init flake) leaves stdout empty and the
+        # diagnosis lives entirely in stderr
+        tail = (f"rc={out.returncode}\n---- stdout ----\n"
+                f"{out.stdout[-1500:]}\n---- stderr ----\n"
+                f"{out.stderr[-2500:]}")
     except subprocess.TimeoutExpired:
         ok, tail = False, "<resume timed out after 600s>"
     print(f"trial {trial}: killed_after={delay:.1f}s killed={killed} exact={ok}")
