@@ -31,24 +31,19 @@ def gen_corpus(n_docs: int, dup_rate: float = 0.12, seed: int = 7,
 
     def make_block(b: pd.DataFrame) -> pd.DataFrame:
         idx = b["i"].to_numpy()
+        n = len(idx)
         rng = np.random.default_rng(seed + int(idx[0]))
-        rows = []
-        for i in idx:
-            g = rng.integers(0, 1 << 30)
-            words = [f"w{(g * 37 + j * (i % 7 + 1)) % 50021}"
-                     for j in range(40)]
-            if rng.random() < dup_rate and i > 0:
-                # near-dup of doc i-1's text: copy, perturb 2 words
-                src = rows[-1][1].split() if rows else words
-                w = list(src)
-                w[3] = f"x{i}"
-                w[17] = f"y{i}"
-                rows.append((i, " ".join(w)))
-            else:
-                rows.append((i, " ".join(words)))
-        return pd.DataFrame(
-            {"doc_id": [r[0] for r in rows],
-             "text": [r[1] for r in rows]})
+        # 40 random words per doc from a 2^30 vocab: accidental overlap
+        # of >=2 words between unrelated docs is birthday-impossible,
+        # so EVERY pair the dedup finds is a planted one
+        ids = rng.integers(0, 1 << 30, size=(n, 40), dtype=np.int64)
+        dup = (rng.random(n) < dup_rate) & (np.arange(n) > 0)
+        for r in np.nonzero(dup)[0]:
+            ids[r] = ids[r - 1]
+            ids[r, 3] = -int(idx[r])  # 2 of 40 words perturbed:
+            ids[r, 17] = -int(idx[r]) - 1  # 3-shingle Jaccard ~0.77
+        texts = [" ".join(map(str, row)) for row in ids]
+        return pd.DataFrame({"doc_id": idx, "text": texts})
 
     base = rd.range(n_docs, override_num_blocks=blocks).map_batches(
         lambda b: pd.DataFrame({"i": b["id"]}), batch_format="pandas"
