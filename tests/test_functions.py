@@ -1007,20 +1007,22 @@ class TestAnn:
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
     def test_compressed_decode_still_raises(self):
-        """jpeg has no codec in this container — the real path must
-        stay an honest NotImplementedError, never a silent fake.
-        (PNG moved OFF this list in round 4: zlib+numpy decode it for
-        real now — see test_png_roundtrip_all_filters.)"""
+        """Formats with no decoder in this container must stay an honest
+        NotImplementedError, never a silent fake. (PNG moved OFF this
+        list in round 4, baseline JPEG in round 5 — see
+        test_png_roundtrip_all_filters / test_jpeg_* — so the registry
+        gap is now exercised with webp, and the in-family gap with a
+        progressive-JPEG stream.)"""
         from data_sync_ray.functions.multimodal import DecodeImage
 
-        jpg = pa.table(
+        webp = pa.table(
             {"media_id": pa.array(["a"]),
-             "media_type": pa.array(["image/jpeg"]),
-             "payload": pa.array([b"\xff\xd8\xff\xe0..."], pa.binary()),
+             "media_type": pa.array(["image/webp"]),
+             "payload": pa.array([b"RIFF....WEBP"], pa.binary()),
              "meta_json": pa.array(["{}"])}
         )
         with pytest.raises(NotImplementedError):
-            DecodeImage(fake=False)(jpg)
+            DecodeImage(fake=False)(webp)
 
     def test_png_roundtrip_all_filters(self):
         """encode_png/decode_png are exact inverses for gray/RGB/RGBA
