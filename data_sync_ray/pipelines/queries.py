@@ -5509,6 +5509,81 @@ ORDER BY doc_id
 """
 
 
+_DEDUP_IDX_LOCK = threading.Lock()
+_DEDUP_IDX_MEMO: dict[str, pd.DataFrame] = {}
+
+_INCR_DEDUP_EPOCHS = 4
+
+
+def cdc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-epoch incremental dedup: the documents table arrives as
+    FOUR ingest epochs (sliced here by doc_id % 4 — a harness stand-in
+    for crawl dumps; a real deployment feeds actual epoch batches), and
+    each epoch is admitted through a persistent hash-partitioned
+    content-hash index (`state/dedupindex.py`) that drops anything ANY
+    earlier epoch admitted — first epoch wins, then min doc_id. The
+    index is the point: epoch N costs O(epoch + 1/P of history per
+    touched partition), never a re-dedup of the whole corpus, and the
+    per-(partition, epoch) commits are exactly-once (crash-resume pinned
+    in tests/test_dedupindex.py). Survivors ship as (doc_id, hash) —
+    48 B/row, text never enters the exchange.
+
+    Oracle: plain keep-first over (epoch, doc_id) per distinct text —
+    the engine's md5 content identity diverges from SQL text equality
+    only on an md5 collision (the dedup_exact_docs hazard class).
+    Memoized per process: the index directory is stateful by design, so
+    a second call within one process must not re-ingest."""
+    with _DEDUP_IDX_LOCK:
+        if sf_dir in _DEDUP_IDX_MEMO:
+            return _DEDUP_IDX_MEMO[sf_dir].copy()
+        from ..state.dedupindex import DedupIndex
+
+        work = tempfile.mkdtemp(prefix="dedup_idx_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        idx = DedupIndex.create(
+            os.path.join(work, "idx"), num_partitions=8
+        )
+        outs = []
+        for e in range(_INCR_DEDUP_EPOCHS):
+            eds = _t(sf_dir, "documents", columns=["doc_id", "text"]) \
+                .map_batches(
+                    lambda b, _e=e: b[
+                        b["doc_id"] % _INCR_DEDUP_EPOCHS == _e
+                    ],
+                    batch_format="pandas",
+                )
+            df = idx.ingest_epoch(eds, e).to_pandas()
+            if len(df) == 0:  # zero-row to_pandas is column-less
+                continue
+            df = df[["doc_id"]].copy()
+            df["epoch"] = np.int64(e)
+            outs.append(df)
+        out = (
+            pd.concat(outs, ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["epoch"] = out["epoch"].astype(np.int64)
+        _DEDUP_IDX_MEMO[sf_dir] = out
+        return out.copy()
+
+
+INCR_DEDUP_SQL = f"""
+SELECT doc_id, CAST(doc_id % {_INCR_DEDUP_EPOCHS} AS BIGINT) AS epoch
+FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY text
+           ORDER BY doc_id % {_INCR_DEDUP_EPOCHS}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
     """Time-travel DIFF of the replayed lake: what changed after epoch 1?
     Builds the same pinned CDC fixture lake as cdc_replay_lake, reads
@@ -6490,6 +6565,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_range_read": (cdc_lake_range_read, CDC_RANGE_SQL),
     "cdc_lake_zorder_read": (cdc_lake_zorder_read, CDC_ZORDER_SQL),
     "cdc_lake_vacuum_read": (cdc_lake_vacuum_read, CDC_VACUUM_SQL),
+    "cdc_incremental_dedup": (cdc_incremental_dedup, INCR_DEDUP_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),
