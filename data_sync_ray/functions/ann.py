@@ -1098,3 +1098,130 @@ def pca_power_iter_embeddings(
     for c in ("label", "n_pos", "n_nonpos", "sum_vec_id_pos"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# --- greedy k-center subset selection ----------------------------------------
+
+_KC_SCALE = 1048576.0  # 2^20 fixed-point quantization (embeddings are O(1))
+
+
+def _kc_quantize(X: np.ndarray) -> np.ndarray:
+    """float32 embedding -> int64 fixed-point at 2^20 (floor(x*s + 0.5),
+    widened to float64 first so the SQL restatement is bit-identical).
+    All downstream distances are integer-exact: |q| < 2^21 bounds a
+    squared diff at 2^44, x d=O(100) dims stays far inside int64."""
+    return np.floor(
+        X.astype(np.float64) * _KC_SCALE + 0.5
+    ).astype(np.int64)
+
+
+@ray.remote
+def _kc_block_best(t, sel) -> tuple:
+    """Per-block farthest-point candidate: among this block's
+    UNSELECTED points, the max over points of the min squared-L2
+    distance to the selected set (ties -> min vec_id). Returns
+    (min_dist, vec_id, qvec) or (None, None, None) when every point is
+    already selected. Integer-exact throughout."""
+    t = _as_table(t)
+    if t.num_rows == 0 or "vec_id" not in t.column_names:
+        return (None, None, None)  # column-less empty block (CLAUDE.md)
+    S, sel_ids = sel
+    ids = t.column("vec_id").to_numpy()
+    keep = ~np.isin(ids, sel_ids)
+    if not keep.any():
+        return (None, None, None)
+    Q = _kc_quantize(_flatten_matrix(t.column("embedding"), t.num_rows))
+    Q, ids = Q[keep], ids[keep]
+    mind = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(S.shape[0]):
+        diff = Q - S[j]  # (n, d) int64 scratch stays cache-sized
+        np.minimum(mind, np.einsum("ij,ij->i", diff, diff), out=mind)
+    best = mind.max()
+    cand = ids[mind == best]
+    vid = int(cand.min())
+    qvec = Q[ids == vid][0]
+    return (int(best), vid, qvec)
+
+
+def kcenter_select_embeddings(
+    emb: rd.Dataset, k: int = 8
+) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) diverse-subset selection — the
+    coverage-based data-selection primitive ("pick k maximally spread
+    exemplars"): seed with the min vec_id, then k-1 times add the point
+    whose min distance to the selected set is largest (ties -> min
+    vec_id). Distances are squared L2 over 2^20 fixed-point integer
+    codes, so every comparison — and therefore the selected set — is
+    exact and restatable in SQL (the quantized_topk discipline; a
+    float distance would put the argmax at the mercy of summation
+    order).
+
+    Shape: the kmeans_embeddings iterative pattern — ONE materialization
+    of (vec_id, embedding), then k-1 task waves over cached block refs;
+    each wave broadcasts the selected codes once (ray.put) and reduces
+    one (dist, id, d-dim code) candidate per block on the driver. Per
+    wave traffic is O(blocks * d); no shuffle at any step. 2-approx of
+    the optimal k-center cover (Gonzalez 1985).
+
+    Returns (sel_rank, vec_id, min_dist): min_dist is the point's
+    distance to the set at selection time (0 for the seed). Stops early
+    if the corpus has fewer than k points."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    emb = emb.select_columns(["vec_id", "embedding"]).materialize()
+    block_refs = [
+        br
+        for bundle in emb.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    empty = pd.DataFrame(
+        {
+            "sel_rank": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "min_dist": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not block_refs:
+        return empty
+    seeds = [
+        p
+        for p in ray.get(
+            [_km_block_min_k.remote(br, 1) for br in block_refs]
+        )
+        if len(p)
+    ]
+    if not seeds:
+        return empty
+    seed_row = (
+        pd.concat(seeds, ignore_index=True).sort_values("vec_id").iloc[0]
+    )
+    seed_q = _kc_quantize(
+        np.asarray(seed_row["embedding"], dtype=np.float32)[None, :]
+    )[0]
+    sel_ids = [int(seed_row["vec_id"])]
+    sel_q = [seed_q]
+    dists = [0]
+    while len(sel_ids) < k:
+        sel_ref = ray.put(
+            (np.stack(sel_q), np.asarray(sel_ids, dtype=np.int64))
+        )
+        cands = [
+            c
+            for c in ray.get(
+                [_kc_block_best.remote(br, sel_ref) for br in block_refs]
+            )
+            if c[0] is not None
+        ]
+        if not cands:
+            break  # fewer than k points in the corpus
+        best = min(cands, key=lambda c: (-c[0], c[1]))
+        dists.append(best[0])
+        sel_ids.append(best[1])
+        sel_q.append(best[2])
+    return pd.DataFrame(
+        {
+            "sel_rank": np.arange(len(sel_ids), dtype=np.int64),
+            "vec_id": np.asarray(sel_ids, dtype=np.int64),
+            "min_dist": np.asarray(dists, dtype=np.int64),
+        }
+    )

@@ -5584,6 +5584,90 @@ ORDER BY doc_id
 """
 
 
+def kcenter_select_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) diverse-subset selection over
+    the full embedding corpus — k=8 maximally-spread exemplars, integer
+    fixed-point distances so the argmax chain is exact (see
+    functions/ann.py for the scale shape: one materialization, k-1
+    task waves over cached block refs, O(blocks x d) per wave). The
+    oracle unrolls the IDENTICAL greedy iterations in SQL (same 2^20
+    quantizer, same least()-chained min-dist, same max-dist /
+    min-vec_id tie rule)."""
+    from ..functions.ann import kcenter_select_embeddings as _kc
+
+    return _kc(_t(sf_dir, "embeddings"), k=8)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy-k-center oracle: one (c_i, dd_i, m_i, sel_i) CTE
+    quad per selection — generated by a loop so the SQL can never drift
+    from the engine's iteration count or tie rules. Every CTE is
+    MATERIALIZED: sel_i references all earlier sel_j, so DuckDB's
+    default CTE inlining re-expands the chain super-exponentially
+    (measured: 8 levels unbounded at sf0.001). The center's d codes
+    are materialized per iteration (c_i) BEFORE the distance join —
+    joining q to q with a scalar-subquery filter on the b side defeats
+    pushdown and explodes to |V|^2 rows per dim (measured 3.3x on one
+    iteration at 500 vecs, quadratically worse beyond)."""
+    parts = [
+        """WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0 + 0.5)
+              AS BIGINT) AS code
+  FROM embeddings
+),
+sel0 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM embeddings)"""
+    ]
+    for i in range(1, k):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT dim, code FROM q WHERE vec_id = (SELECT vid FROM sel{i - 1})
+),
+dd{i} AS MATERIALIZED (
+  SELECT a.vec_id,
+         CAST(sum((a.code - c{i}.code) * (a.code - c{i}.code))
+              AS BIGINT) AS d
+  FROM q a JOIN c{i} USING (dim)
+  GROUP BY a.vec_id
+)""")
+        if i == 1:
+            parts.append(""",
+m1 AS MATERIALIZED (SELECT vec_id, d FROM dd1)""")
+        else:
+            parts.append(f""",
+m{i} AS MATERIALIZED (
+  SELECT m.vec_id, least(m.d, dd{i}.d) AS d
+  FROM m{i - 1} m JOIN dd{i} USING (vec_id)
+)""")
+        excl = " UNION ALL ".join(
+            f"SELECT vid FROM sel{j}" for j in range(i)
+        )
+        parts.append(f""",
+sel{i} AS MATERIALIZED (
+  SELECT vec_id AS vid, d
+  FROM m{i}
+  WHERE vec_id NOT IN ({excl})
+  ORDER BY d DESC, vec_id ASC
+  LIMIT 1
+)""")
+    sels = "\nUNION ALL\n".join(
+        [
+            "SELECT CAST(0 AS BIGINT) AS sel_rank, vid AS vec_id, "
+            "CAST(0 AS BIGINT) AS min_dist FROM sel0"
+        ]
+        + [
+            f"SELECT CAST({i} AS BIGINT), vid, d FROM sel{i}"
+            for i in range(1, k)
+        ]
+    )
+    parts.append(f"\n{sels}\nORDER BY sel_rank")
+    return "".join(parts)
+
+
+KCENTER_SQL = _kcenter_sql(8)
+
+
 def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
     """Time-travel DIFF of the replayed lake: what changed after epoch 1?
     Builds the same pinned CDC fixture lake as cdc_replay_lake, reads
@@ -6566,6 +6650,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_zorder_read": (cdc_lake_zorder_read, CDC_ZORDER_SQL),
     "cdc_lake_vacuum_read": (cdc_lake_vacuum_read, CDC_VACUUM_SQL),
     "cdc_incremental_dedup": (cdc_incremental_dedup, INCR_DEDUP_SQL),
+    "kcenter_select_embeddings": (kcenter_select_embeddings, KCENTER_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),

@@ -1868,3 +1868,67 @@ def test_source_drift_empty_and_single_source(tmp_path):
     assert list(got["token"]) == ["a", "b", "c"]
     assert list(got["src_ppm"]) == [
         5 * 1_000_000 // 13, 3 * 1_000_000 // 13, 3 * 1_000_000 // 13]
+
+
+def test_kcenter_select_matches_local_greedy():
+    """Distributed greedy k-center == a straight local reference (same
+    2^20 quantizer, same max-dist / min-vec_id tie rule), deterministic
+    across block layouts, early-stops when n < k, typed-empty on an
+    empty corpus."""
+    from data_sync_ray.functions.ann import kcenter_select_embeddings
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(scale=0.3, size=(60, 6)).astype(np.float32)
+    ids = rng.permutation(60).astype(np.int64)
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": [v.tolist() for v in X]}
+        )
+    )
+    k = 5
+    out = kcenter_select_embeddings(ds, k=k)
+
+    # local reference on the identical integer math
+    Q = np.floor(X.astype(np.float64) * 1048576.0 + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    Qs, idss = Q[order], ids[order]
+    sel = [0]  # min vec_id is 0 after the sort
+    dists = [0]
+    for _ in range(k - 1):
+        mind = np.full(len(idss), np.iinfo(np.int64).max, dtype=np.int64)
+        for s in sel:
+            diff = Qs - Qs[s]
+            np.minimum(mind, (diff * diff).sum(axis=1), out=mind)
+        mask = np.ones(len(idss), dtype=bool)
+        mask[sel] = False
+        best = mind[mask].max()
+        cand = idss[mask & (mind == best)]
+        nxt = int(np.flatnonzero(idss == cand.min())[0])
+        sel.append(nxt)
+        dists.append(int(best))
+    assert list(out["vec_id"]) == [int(idss[s]) for s in sel]
+    assert list(out["min_dist"]) == dists
+    assert list(out["sel_rank"]) == list(range(k))
+
+    # block-layout independence
+    again = kcenter_select_embeddings(ds.repartition(16), k=k)
+    pd.testing.assert_frame_equal(out, again)
+
+    # n < k: early stop with every point selected exactly once
+    small = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": ids[:3], "embedding": [v.tolist() for v in X[:3]]}
+        )
+    )
+    got = kcenter_select_embeddings(small, k=10)
+    assert len(got) == 3
+    assert sorted(got["vec_id"]) == sorted(int(i) for i in ids[:3])
+
+    # empty corpus: typed empty
+    empty = rd.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                      "embedding": pd.Series([], dtype=object)})
+    )
+    e = kcenter_select_embeddings(empty, k=3)
+    assert len(e) == 0 and list(e.columns) == [
+        "sel_rank", "vec_id", "min_dist"]
