@@ -97,6 +97,8 @@ QUERY_SAMPLE = [
     "source_drift_docs",
     "hourly_event_spikes",
     "doc_length_percentiles",
+    "cdc_incremental_dedup",
+    "kcenter_select_embeddings",
 ]
 
 
