@@ -99,6 +99,7 @@ QUERY_SAMPLE = [
     "doc_length_percentiles",
     "cdc_incremental_dedup",
     "kcenter_select_embeddings",
+    "cdc_incremental_neardup",
 ]
 
 

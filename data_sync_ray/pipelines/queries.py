@@ -5584,6 +5584,97 @@ ORDER BY doc_id
 """
 
 
+_NEARDUP_IDX_LOCK = threading.Lock()
+_NEARDUP_IDX_MEMO: dict[str, pd.DataFrame] = {}
+
+
+def cdc_incremental_neardup(sf_dir: str) -> pd.DataFrame:
+    """Cross-epoch incremental NEAR-dup (SimHash @ Hamming<=3): the
+    documents table arrives as four doc_id%4 epochs through a
+    persistent NearDupIndex (state/neardupindex.py) that drops anything
+    within Hamming 3 of ANY earlier-seen doc — earlier epoch first,
+    then smaller doc_id within the epoch (the streaming "seen" rule;
+    the module docstring states why the incremental semantics is
+    seen-based, not component-closure). 4x16-bit banding keeps each
+    commit's comparisons inside its own band bucket, complete at
+    Hamming<=3 by pigeonhole.
+
+    Oracle: NOT EXISTS over the pinned independent-reference signatures
+    (the simhash fixture), with the same band-equality precondition the
+    engine relies on — so the SQL checks banding completeness, the
+    seen-ordering, and the Hamming rule, not just signatures. Memoized
+    per process (the index directory is stateful)."""
+    with _NEARDUP_IDX_LOCK:
+        if sf_dir in _NEARDUP_IDX_MEMO:
+            return _NEARDUP_IDX_MEMO[sf_dir].copy()
+        from ..state.neardupindex import NearDupIndex
+
+        work = tempfile.mkdtemp(prefix="neardup_idx_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        idx = NearDupIndex.create(
+            os.path.join(work, "idx"), num_partitions=8
+        )
+        outs = []
+        for e in range(_INCR_DEDUP_EPOCHS):
+            eds = _t(sf_dir, "documents", columns=["doc_id", "text"]) \
+                .map_batches(
+                    lambda b, _e=e: b[
+                        b["doc_id"] % _INCR_DEDUP_EPOCHS == _e
+                    ],
+                    batch_format="pandas",
+                )
+            df = idx.ingest_epoch(eds, e).to_pandas()
+            if len(df) == 0:  # zero-row to_pandas is column-less
+                continue
+            df = df[["doc_id"]].copy()
+            df["epoch"] = np.int64(e)
+            outs.append(df)
+        out = (
+            pd.concat(outs, ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["epoch"] = out["epoch"].astype(np.int64)
+        _NEARDUP_IDX_MEMO[sf_dir] = out
+        return out.copy()
+
+
+#: seen-rule restatement over the pinned signatures: drop a iff some
+#: b earlier in (epoch, doc_id) order shares a 16-bit band AND is
+#: within Hamming 3 (band equality is implied by hamming<=3 — kept in
+#: the SQL so the oracle exercises the same candidate structure and
+#: DuckDB gets an equi-join instead of an n^2 nested loop)
+INCR_NEARDUP_SQL = f"""
+WITH t AS (
+  SELECT md5(text) AS tag FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+f AS (
+  SELECT s.doc_id, s.simhash_int,
+         CAST(s.doc_id % {_INCR_DEDUP_EPOCHS} AS BIGINT) AS epoch
+  FROM read_parquet('{_FIXTURE_DIR}/simhash_*.parquet') s, t
+  WHERE s.tag = t.tag
+),
+fb AS (
+  SELECT doc_id, simhash_int, epoch, b.band,
+         (simhash_int >> (16 * b.band)) & 65535 AS band_hash
+  FROM f, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+dropped AS (
+  SELECT DISTINCT a.doc_id
+  FROM fb a JOIN fb b USING (band, band_hash)
+  WHERE (b.epoch < a.epoch
+         OR (b.epoch = a.epoch AND b.doc_id < a.doc_id))
+    AND bit_count(xor(a.simhash_int, b.simhash_int)) <= 3
+)
+SELECT f.doc_id, f.epoch
+FROM f LEFT JOIN dropped d ON f.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+ORDER BY f.doc_id
+"""
+
+
 def kcenter_select_embeddings(sf_dir: str) -> pd.DataFrame:
     """Greedy k-center (farthest-point) diverse-subset selection over
     the full embedding corpus — k=8 maximally-spread exemplars, integer
@@ -6651,6 +6742,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lake_vacuum_read": (cdc_lake_vacuum_read, CDC_VACUUM_SQL),
     "cdc_incremental_dedup": (cdc_incremental_dedup, INCR_DEDUP_SQL),
     "kcenter_select_embeddings": (kcenter_select_embeddings, KCENTER_SQL),
+    "cdc_incremental_neardup": (cdc_incremental_neardup, INCR_NEARDUP_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),

@@ -387,17 +387,17 @@ class DedupIndex:
         folded = pd.concat(parts, ignore_index=True).sort_values(
             ["epoch", "doc_id"]
         )
+        folded["epoch"] = folded["epoch"].astype(np.int64)
+        folded["doc_id"] = folded["doc_id"].astype(np.int64)
         rel = os.path.join(
             f"part={partition:05d}", f"base-c{gen}.parquet"
         )
+        # schema-agnostic fold (subclasses carry different row shapes);
+        # deterministic column order + sort => idempotent retry bytes
         self.storage.obj_put_table(
             f"data/{rel}",
-            pa.Table.from_pydict(
-                {
-                    "content_hash": folded["content_hash"].to_numpy(),
-                    "doc_id": folded["doc_id"].to_numpy(np.int64),
-                    "epoch": folded["epoch"].to_numpy(np.int64),
-                },
+            pa.Table.from_pandas(
+                folded.reset_index(drop=True), preserve_index=False
             ),
         )
         old = [f for f in ckpt["files"] if f != rel]
