@@ -12,10 +12,11 @@ random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 7)
 LO = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
 HI = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
 MODE = sys.argv[4] if len(sys.argv) > 4 else "spill"
-# dedupidx mode swaps in the DedupIndex drive (multi-epoch incremental
-# dedup with mid-compaction kills); all other modes use the replay drive
+# dedupidx/neardup modes swap in the incremental-index drive
+# (multi-epoch ingest with mid-compaction kills; neardup = the SimHash
+# seen-rule index); all other modes use the replay drive
 DRIVE = ("/root/repo/tools/drive_dedupidx.py"
-         if MODE.startswith("dedupidx")
+         if MODE.startswith(("dedupidx", "neardup"))
          else "/root/repo/tools/drive_verify.py")
 fails = 0
 for trial in range(5):
