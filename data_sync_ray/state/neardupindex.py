@@ -152,44 +152,46 @@ class NearDupIndex(DedupIndex):
             )
         g = g.sort_values("doc_id").reset_index(drop=True)
         matched = np.zeros(len(g), dtype=bool)
-        # seen-history for this partition-slice: every stored row
-        hist = []
+        jk = ["band", "band_hash"]
+        probe = g[jk].assign(
+            _row=np.arange(len(g), dtype=np.int64),
+            _sig=g["simhash_int"].to_numpy(),
+            _did=g["doc_id"].to_numpy(np.int64),
+        )
+        # vs stored history: one equi-join on the bucket key per file
+        # wave (vectorized; join size = sum of bucket cross-products —
+        # tiny for hash-random signatures; a boilerplate-degenerate
+        # bucket grows it, the simhash_dup_pairs max_bucket hazard, but
+        # an index can't truncate without losing completeness)
         for rel in ckpt["files"]:
             t = self.storage.obj_read_table(
                 f"data/{rel}",
                 columns=["band", "band_hash", "simhash_int"],
             )
-            if t.num_rows:
-                hist.append(t.to_pandas())
-        hist_df = (
-            pd.concat(hist, ignore_index=True) if hist else None
-        )
-        for (b, bh), sub in g.groupby(["band", "band_hash"], sort=False):
-            sig_new = sub["simhash_int"].to_numpy().view(np.uint64)
-            idx_new = sub.index.to_numpy()
-            # vs stored history in the same bucket
-            if hist_df is not None:
-                hb = hist_df[
-                    (hist_df["band"] == b) & (hist_df["band_hash"] == bh)
-                ]
-                if len(hb):
-                    sig_old = (
-                        hb["simhash_int"].to_numpy().view(np.uint64)
-                    )
-                    for j, s in enumerate(sig_new):
-                        if matched[idx_new[j]]:
-                            continue
-                        ham = _popcount64(sig_old ^ s)
-                        if (ham <= max_hamming).any():
-                            matched[idx_new[j]] = True
-            # vs earlier-seen rows of the SAME epoch (smaller doc_id,
-            # regardless of their own matched state — the seen rule)
-            if len(sub) > 1:
-                ia, ib = np.triu_indices(len(sub), k=1)
-                ham = _popcount64(sig_new[ia] ^ sig_new[ib])
-                for a_i, b_i in zip(ia[ham <= max_hamming],
-                                    ib[ham <= max_hamming]):
-                    matched[idx_new[b_i]] = True  # doc_id-sorted: b later
+            if not t.num_rows:
+                continue
+            m = probe.merge(t.to_pandas(), on=jk)
+            if not len(m):
+                continue
+            ham = _popcount64(
+                m["_sig"].to_numpy().view(np.uint64)
+                ^ m["simhash_int"].to_numpy().view(np.uint64)
+            )
+            matched[np.unique(m["_row"].to_numpy()[ham <= max_hamming])] \
+                = True
+        # vs earlier-seen rows of the SAME epoch (smaller doc_id,
+        # regardless of their own matched state — the seen rule):
+        # self-join, keep strictly-later side
+        m = probe.merge(probe, on=jk, suffixes=("_a", "_b"))
+        m = m[m["_did_b"] < m["_did_a"]]
+        if len(m):
+            ham = _popcount64(
+                m["_sig_a"].to_numpy().view(np.uint64)
+                ^ m["_sig_b"].to_numpy().view(np.uint64)
+            )
+            matched[
+                np.unique(m["_row_a"].to_numpy()[ham <= max_hamming])
+            ] = True
         g["matched"] = matched.astype(np.int8)
         rel = None
         if len(g):

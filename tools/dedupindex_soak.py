@@ -16,7 +16,14 @@ generator against a pandas keep-first-over-(epoch, doc_id) oracle and
 must match id-for-id.
 
 Usage: PYTHONPATH=/root/repo python tools/dedupindex_soak.py
-           [n_per_epoch] [n_epochs] [cpus]
+           [n_per_epoch] [n_epochs] [cpus] [exact|neardup]
+
+neardup mode runs the same planted corpus through the SimHash
+NearDupIndex (state/neardupindex.py): with unique-token texts the only
+Hamming<=3 pairs are the planted exact dups (random 64-bit signatures
+collide at <=3 with p ~ 2.4e-12/pair), so the exact expected survivor
+counts carry over — what changes is the measured cost (SimHash + 4x
+band-row exchange + the per-doc OR exchange vs one md5 exchange).
 """
 import shutil
 import sys
@@ -119,11 +126,19 @@ def expected_survivors(n: int, epoch: int) -> int:
     return int((~_dup_mask(epoch, np.arange(n))).sum())
 
 
-def run(n: int, epochs: int, workdir: str, compact_at: int | None,
-        num_partitions: int = 32) -> list[dict]:
+def _index_cls(mode: str):
+    if mode == "neardup":
+        from data_sync_ray.state.neardupindex import NearDupIndex
+
+        return NearDupIndex
     from data_sync_ray.state.dedupindex import DedupIndex
 
-    idx = DedupIndex.create(
+    return DedupIndex
+
+
+def run(n: int, epochs: int, workdir: str, compact_at: int | None,
+        num_partitions: int = 32, mode: str = "exact") -> list[dict]:
+    idx = _index_cls(mode).create(
         f"{workdir}/idx", num_partitions=num_partitions
     )
     out = []
@@ -150,11 +165,14 @@ def run(n: int, epochs: int, workdir: str, compact_at: int | None,
     return out
 
 
-def parity_anchor(n: int, epochs: int, workdir: str) -> None:
-    """1/100-scale run vs the pandas keep-first oracle, id-for-id."""
-    from data_sync_ray.state.dedupindex import DedupIndex
-
-    idx = DedupIndex.create(f"{workdir}/anchor_idx", num_partitions=8)
+def parity_anchor(n: int, epochs: int, workdir: str,
+                  mode: str = "exact") -> None:
+    """1/100-scale run vs the pandas keep-first oracle, id-for-id
+    (valid for BOTH modes on this corpus: see the module docstring's
+    collision argument)."""
+    idx = _index_cls(mode).create(
+        f"{workdir}/anchor_idx", num_partitions=8
+    )
     got = []
     frames = []
     for e in range(epochs):
@@ -181,6 +199,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    mode = sys.argv[4] if len(sys.argv) > 4 else "exact"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=cpus,
                  include_dashboard=False, logging_level="ERROR")
@@ -189,12 +208,14 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     work = tempfile.mkdtemp(prefix="dedupindex_soak_")
     try:
-        parity_anchor(max(n // 100, 500), epochs, work)
-        rows = run(n, epochs, work, compact_at=epochs // 2 - 1)
+        parity_anchor(max(n // 100, 500), epochs, work, mode=mode)
+        rows = run(n, epochs, work, compact_at=epochs // 2 - 1,
+                   mode=mode)
         total = sum(r["wall_s"] for r in rows)
         first, last = rows[0]["wall_s"], rows[-1]["wall_s"]
         print(
             {
+                "mode": mode,
                 "n_per_epoch": n, "epochs": epochs, "cpus": cpus,
                 "total_wall_s": round(total, 2),
                 "docs_per_s_overall": int(n * epochs / total),
