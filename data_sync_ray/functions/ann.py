@@ -1225,3 +1225,124 @@ def kcenter_select_embeddings(
             "min_dist": np.asarray(dists, dtype=np.int64),
         }
     )
+
+
+# --- semantic decontamination -------------------------------------------------
+
+
+def semantic_decontaminate(
+    emb: rd.Dataset,
+    bench_mod: int = 50,
+    tau_sq_bp: int = 1225,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram `decontaminate_docs` (functions/dedup.py): flag every corpus
+    vector whose CENTERED 8-bit-quantized cosine against ANY benchmark
+    vector reaches tau, entirely in integer arithmetic so both engines
+    hash identically (cos >= tau  <=>  dot > 0 AND
+    dot^2 * 10000 >= tau_sq_bp * |a|^2 * |b|^2, with tau_sq_bp =
+    floor(tau^2 * 10000) exact by construction — no sqrt, no float
+    division anywhere). Benchmark membership is deterministic
+    (vec_id % bench_mod == 0), standing in for the eval-set embedding
+    table a production run would broadcast.
+
+    Scale shape: one min/max partial pass (tiny driver merge of
+    per-64k-row D-vectors), benchmark codes broadcast ONCE via ray.put
+    (the small side — real benchmark sets are thousands of rows, never
+    a corpus fraction), then a single streamed map_batches with one
+    (B x D) @ (D x K) integer matmul per batch and bounded rows out
+    (contaminated only). No shuffle, no driver materialization.
+
+    Bounds (D <= ~2000 dims): |cc| <= 128, |dot| <= 128^2 * D;
+    dot^2 * 10000 <= 2.7e18 * (D/2000)^2 and tau_sq_bp * n2a * n2b
+    likewise stay inside int64 for any realistic D.
+
+    Reference analog: none — training-data operator family on top of
+    the reference's sync surface.
+    """
+    pruned = emb.select_columns(["vec_id", "embedding"]).materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], _LIST_F64),
+                             "mx": pa.array([], _LIST_F64)})
+        M = _flatten_matrix(t.column("embedding"), t.num_rows)
+        return pa.table(
+            {"mn": _uniform_list_array(M.min(axis=0)[None, :]),
+             "mx": _uniform_list_array(M.max(axis=0)[None, :])}
+        )
+
+    _EMPTY = pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "hits": pd.Series([], dtype="int64"),
+         "best_dot": pd.Series([], dtype="int64")}
+    )
+    parts = pruned.map_batches(
+        mm_partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    if not parts:
+        return _EMPTY
+    mn = np.min(np.vstack([np.asarray(r["mn"]) for r in parts]), axis=0)
+    mx = np.max(np.vstack([np.asarray(r["mx"]) for r in parts]), axis=0)
+    rng = mx - mn
+    safe = np.where(rng == 0.0, 1.0, rng)
+    zero = rng == 0.0
+
+    def codes_c(M: np.ndarray) -> np.ndarray:
+        # identical expression + operation order as the SQL oracle:
+        # (least(255, greatest(0, floor((x-mn)/(mx-mn)*255+0.5))) - 128;
+        # zero-range dims quantize to 0 - 128 = -128 on both sides
+        c = np.clip(np.floor((M - mn) / safe * 255.0 + 0.5), 0.0, 255.0)
+        c[:, zero] = 0.0
+        return (c - 128.0).astype(np.int64)
+
+    def bench_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["vec_id"].to_numpy(np.int64) % bench_mod == 0
+        return batch.loc[keep]
+
+    bench = pruned.map_batches(
+        bench_rows, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    if bench.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return _EMPTY
+    bq = codes_c(_stack(bench["embedding"]))
+    b_ref = ray.put(
+        (bq, (bq * bq).sum(axis=1), mn, safe, zero)
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        bcodes, bn2, bmn, bsafe, bzero = ray.get(b_ref)
+        ids = batch["vec_id"].to_numpy(np.int64)
+        cand = ids % bench_mod != 0
+        if not cand.any():
+            return _EMPTY
+        ids = ids[cand]
+        M = _stack(batch["embedding"].iloc[np.flatnonzero(cand)])
+        c = np.clip(np.floor((M - bmn) / bsafe * 255.0 + 0.5), 0.0, 255.0)
+        c[:, bzero] = 0.0
+        ccf = c - 128.0
+        # float64 BLAS matmul, then cast: exact — |cc| <= 128, so
+        # |dot| <= 128^2 * D << 2^53; the int64-overflow-prone products
+        # below run in int64
+        dot = (ccf @ bcodes.T.astype(np.float64)).astype(np.int64)
+        n2 = (ccf * ccf).sum(axis=1).astype(np.int64)
+        hit = (dot > 0) & (
+            dot * dot * 10000 >= tau_sq_bp * n2[:, None] * bn2[None, :]
+        )
+        nh = hit.sum(axis=1).astype(np.int64)
+        flag = nh > 0
+        if not flag.any():
+            return _EMPTY
+        best = np.where(hit, dot, np.iinfo(np.int64).min).max(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids[flag], "hits": nh[flag],
+             "best_dot": best[flag].astype(np.int64)}
+        )
+
+    out = pruned.map_batches(
+        score, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    if out.empty:
+        return _EMPTY
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -5759,6 +5759,128 @@ sel{i} AS MATERIALIZED (
 KCENTER_SQL = _kcenter_sql(8)
 
 
+def export_shuffled_docs(sf_dir: str, shards: int = 8) -> pd.DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export — the primitive every tokenize-and-shard export needs, as a
+    pure function of the ids: order docs by the 48-bit integer prefix
+    of md5('shuf:' || doc_id), shard = H % shards, position = rank
+    within the shard. Re-runs, resumed shards and DIFFERENT ENGINES
+    agree doc-by-doc (Ray's random_shuffle is none of those things),
+    and a failed export resumes per shard. Scale shape: the hash map is
+    embarrassingly parallel; ONE exchange on the shard key; the
+    within-shard rank sort is per-shard local (production keeps shard
+    SIZE fixed — e.g. 256 MB — so shard count scales with the corpus
+    and each per_group sort stays task-sized). 48 bits keeps H exact in
+    both engines' int64; H % shards is numpy int64 % python-int = int64
+    (no uint64 promotion hazard)."""
+
+    def hsh(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        hv = np.array(
+            [
+                int(hashlib.md5(f"shuf:{int(i)}".encode())
+                    .hexdigest()[:12], 16)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "hv": hv, "shard": hv % shards}
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"]).reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(hsh, batch_format="pandas")
+        .sort("shard")
+        .map_batches(
+            per_group(rank, "shard"), batch_size=None,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if out.empty:  # zero-row to_pandas is COLUMN-LESS (CLAUDE.md)
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "shard": pd.Series([], dtype="int64"),
+             "pos": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+EXPORT_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(
+             md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           AS hv
+  FROM documents
+)
+SELECT doc_id, hv % 8 AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+"""
+
+
+def semantic_decontaminate_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space decontamination against a deterministic
+    benchmark subset (vec_id % 50 == 0 stands in for the eval-set
+    embeddings a production run would broadcast): flag every corpus
+    vector whose centered-8-bit-quantized cosine reaches tau = 0.35,
+    entirely in integer arithmetic (dot > 0 AND dot^2 * 10000 >=
+    1225 * |a|^2 * |b|^2) so both engines hash identically. The
+    semantic sibling of the n-gram decontaminate_docs. One broadcast,
+    one streamed matmul pass, bounded rows out (functions/ann.py
+    semantic_decontaminate)."""
+    from ..functions.ann import semantic_decontaminate
+
+    return semantic_decontaminate(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        bench_mod=50, tau_sq_bp=1225,
+    )
+
+
+SEMANTIC_DECON_SQL = """
+WITH d AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+q AS (
+  SELECT d.vec_id, d.dim,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(255, greatest(0, CAST(
+                floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)))
+         END - 128 AS cc
+  FROM d JOIN mm USING (dim)
+),
+n AS (SELECT vec_id, CAST(sum(cc * cc) AS BIGINT) AS n2 FROM q GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS cand, b.vec_id AS bench,
+         CAST(sum(a.cc * b.cc) AS BIGINT) AS dot
+  FROM q a JOIN q b USING (dim)
+  WHERE b.vec_id % 50 = 0 AND a.vec_id % 50 <> 0
+  GROUP BY 1, 2
+),
+hit AS (
+  SELECT d.cand AS vec_id, d.dot
+  FROM dots d
+  JOIN n na ON na.vec_id = d.cand
+  JOIN n nb ON nb.vec_id = d.bench
+  WHERE d.dot > 0 AND d.dot * d.dot * 10000 >= 1225 * na.n2 * nb.n2
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS hits,
+       CAST(max(dot) AS BIGINT) AS best_dot
+FROM hit GROUP BY 1 ORDER BY vec_id
+"""
+
+
 def cdc_epoch_diff(sf_dir: str, num_parts: int = 16) -> pd.DataFrame:
     """Time-travel DIFF of the replayed lake: what changed after epoch 1?
     Builds the same pinned CDC fixture lake as cdc_replay_lake, reads
@@ -6743,6 +6865,9 @@ QUERIES: dict[str, tuple] = {
     "cdc_incremental_dedup": (cdc_incremental_dedup, INCR_DEDUP_SQL),
     "kcenter_select_embeddings": (kcenter_select_embeddings, KCENTER_SQL),
     "cdc_incremental_neardup": (cdc_incremental_neardup, INCR_NEARDUP_SQL),
+    "export_shuffled_docs": (export_shuffled_docs, EXPORT_SHUFFLE_SQL),
+    "semantic_decontaminate_embeddings": (
+        semantic_decontaminate_embeddings, SEMANTIC_DECON_SQL),
     "cdc_lake_hll_view": (cdc_lake_hll_view, CDC_HLL_SQL),
     "consistent_sample_docs": (consistent_sample_docs, CONSISTENT_SAMPLE_SQL),
     "split_assign_docs": (split_assign_docs, SPLIT_ASSIGN_SQL),

@@ -1932,3 +1932,97 @@ def test_kcenter_select_matches_local_greedy():
     e = kcenter_select_embeddings(empty, k=3)
     assert len(e) == 0 and list(e.columns) == [
         "sel_rank", "vec_id", "min_dist"]
+
+
+def test_semantic_decontaminate_matches_bruteforce():
+    """Distributed embedding decontamination == a local reference on
+    the identical centered-8-bit quantizer and integer threshold;
+    layout-independent; typed-empty on empty / no-benchmark corpora."""
+    from data_sync_ray.functions.ann import semantic_decontaminate
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(80, 8)).astype(np.float32)
+    # plant near-dups of benchmark rows (ids 0, 10, 20, ... are bench
+    # at bench_mod=10)
+    X[3] = X[0] + rng.normal(scale=0.01, size=8).astype(np.float32)
+    X[27] = X[20] * 1.02
+    ids = np.arange(80, dtype=np.int64)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids,
+                      "embedding": [v.tolist() for v in X]})
+    )
+    tau_sq_bp = 8100  # tau = 0.9
+    out = semantic_decontaminate(ds, bench_mod=10, tau_sq_bp=tau_sq_bp)
+
+    # local reference, same arithmetic
+    M = X.astype(np.float64)
+    mn, mx = M.min(0), M.max(0)
+    rngd = mx - mn
+    safe = np.where(rngd == 0, 1, rngd)
+    c = np.clip(np.floor((M - mn) / safe * 255.0 + 0.5), 0, 255)
+    c[:, rngd == 0] = 0
+    cc = (c - 128.0).astype(np.int64)
+    bench = ids % 10 == 0
+    dot = cc[~bench] @ cc[bench].T
+    n2 = (cc * cc).sum(1)
+    hit = (dot > 0) & (
+        dot * dot * 10000
+        >= tau_sq_bp * n2[~bench][:, None] * n2[bench][None, :]
+    )
+    exp_ids = ids[~bench][hit.any(1)]
+    assert list(out["vec_id"]) == sorted(int(i) for i in exp_ids)
+    assert {3, 27} <= set(out["vec_id"])
+    for _, r in out.iterrows():
+        i = int(np.flatnonzero(ids[~bench] == r["vec_id"])[0])
+        assert r["hits"] == int(hit[i].sum())
+        assert r["best_dot"] == int(dot[i][hit[i]].max())
+
+    again = semantic_decontaminate(
+        ds.repartition(16), bench_mod=10, tau_sq_bp=tau_sq_bp
+    )
+    pd.testing.assert_frame_equal(out, again)
+
+    # empty corpus -> typed empty
+    empty = rd.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                      "embedding": pd.Series([], dtype=object)})
+    )
+    e = semantic_decontaminate(empty)
+    assert len(e) == 0 and list(e.columns) == [
+        "vec_id", "hits", "best_dot"]
+
+    # corpus with no benchmark member -> typed empty (nothing to hit)
+    nob = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids[1:9],
+                      "embedding": [v.tolist() for v in X[1:9]]})
+    )
+    nb = semantic_decontaminate(nob, bench_mod=1000)
+    # 0 % 1000 == 0 is absent: no bench rows at all
+    assert len(nb) == 0 and list(nb.columns) == [
+        "vec_id", "hits", "best_dot"]
+
+
+def test_export_shuffle_deterministic_and_complete():
+    """Shard assignment + in-shard rank is a pure function of the ids:
+    layout-independent, every doc exactly once, positions are dense
+    0..n_s-1 per shard, and the order matches the md5-prefix sort."""
+    import hashlib as _hl
+
+    from data_sync_ray.pipelines.queries import export_shuffled_docs
+
+    out = export_shuffled_docs("/root/testdata/sf0.001", shards=8)
+    n = len(out)
+    assert sorted(out["doc_id"]) == sorted(set(out["doc_id"]))
+    for s, g in out.groupby("shard"):
+        assert list(g["pos"]) == list(range(len(g)))
+        hv = [
+            int(_hl.md5(f"shuf:{int(i)}".encode()).hexdigest()[:12], 16)
+            for i in g["doc_id"]
+        ]
+        assert all(h % 8 == s for h in hv)
+        assert hv == sorted(hv) or list(
+            zip(hv, g["doc_id"])
+        ) == sorted(zip(hv, g["doc_id"]))
+    again = export_shuffled_docs("/root/testdata/sf0.001", shards=8)
+    pd.testing.assert_frame_equal(out, again)
+    assert n > 0
