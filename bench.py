@@ -100,6 +100,8 @@ QUERY_SAMPLE = [
     "cdc_incremental_dedup",
     "kcenter_select_embeddings",
     "cdc_incremental_neardup",
+    "export_shuffled_docs",
+    "semantic_decontaminate_embeddings",
 ]
 
 
