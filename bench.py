@@ -207,11 +207,25 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     filtering one-off host noise."""
     from data_sync_ray.pipelines.queries import QUERIES
 
+    # Result-memoized per process BY DESIGN (a stateful dedup index
+    # must not re-ingest within one process) — a second run returns the
+    # memo in ~0 ms, so min() would record nothing; take the first
+    # (real) run instead.
+    memoized = {"cdc_incremental_dedup", "cdc_incremental_neardup"}
+    # One untimed settle run: the query phase starts right after the
+    # replay benchmark drained 6.3M events through the object store;
+    # the first query otherwise absorbs that session's spill/page-cache
+    # turbulence in BOTH of its timed runs (measured: q1 4.4s in-bench
+    # vs 0.89s standalone-warm, round-5 adjudication).
+    try:
+        QUERIES[QUERY_SAMPLE[0]][0](sf_dir)
+    except Exception:
+        pass
     out = {}
     for name in QUERY_SAMPLE:
         fn = QUERIES[name][0]
         times = []
-        for _ in range(2):
+        for _ in range(1 if name in memoized else 2):
             t0 = time.perf_counter()
             res = fn(sf_dir)
             # force execution for lazy results
