@@ -6839,6 +6839,433 @@ FROM s
 """
 
 
+# --- round-5 continuation: CC profile, collocations, source formats --------
+
+
+def dup_cluster_profile_docs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER PROFILE: distributed connected components over
+    the SimHash Hamming<=3 pair graph (the same provably-complete
+    4x16-band pairing `simhash_dedup_keep_first` verifies), reduced to
+    the cluster-size histogram with a sum-of-roots column per size —
+    so the oracle hash pins the component LABELING itself (every
+    cluster's min-doc_id root), not just the derived drop set.
+    Singletons (docs in no pair) are size-1 clusters rooted at
+    themselves. Integer-only output.
+
+    Scale shape: pairs come from the banding exchange; labeling is
+    `connected_components_distributed` (the min-label-propagation path
+    a 100-TB corpus auto-selects — per-round co-partition exchanges,
+    state in the object store); per-root sizes take ONE fixed-int-bucket
+    exchange on root % P; the histogram is a bounded-cardinality
+    tree-sum, so the driver holds only (distinct sizes x parts) partial
+    rows. Singleton stats are two O(1) dataset aggregates, never a
+    node-set materialization."""
+    from ..functions.dedup import (
+        connected_components_distributed,
+        simhash_dup_pairs,
+    )
+
+    ids = _t(sf_dir, "documents", ["doc_id"])
+    n_total = ids.count()
+    sum_total = int(ids.sum("doc_id") or 0)
+    empty = pd.DataFrame(
+        {
+            "cluster_size": pd.Series([], dtype="int64"),
+            "n_clusters": pd.Series([], dtype="int64"),
+            "sum_root": pd.Series([], dtype="int64"),
+        }
+    )
+    if n_total == 0:
+        return empty
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    pairs = simhash_dup_pairs(
+        docs, max_hamming=3, max_bucket=None
+    ).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame(
+            {
+                "cluster_size": np.array([1], dtype=np.int64),
+                "n_clusters": np.array([n_total], dtype=np.int64),
+                "sum_root": np.array([sum_total], dtype=np.int64),
+            }
+        )
+    roots = connected_components_distributed(pairs).materialize()
+    n_graph = roots.count()
+    sum_graph = int(roots.sum("doc_id") or 0)
+    P = 16
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            batch["root"].to_numpy(dtype=np.int64) % P
+        ).astype(np.int64)
+        return batch
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        # a root's WHOLE cluster is co-located here (routed on root)
+        sizes = g.groupby("root", sort=False).size().reset_index(name="sz")
+        h = sizes.groupby("sz", sort=False)
+        return pd.DataFrame(
+            {
+                "cluster_size": h.size().index.to_numpy(dtype=np.int64),
+                "n_clusters": h.size().to_numpy(dtype=np.int64),
+                "sum_root": h["root"].sum().to_numpy(dtype=np.int64),
+            }
+        )
+
+    hist = tree_sum_by_key(
+        roots.map_batches(route, batch_format="pandas", batch_size=65536)
+        .sort("_part")
+        .map_batches(per_group(prof, "_part"),
+                     batch_size=None, batch_format="pyarrow"),
+        ["cluster_size"],
+    )
+    n_single = n_total - n_graph
+    if n_single > 0:
+        hist = pd.concat(
+            [
+                hist,
+                pd.DataFrame(
+                    {
+                        "cluster_size": np.array([1], dtype=np.int64),
+                        "n_clusters": np.array([n_single], dtype=np.int64),
+                        "sum_root": np.array(
+                            [sum_total - sum_graph], dtype=np.int64
+                        ),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    hist = hist.sort_values("cluster_size").reset_index(drop=True)
+    return hist.astype(
+        {"cluster_size": np.int64, "n_clusters": np.int64,
+         "sum_root": np.int64}
+    )
+
+
+#: exact Hamming-closure components over the pinned reference
+#: signatures (same CTE chain as SIMHASH_KEEP_FIRST_SQL), profiled.
+#: Graph clusters always have size >= 2, so the singleton UNION branch
+#: can never collide with a histogram row.
+DUP_CLUSTER_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT md5(text) AS tag FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+f AS (
+  SELECT doc_id, simhash_int
+  FROM read_parquet('{_FIXTURE_DIR}/simhash_*.parquet') s, t
+  WHERE s.tag = t.tag
+),
+dup_pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM f a JOIN f b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash_int, b.simhash_int)) <= 3
+),
+edges AS (
+  SELECT u, v FROM dup_pairs UNION SELECT v, u FROM dup_pairs
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.b FROM edges e JOIN reach r ON e.v = r.a
+),
+label AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+sizes AS (SELECT root, count(*) AS sz FROM label GROUP BY root),
+hist AS (
+  SELECT sz AS cluster_size, count(*) AS n_clusters,
+         sum(root) AS sum_root
+  FROM sizes GROUP BY sz
+),
+singles AS (
+  SELECT 1 AS cluster_size, count(*) AS n_clusters,
+         sum(d.doc_id) AS sum_root
+  FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(sum_root AS BIGINT) AS sum_root
+FROM (SELECT * FROM hist UNION ALL
+      SELECT * FROM singles WHERE n_clusters > 0)
+ORDER BY cluster_size
+"""
+
+
+def collocation_topk_docs(
+    sf_dir: str, min_count: int = 5, k: int = 30, delta: int = 1
+) -> pd.DataFrame:
+    """Collocation mining (word2phrase, Mikolov et al. 2013 §4): the
+    top-k adjacent token bigrams by association score
+    score = (count(ab) - delta) * N / (count(a) * count(b)), computed in
+    EXACT fixed-point — score_fp = ((cnt-delta) * N * 10^6) //
+    (cnt_a * cnt_b), every operand an integer, both engines floor
+    identically, so the hash cannot hinge on float division. Ties break
+    on (tok_a, tok_b). Python-int arithmetic on the bounded candidate
+    frame keeps the product exact; at 10^10-token scale the 10^6
+    fixed-point scale would be lowered (or kept in int128) — the
+    counting path, which is the hot one, never forms the product.
+
+    Scale shape: unigram counts are per-batch value_counts partials
+    tree-summed (vocabulary-bounded — the token_commonness broadcast
+    caveat applies; an open vocabulary would route candidates through
+    two more hash(token) co-partition exchanges instead); bigram counts
+    are per-batch combiners -> ONE hash(tok_a,tok_b) % P exchange ->
+    per-part sum + min_count prune + score + local top-k; the driver
+    merges P bounded top-k partials."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    P = 16
+    uni_empty = pd.DataFrame(
+        {"token": pd.Series([], dtype="object"),
+         "c": pd.Series([], dtype="int64")}
+    )
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch["text"].str.split().explode().dropna()
+        if ex.empty:
+            return uni_empty
+        vc = ex.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object),
+             "c": vc.to_numpy(dtype=np.int64)}
+        )
+
+    uni = tree_sum_by_key(
+        docs.map_batches(uni_partial, batch_format="pandas"), ["token"]
+    )
+    out_empty = pd.DataFrame(
+        {
+            "tok_a": pd.Series([], dtype="object"),
+            "tok_b": pd.Series([], dtype="object"),
+            "pair_cnt": pd.Series([], dtype="int64"),
+            "cnt_a": pd.Series([], dtype="int64"),
+            "cnt_b": pd.Series([], dtype="int64"),
+            "score_fp": pd.Series([], dtype="int64"),
+        }
+    )
+    if uni.empty:
+        return out_empty
+    nt = int(uni["c"].sum())
+    v_ref = ray.put(dict(zip(uni["token"], uni["c"].astype(np.int64))))
+
+    bi_empty = pd.DataFrame(
+        {
+            "tok_a": pd.Series([], dtype="object"),
+            "tok_b": pd.Series([], dtype="object"),
+            "pair_cnt": pd.Series([], dtype="int64"),
+            "_part": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def bi_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.set_index("doc_id")["text"].str.split()
+        ex = toks.explode().dropna()
+        if len(ex) < 2:
+            return bi_empty
+        ids = ex.index.to_numpy()
+        w = ex.to_numpy()
+        m = ids[1:] == ids[:-1]  # adjacent within one doc only
+        if not m.any():
+            return bi_empty
+        df = pd.DataFrame({"tok_a": w[:-1][m], "tok_b": w[1:][m]})
+        out = (
+            df.groupby(["tok_a", "tok_b"], sort=False)
+            .size()
+            .reset_index(name="pair_cnt")
+        )
+        out["pair_cnt"] = out["pair_cnt"].astype(np.int64)
+        h = pd.util.hash_pandas_object(
+            out[["tok_a", "tok_b"]], index=False
+        )
+        out["_part"] = (h.to_numpy() % P).astype(np.int64)
+        return out
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["tok_a", "tok_b"], sort=False)["pair_cnt"]
+            .sum()
+            .reset_index()
+        )
+        s = s[s["pair_cnt"] >= min_count]
+        if s.empty:
+            return out_empty
+        v = ray.get(v_ref)
+        ca = s["tok_a"].map(v).to_numpy(dtype=np.int64)
+        cb = s["tok_b"].map(v).to_numpy(dtype=np.int64)
+        cnt = s["pair_cnt"].to_numpy(dtype=np.int64)
+        # exact big-int fixed point on the BOUNDED candidate frame
+        score = np.fromiter(
+            (
+                ((int(c) - delta) * nt * 1_000_000) // (int(a) * int(b))
+                for c, a, b in zip(cnt, ca, cb)
+            ),
+            dtype=np.int64,
+            count=len(cnt),
+        )
+        out = pd.DataFrame(
+            {
+                "tok_a": s["tok_a"].to_numpy(dtype=object),
+                "tok_b": s["tok_b"].to_numpy(dtype=object),
+                "pair_cnt": cnt,
+                "cnt_a": ca,
+                "cnt_b": cb,
+                "score_fp": score,
+            }
+        )
+        return out.sort_values(
+            ["score_fp", "tok_a", "tok_b"], ascending=[False, True, True]
+        ).head(k)
+
+    parts = (
+        docs.map_batches(bi_partial, batch_format="pandas")
+        .sort("_part")
+        .map_batches(per_group(score_part, "_part"),
+                     batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return out_empty
+    return (
+        parts.sort_values(
+            ["score_fp", "tok_a", "tok_b"], ascending=[False, True, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+        .astype(
+            {"pair_cnt": np.int64, "cnt_a": np.int64, "cnt_b": np.int64,
+             "score_fp": np.int64}
+        )
+    )
+
+
+COLLOCATION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS w,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+n AS (SELECT count(*) AS nt FROM tok),
+bi AS (
+  SELECT a.w AS tok_a, b.w AS tok_b, count(*) AS pair_cnt
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b,
+       CAST(pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(ua.c AS BIGINT) AS cnt_a,
+       CAST(ub.c AS BIGINT) AS cnt_b,
+       CAST((CAST(pair_cnt - 1 AS HUGEINT) * nt * 1000000)
+            // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS score_fp
+FROM bi JOIN uni ua ON bi.tok_a = ua.w JOIN uni ub ON bi.tok_b = ub.w, n
+WHERE pair_cnt >= 5
+ORDER BY score_fp DESC, tok_a, tok_b
+LIMIT 30
+"""
+
+
+_ROUNDTRIP_LOCK = threading.Lock()
+_ROUNDTRIP_DIRS: dict = {}
+
+
+def _export_docs(sf_dir: str, fmt: str) -> str:
+    """Export documents(doc_id, source, text) to JSONL or CSV shards
+    under /tmp ONCE per (sf_dir, fmt) per process — the read-back half
+    of the roundtrip is the operator under test. Sharded files (one per
+    input block), never one giant file."""
+    key = (os.path.abspath(sf_dir), fmt)
+    with _ROUNDTRIP_LOCK:
+        if key in _ROUNDTRIP_DIRS:
+            return _ROUNDTRIP_DIRS[key]
+        out = tempfile.mkdtemp(prefix=f"docs_{fmt}_")
+        ds = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+        if fmt == "jsonl":
+            ds.write_json(out)
+        else:
+            ds.write_csv(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        _ROUNDTRIP_DIRS[key] = out
+        return out
+
+
+def _roundtrip_stats(ds: rd.Dataset) -> pd.DataFrame:
+    """Per-source integer stats over a read-back documents dataset —
+    any mangling of ids or text bytes through the wire format flips
+    sum_doc_id / sum_text_len and the oracle hash."""
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "sum_doc_id": pd.Series([], dtype="int64"),
+            "sum_text_len": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return empty
+        batch = batch.assign(
+            _len=batch["text"].str.len().astype(np.int64)
+        )
+        g = batch.groupby("source", sort=False)
+        return pd.DataFrame(
+            {
+                "source": g.size().index.to_numpy(dtype=object),
+                "n_docs": g.size().to_numpy(dtype=np.int64),
+                "sum_doc_id": g["doc_id"].sum().to_numpy(dtype=np.int64),
+                "sum_text_len": g["_len"].sum().to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = tree_sum_by_key(
+        ds.map_batches(partial, batch_format="pandas"), ["source"]
+    )
+    if out.empty:
+        return empty
+    return (
+        out.sort_values("source")
+        .reset_index(drop=True)
+        .astype(
+            {"n_docs": np.int64, "sum_doc_id": np.int64,
+             "sum_text_len": np.int64}
+        )
+    )
+
+
+def jsonl_roundtrip_docs(sf_dir: str) -> pd.DataFrame:
+    """JSONL source format end-to-end: documents exported to line-JSON
+    shards, read back with `ray.data.read_json`, then per-source
+    integer stats checked against the parquet originals — the format
+    adapter a web-crawl corpus (WARC-derived JSONL) lands in. Escaping,
+    unicode, and numeric fidelity are all on the hook: one mangled
+    byte flips sum_text_len."""
+    path = _export_docs(sf_dir, "jsonl")
+    return _roundtrip_stats(rd.read_json(path))
+
+
+def csv_roundtrip_docs(sf_dir: str) -> pd.DataFrame:
+    """CSV source format end-to-end (arrow CSV writer/parser: quoting,
+    embedded-delimiter escaping), same per-source stats oracle as the
+    JSONL roundtrip."""
+    path = _export_docs(sf_dir, "csv")
+    return _roundtrip_stats(rd.read_csv(path))
+
+
+#: shared oracle for both roundtrips: the stats over the ORIGINAL
+#: parquet view — a lossy wire format cannot reproduce them.
+ROUNDTRIP_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6890,6 +7317,10 @@ QUERIES: dict[str, tuple] = {
     "quantized_ann_topk": (quantized_ann_topk, QUANTIZED_ANN_SQL),
     "bigram_lm_docs": (bigram_lm_docs, BIGRAM_LM_SQL),
     "bpe_encode_docs": (bpe_encode_docs, BPE_ENCODE_SQL),
+    "dup_cluster_profile_docs": (dup_cluster_profile_docs, DUP_CLUSTER_SQL),
+    "collocation_topk_docs": (collocation_topk_docs, COLLOCATION_SQL),
+    "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, ROUNDTRIP_SQL),
+    "csv_roundtrip_docs": (csv_roundtrip_docs, ROUNDTRIP_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "top10_orders": (top10_orders, TOP10_SQL),
     "distinct_sources": (distinct_sources, DISTINCT_SQL),

@@ -2026,3 +2026,215 @@ def test_export_shuffle_deterministic_and_complete():
     again = export_shuffled_docs("/root/testdata/sf0.001", shards=8)
     pd.testing.assert_frame_equal(out, again)
     assert n > 0
+
+
+def _write_docs_dir(tmp_path, texts, sources=None):
+    """Write a minimal sf-dir-shaped documents.parquet for query-level
+    operators that take sf_dir."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(
+                sources if sources is not None
+                else [f"s{i % 3}" for i in range(n)]
+            ),
+            "n_chars": np.array([len(s) for s in texts], dtype=np.int64),
+        }
+    )
+    d = tmp_path / "sfdocs"
+    os.makedirs(d, exist_ok=True)
+    _pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupClusterProfile:
+    def test_profile_matches_bruteforce_cc(self, tmp_path):
+        """Engine CC profile (distributed min-label over SimHash
+        Hamming<=3 pairs) == local union-find over the brute-force
+        all-pairs Hamming closure of the SAME signatures: identical
+        cluster-size histogram AND sum-of-roots per size (pins the root
+        assignment, not just sizes), singletons included."""
+        from data_sync_ray.functions.dedup import SimHasher
+        from data_sync_ray.pipelines.queries import (
+            dup_cluster_profile_docs,
+        )
+
+        rng = np.random.default_rng(19)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = []
+        for i in range(60):
+            texts.append(
+                " ".join(rng.choice(vocab, size=25).tolist())
+            )
+        # planted exact-copy chains -> guaranteed Hamming-0 clusters of
+        # size 3, 2, 2 (plus whatever random collisions arise)
+        texts[10] = texts[11] = texts[12]
+        texts[30] = texts[31]
+        texts[50] = texts[51]
+        sf = _write_docs_dir(tmp_path, texts)
+
+        got = dup_cluster_profile_docs(sf)
+
+        sig = SimHasher()(
+            pd.DataFrame(
+                {"doc_id": np.arange(len(texts), dtype=np.int64),
+                 "text": texts}
+            )
+        )["simhash"].to_numpy().astype(np.uint64)
+        n = len(sig)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if bin(int(sig[i]) ^ int(sig[j])).count("1") <= 3:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = {}
+        for i in range(n):
+            roots.setdefault(find(i), []).append(i)
+        hist = {}
+        for r, mem in roots.items():
+            sz = len(mem)
+            c, s = hist.get(sz, (0, 0))
+            hist[sz] = (c + 1, s + min(mem))
+        exp = (
+            pd.DataFrame(
+                {
+                    "cluster_size": sorted(hist),
+                    "n_clusters": [hist[s][0] for s in sorted(hist)],
+                    "sum_root": [hist[s][1] for s in sorted(hist)],
+                }
+            ).astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+        # the planted chains produced real multi-doc clusters
+        assert (got["cluster_size"] >= 2).any()
+        assert int((got["cluster_size"] * got["n_clusters"]).sum()) == n
+
+    def test_dup_free_corpus_is_all_singletons(self, tmp_path):
+        from data_sync_ray.pipelines.queries import (
+            dup_cluster_profile_docs,
+        )
+
+        # unique single-token texts: random 64-bit signatures, a
+        # Hamming<=3 collision has p ~ 2.4e-12 per pair
+        texts = [f"uniqtok{i}" for i in range(30)]
+        sf = _write_docs_dir(tmp_path, texts)
+        got = dup_cluster_profile_docs(sf)
+        assert got["cluster_size"].tolist() == [1]
+        assert got["n_clusters"].tolist() == [30]
+        assert got["sum_root"].tolist() == [sum(range(30))]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCollocation:
+    def test_topk_matches_bruteforce(self, tmp_path):
+        """Engine top-k == pure-Python counting + exact big-int
+        fixed-point scoring, including the (score, tok_a, tok_b) tie
+        order across the k boundary."""
+        from data_sync_ray.pipelines.queries import collocation_topk_docs
+
+        rng = np.random.default_rng(23)
+        filler = [f"f{i}" for i in range(12)]
+        texts = []
+        for i in range(40):
+            words = rng.choice(filler, size=30).tolist()
+            if i % 3 == 0:  # plant a strong collocation
+                words[5:5] = ["new", "york"]
+            if i % 5 == 0:
+                words[20:20] = ["hong", "kong"]
+            texts.append(" ".join(words))
+        sf = _write_docs_dir(tmp_path, texts)
+        min_count, k, delta = 3, 10, 1
+        got = collocation_topk_docs(
+            sf, min_count=min_count, k=k, delta=delta
+        )
+
+        uni, bi = {}, {}
+        nt = 0
+        for t in texts:
+            w = t.split()
+            nt += len(w)
+            for x in w:
+                uni[x] = uni.get(x, 0) + 1
+            for a, b in zip(w, w[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        cand = []
+        for (a, b), c in bi.items():
+            if c >= min_count:
+                score = ((c - delta) * nt * 1_000_000) // (
+                    uni[a] * uni[b]
+                )
+                cand.append((a, b, c, uni[a], uni[b], score))
+        cand.sort(key=lambda r: (-r[5], r[0], r[1]))
+        exp = pd.DataFrame(
+            cand[:k],
+            columns=["tok_a", "tok_b", "pair_cnt", "cnt_a", "cnt_b",
+                     "score_fp"],
+        ).astype({"pair_cnt": np.int64, "cnt_a": np.int64,
+                  "cnt_b": np.int64, "score_fp": np.int64})
+        pd.testing.assert_frame_equal(got, exp)
+        # the planted phrases dominate the ranking
+        assert got.iloc[0][["tok_a", "tok_b"]].tolist() in (
+            ["new", "york"], ["hong", "kong"])
+
+    def test_empty_and_short_docs(self, tmp_path):
+        from data_sync_ray.pipelines.queries import collocation_topk_docs
+
+        sf = _write_docs_dir(tmp_path, ["solo", "alone", "single"])
+        got = collocation_topk_docs(sf)  # no adjacent pairs at all
+        assert got.empty
+        assert list(got.columns) == [
+            "tok_a", "tok_b", "pair_cnt", "cnt_a", "cnt_b", "score_fp"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceRoundtrips:
+    def _expected(self, sf):
+        import pyarrow.parquet as _pq
+
+        df = _pq.read_table(
+            sf + "/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        ).to_pandas()
+        df["_len"] = df["text"].str.len().astype(np.int64)
+        g = df.groupby("source")
+        return (
+            pd.DataFrame(
+                {
+                    "source": g.size().index.to_numpy(dtype=object),
+                    "n_docs": g.size().to_numpy(np.int64),
+                    "sum_doc_id": g["doc_id"].sum().to_numpy(np.int64),
+                    "sum_text_len": g["_len"].sum().to_numpy(np.int64),
+                }
+            )
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+
+    def test_jsonl_roundtrip_fidelity(self):
+        from data_sync_ray.pipelines.queries import jsonl_roundtrip_docs
+
+        got = jsonl_roundtrip_docs(SF)
+        pd.testing.assert_frame_equal(got, self._expected(SF))
+
+    def test_csv_roundtrip_fidelity(self):
+        from data_sync_ray.pipelines.queries import csv_roundtrip_docs
+
+        got = csv_roundtrip_docs(SF)
+        pd.testing.assert_frame_equal(got, self._expected(SF))
