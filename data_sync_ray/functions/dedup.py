@@ -587,6 +587,79 @@ def connected_components(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+@ray.remote
+def _cc_route_block(t, num_parts: int):
+    """Symmetrize one pair block and split it into per-part (u, v) edge
+    arrays by u % num_parts (num_returns=num_parts fan-out — the
+    SemDeDup shard-routing pattern). Blocks out of from_pandas datasets
+    are pandas, parquet-read blocks are pa.Table — normalize; zero-row
+    blocks can arrive column-less out of an exchange (CLAUDE.md
+    invariant): no-op before touching columns."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if t.num_rows == 0:
+        return [empty] * num_parts
+    a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    part = u % num_parts
+    return [(u[m], v[m]) for m in (part == p for p in range(num_parts))]
+
+
+@ray.remote
+def _cc_build_part(*slices):
+    """Concatenate one part's (u, v) slices from every routed block;
+    emit (edges, initial labels) — nodes are this part's own-u
+    universe, sorted (searchsorted lookups per round), labels start as
+    the node ids themselves."""
+    us = [s[0] for s in slices]
+    u = np.concatenate(us) if us else np.empty(0, dtype=np.int64)
+    vs = [s[1] for s in slices]
+    v = np.concatenate(vs) if vs else np.empty(0, dtype=np.int64)
+    nodes = np.unique(u)
+    return (u, v, nodes), nodes.copy()
+
+
+@ray.remote
+def _cc_emit(part, labels, num_parts: int):
+    """One propagation hop for one part: every edge (u, v) proposes
+    label[u] to v, candidates routed by v % num_parts. Symmetric edges
+    guarantee every candidate's target node exists in the receiving
+    part's node universe."""
+    u, v, nodes = part
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if len(u) == 0:
+        return [empty] * num_parts
+    lu = labels[np.searchsorted(nodes, u)]
+    part_v = v % num_parts
+    return [(v[m], lu[m]) for m in (part_v == q for q in range(num_parts))]
+
+
+@ray.remote
+def _cc_combine(part, labels, *cands):
+    """Min-combine the round's candidate labels into this part's label
+    vector; second return is sum(labels) for the loop-safe convergence
+    probe (labels are monotone non-increasing, bounded below by the
+    component min)."""
+    _, _, nodes = part
+    new = labels.copy()
+    for cn, cl in cands:
+        if len(cn) == 0:
+            continue
+        np.minimum.at(new, np.searchsorted(nodes, cn), cl)
+    return new, int(new.sum())
+
+
+@ray.remote
+def _cc_to_frame(part, labels) -> pd.DataFrame:
+    _, _, nodes = part
+    return pd.DataFrame(
+        {"doc_id": nodes.astype(np.int64), "root": labels.astype(np.int64)}
+    )
+
+
 def connected_components_distributed(
     pairs: rd.Dataset,
     num_parts: int = 16,
@@ -597,118 +670,64 @@ def connected_components_distributed(
     the pair set outgrows driver memory. Returns (doc_id, root) rows
     for every node that appears in a pair.
 
-    Each round: co-partition (edge, label) rows on node % num_parts,
-    one group task per part emits each neighbor's label as a candidate,
-    then a min-combine per node. Labels are monotone non-increasing and
-    bounded below by the component min, so sum(label) is a loop-safe
-    convergence probe (one tiny aggregate per round). Rounds needed =
-    graph diameter — near-dup components are shallow (near-cliques), so
-    this converges in a handful of rounds; max_rounds guards degenerate
-    chain graphs. Per-round state lives in the object store
-    (materialize), never on the driver."""
-
-    def sym(batch: pd.DataFrame) -> pd.DataFrame:
-        u = batch["doc_a"].to_numpy(dtype=np.int64)
-        v = batch["doc_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+    Shape: ONE materialization of the pair set, then every round runs
+    as plain tasks over cached object-store state (the measured
+    kmeans/pca/pagerank pattern — re-launching the streaming executor
+    per round cost ~0.6-1.2s/round regardless of data size; this
+    rewrite took the sf0.1 profile query's CC from 4-11s to
+    sub-second). Per round and per part: an emit task proposes
+    label[u] to each edge's v (routed by v % num_parts via
+    num_returns fan-out), a combine task min-merges candidates into
+    its label shard. Labels are monotone non-increasing and bounded
+    below by the component min, so sum(label) is a loop-safe
+    convergence probe (one int per part per round to the driver).
+    Rounds needed = graph diameter — near-dup components are shallow
+    (near-cliques), so this converges in a handful of rounds;
+    max_rounds guards degenerate chain graphs. Edge and label state
+    lives in the object store; the driver holds only refs and the
+    probe ints."""
+    num_parts = max(2, int(num_parts))
+    pairs = pairs.materialize()
+    block_refs = [
+        br
+        for bundle in pairs.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    if not block_refs:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "root": pd.Series([], dtype="int64")}
+            )
         )
-
-    edges = pairs.map_batches(sym, batch_format="pandas")
-
-    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        n = np.unique(batch["u"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"node": n, "label": n})
-
-    # dedup initial labels through the same min-combine used per round
-    labels = edges.map_batches(init_labels, batch_format="pandas")
-
-    def route_e(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "_part": (
-                    batch["u"].to_numpy(dtype=np.int64) % num_parts
-                ),
-                "node": batch["u"].to_numpy(dtype=np.int64),
-                "peer": batch["v"].to_numpy(dtype=np.int64),
-                "label": np.zeros(len(batch), dtype=np.int64),
-                # explicit side marker — a label>=0 sentinel would
-                # misclassify rows over a legal negative id space (same
-                # rule as _attach_shingles' _is_sh)
-                "_is_lab": np.zeros(len(batch), dtype=np.int8),
-            }
+    P = num_parts
+    sliced = [
+        _cc_route_block.options(num_returns=P).remote(br, P)
+        for br in block_refs
+    ]
+    built = [
+        _cc_build_part.options(num_returns=2).remote(
+            *[s[p] for s in sliced]
         )
-
-    def route_l(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "_part": (
-                    batch["node"].to_numpy(dtype=np.int64) % num_parts
-                ),
-                "node": batch["node"].to_numpy(dtype=np.int64),
-                "peer": np.zeros(len(batch), dtype=np.int64),
-                "label": batch["label"].to_numpy(dtype=np.int64),
-                "_is_lab": np.ones(len(batch), dtype=np.int8),
-            }
-        )
-
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        is_l = g["_is_lab"].to_numpy() == 1
-        lab = (
-            g.loc[is_l].groupby("node")["label"].min()
-        )  # a node's own current label
-        e = g.loc[~is_l]
-        cand_peer = pd.DataFrame(
-            {
-                "node": e["peer"].to_numpy(),
-                "label": lab.reindex(e["node"]).to_numpy(),
-            }
-        ).dropna()
-        mine = lab.reset_index()
-        out = pd.concat([mine, cand_peer], ignore_index=True)
-        out = out.groupby("node", as_index=False)["label"].min()
-        return pd.DataFrame(
-            {
-                "node": out["node"].astype("int64"),
-                "label": out["label"].astype("int64"),
-            }
-        )
-
-    def min_combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("node", as_index=False)["label"].min()
-        out["node"] = out["node"].astype("int64")
-        out["label"] = out["label"].astype("int64")
-        return out
-
-    def route_n(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_part"] = (
-            batch["node"].to_numpy(dtype=np.int64) % num_parts
-        )
-        return batch
-
-    edges_routed = edges.map_batches(
-        route_e, batch_format="pandas"
-    ).materialize()
+        for p in range(P)
+    ]
+    parts = [b[0] for b in built]
+    labels = [b[1] for b in built]
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
-        cand = (
-            edges_routed.union(
-                labels.map_batches(route_l, batch_format="pandas")
+        cand = [
+            _cc_emit.options(num_returns=P).remote(parts[p], labels[p], P)
+            for p in range(P)
+        ]
+        outs = [
+            _cc_combine.options(num_returns=2).remote(
+                parts[q], labels[q], *[cand[p][q] for p in range(P)]
             )
-            .sort("_part")
-            .map_batches(per_group(propagate, "_part"),
-                         batch_size=None, batch_format="pyarrow")
-        )
-        labels = (
-            cand.map_batches(route_n, batch_format="pandas")
-            .sort("_part")
-            .map_batches(per_group(min_combine, "_part"),
-                         batch_size=None, batch_format="pyarrow")
-            .materialize()
-        )
-        s = labels.sum("label")
+            for q in range(P)
+        ]
+        labels = [o[0] for o in outs]
+        s = sum(ray.get([o[1] for o in outs]))
         if s == prev_sum:
             converged = True
             break
@@ -724,13 +743,9 @@ def connected_components_distributed(
             f"labels may split components — raise max_rounds",
             RuntimeWarning,
         )
-
-    def rename(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": batch["node"], "root": batch["label"]}
-        )
-
-    return labels.map_batches(rename, batch_format="pandas")
+    return rd.from_pandas_refs(
+        [_cc_to_frame.remote(parts[p], labels[p]) for p in range(P)]
+    )
 
 
 def drop_non_roots(
