@@ -102,6 +102,10 @@ QUERY_SAMPLE = [
     "cdc_incremental_neardup",
     "export_shuffled_docs",
     "semantic_decontaminate_embeddings",
+    "dup_cluster_profile_docs",
+    "collocation_topk_docs",
+    "jsonl_roundtrip_docs",
+    "csv_roundtrip_docs",
 ]
 
 
