@@ -106,6 +106,7 @@ QUERY_SAMPLE = [
     "collocation_topk_docs",
     "jsonl_roundtrip_docs",
     "csv_roundtrip_docs",
+    "triangle_count_graph",
 ]
 
 

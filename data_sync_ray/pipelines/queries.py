@@ -3164,6 +3164,209 @@ FROM r{iters} ORDER BY pr DESC, node ASC LIMIT {top_n}
 PAGERANK_SQL = _pagerank_sql(3, 25)
 
 
+@ray.remote
+def _tri_block_edges(block) -> tuple[np.ndarray, np.ndarray]:
+    """Gather one deduped edge block as compact (s1, s2) int64 arrays —
+    O(edges) ints cross the wire, never a DataFrame."""
+    if not isinstance(block, pd.DataFrame):
+        block = block.to_pandas()
+    if len(block) == 0:  # empty blocks may arrive COLUMN-LESS
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return (block["s1"].to_numpy(np.int64),
+            block["s2"].to_numpy(np.int64))
+
+
+@ray.remote
+def _tri_block_count(block, state) -> int:
+    """Triangles closed by this block's edges against the broadcast
+    oriented CSR: for each edge (u, v) with u < v, count w in adj(u)
+    with w > v and (v, w) an edge — each triangle a < b < c is counted
+    exactly once, at its (a, b) edge with w = c. Wedge candidates are
+    flattened fully vectorized (repeat + offset arithmetic, no per-edge
+    Python) and membership is a searchsorted against the sorted edge-key
+    array; scratch is chunked to a ~8 MB wedge budget per slice (the
+    whole-batch-scratch-larger-than-cache pitfall BASELINE.md measured
+    at 25x on this host)."""
+    indptr, indices, keys, size = state
+    if not isinstance(block, pd.DataFrame):
+        block = block.to_pandas()
+    if len(block) == 0:
+        return 0
+    u = block["s1"].to_numpy(np.int64)
+    v = block["s2"].to_numpy(np.int64)
+    reps = (indptr[u + 1] - indptr[u]).astype(np.int64)
+    cum = np.cumsum(reps)
+    if len(cum) == 0 or cum[-1] == 0:
+        return 0
+    tri = 0
+    budget = 1 << 20  # wedge candidates per chunk (~8 MB int64 scratch)
+    lo = 0
+    while lo < len(u):
+        base = int(cum[lo - 1]) if lo else 0
+        hi = int(np.searchsorted(cum, base + budget)) + 1
+        hi = max(lo + 1, min(hi, len(u)))
+        r = reps[lo:hi]
+        t = int(r.sum())
+        if t:
+            starts = indptr[u[lo:hi]]
+            off = np.arange(t, dtype=np.int64) - np.repeat(
+                np.cumsum(r) - r, r
+            )
+            w = indices[starts.repeat(r) + off]
+            vv = np.repeat(v[lo:hi], r)
+            m = w > vv
+            if m.any():
+                q = vv[m] * np.int64(size) + w[m]
+                pos = np.searchsorted(keys, q)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                tri += int(((pos < len(keys)) & (keys[pos_c] == q)).sum())
+        lo = hi
+    return tri
+
+
+def triangle_count_graph(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle census of the part co-purchase graph (nodes =
+    parts; an undirected edge joins two parts that appear in the same
+    order) — the graph-structure profile a dedup/community pass wants
+    before clustering: n_nodes, n_edges, exact triangle and wedge
+    counts, and the global clustering coefficient 3T/W in exact basis
+    points (integer floor, no float anywhere hashed).
+
+    Scale shape: per-batch distinct -> orderkey-routed exchange so each
+    order's parts co-locate -> vectorized within-order pair emit ->
+    pair-hash-routed second exchange for the global edge distinct (the
+    measured 2-barrier sweet spot); the deduped edge list materializes
+    ONCE and counting runs as plain tasks over the cached block refs
+    (the kmeans/pagerank pattern — no per-pass executor startup).
+    Partitioning assumption, stated: the node-id-oriented adjacency CSR
+    + sorted edge-key set are broadcast (ray.put, O(edges) ints) — the
+    single-box analog of a replicated adjacency cache; on a graph too
+    big to broadcast, the same kernel runs per (edge-block x CSR-shard)
+    pair with keys range-sharded by v, and the per-block wedge kernel
+    is unchanged under that sharding. Triangle identity is
+    orientation-invariant, so node-id orientation (s1 < s2, already the
+    edge normal form) needs no degree reranking."""
+    P = _parts_for(sf_dir, "lineitem")
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pl_schema = pa.schema([("ok", pa.int64()), ("p", pa.int64()),
+                           ("_part", pa.int64())])
+
+    def pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pl_schema.empty_table()
+        df = pd.DataFrame({
+            "ok": t.column("l_orderkey").to_numpy().astype(np.int64),
+            "p": t.column("l_partkey").to_numpy().astype(np.int64),
+        }).drop_duplicates()
+        df["_part"] = df["ok"] % P
+        return pa.Table.from_pandas(df, schema=pl_schema,
+                                    preserve_index=False)
+
+    pair_schema = pa.schema([("s1", pa.int64()), ("s2", pa.int64()),
+                             ("_p2", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = t.to_pandas()[["ok", "p"]].drop_duplicates()
+        m = df.merge(df, on="ok")  # within-order pairs; orders are
+        m = m[m["p_x"] < m["p_y"]]  # whole in this group by routing
+        e = m[["p_x", "p_y"]].drop_duplicates()
+        s1 = e["p_x"].to_numpy(np.int64)
+        s2 = e["p_y"].to_numpy(np.int64)
+        return pa.table(
+            {"s1": s1, "s2": s2, "_p2": (s1 * 31 + s2) % P},
+            schema=pair_schema)
+
+    edge_schema = pa.schema([("s1", pa.int64()), ("s2", pa.int64())])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        df = t.to_pandas()[["s1", "s2"]].drop_duplicates()
+        return pa.Table.from_pandas(df, schema=edge_schema,
+                                    preserve_index=False)
+
+    edges = (
+        line.map_batches(pre, batch_format="pyarrow")
+        .sort("_part")
+        .map_batches(per_group(pairs, "_part", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
+        .sort("_p2")
+        .map_batches(per_group(dedup, "_p2", "pyarrow"),
+                     batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def frame(nodes: int, ne: int, tri: int, wedges: int) -> pd.DataFrame:
+        cc = 0 if wedges == 0 else (30000 * tri) // wedges
+        return pd.DataFrame({
+            "n_nodes": np.array([nodes], np.int64),
+            "n_edges": np.array([ne], np.int64),
+            "n_triangles": np.array([tri], np.int64),
+            "n_wedges": np.array([wedges], np.int64),
+            "cc_bp": np.array([cc], np.int64),
+        })
+
+    if edges.count() == 0:
+        return frame(0, 0, 0, 0)
+    block_refs = [
+        br
+        for bundle in edges.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    parts = ray.get([_tri_block_edges.remote(br) for br in block_refs])
+    s1 = np.concatenate([p[0] for p in parts])
+    s2 = np.concatenate([p[1] for p in parts])
+    size = int(max(int(s1.max()), int(s2.max()))) + 1
+    deg = (np.bincount(s1, minlength=size)
+           + np.bincount(s2, minlength=size)).astype(np.int64)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    order = np.lexsort((s2, s1))
+    s1s, s2s = s1[order], s2[order]
+    indptr = np.zeros(size + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(np.bincount(s1s, minlength=size))
+    keys = s1s * np.int64(size) + s2s  # ascending by construction
+    state = ray.put((indptr, s2s, keys, size))
+    tri = sum(ray.get(
+        [_tri_block_count.remote(br, state) for br in block_refs]
+    ))
+    return frame(int((deg > 0).sum()), int(len(s1)), int(tri), wedges)
+
+
+TRIANGLE_SQL = """
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT a.p AS s1, b.p AS s2
+  FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT s1 AS s FROM e UNION ALL SELECT s2 AS s FROM e)
+  GROUP BY s
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM e ab
+  JOIN e bc ON ab.s2 = bc.s1
+  JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2
+),
+w AS (
+  SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS w FROM deg
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles,
+       (SELECT w FROM w) AS n_wedges,
+       CAST(CASE WHEN (SELECT w FROM w) = 0 THEN 0
+            ELSE (30000 * (SELECT t FROM tri)) // (SELECT w FROM w)
+            END AS BIGINT) AS cc_bp
+"""
+
+
 def quality_prune_docs(sf_dir: str) -> pd.DataFrame:
     """Per-source quality pruning (FineWeb-style): keep docs whose
     stopword score reaches their source's exact 25th-percentile value —
@@ -7321,6 +7524,7 @@ QUERIES: dict[str, tuple] = {
     "collocation_topk_docs": (collocation_topk_docs, COLLOCATION_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, ROUNDTRIP_SQL),
     "csv_roundtrip_docs": (csv_roundtrip_docs, ROUNDTRIP_SQL),
+    "triangle_count_graph": (triangle_count_graph, TRIANGLE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "top10_orders": (top10_orders, TOP10_SQL),
     "distinct_sources": (distinct_sources, DISTINCT_SQL),
