@@ -107,6 +107,7 @@ QUERY_SAMPLE = [
     "jsonl_roundtrip_docs",
     "csv_roundtrip_docs",
     "triangle_count_graph",
+    "common_neighbors_topk",
 ]
 
 

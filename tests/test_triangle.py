@@ -6,7 +6,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from data_sync_ray.pipelines.queries import triangle_count_graph
+from data_sync_ray.pipelines.queries import (
+    common_neighbors_topk,
+    triangle_count_graph,
+)
 
 
 def _write_lineitem(tmp_path, rows):
@@ -50,3 +53,19 @@ def test_triangle_free_and_empty(tmp_path, ray_session):
     # single-part orders -> no pairs at all -> all-zero census
     out0 = triangle_count_graph(_write_lineitem(tmp_path, [(1, 1), (2, 2)]))
     assert out0.iloc[0].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_common_neighbors_link_prediction(tmp_path, ray_session):
+    # orders {1,2,3} and {2,3,4}: the ONLY non-adjacent pair is (1,4),
+    # with common neighbors {2,3} -> exactly one predicted link
+    rows = [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (2, 4)]
+    out = common_neighbors_topk(_write_lineitem(tmp_path, rows))
+    assert out.values.tolist() == [[1, 4, 2]]
+    assert all(str(out[c].dtype) == "int64" for c in out.columns)
+    # K4 is complete: no non-edges -> empty prediction set
+    k4 = _write_lineitem(tmp_path, [(1, p) for p in (1, 2, 3, 4)])
+    assert len(common_neighbors_topk(k4)) == 0
+    # no pairs at all -> empty, schema preserved
+    out0 = common_neighbors_topk(_write_lineitem(tmp_path, [(1, 1)]))
+    assert list(out0.columns) == ["part_a", "part_b", "common_neighbors"]
+    assert len(out0) == 0
